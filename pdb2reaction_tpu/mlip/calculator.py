@@ -1,0 +1,263 @@
+"""Calculator: the unit-converting, freeze-aware facade over a potential.
+
+Behavioral contract mirrors the reference wrapper
+(/root/reference/pdb2reaction/uma_pysis.py:689-780):
+
+- ``get_energy(coords_bohr)``  -> {"energy": Hartree}
+- ``get_forces(coords_bohr)``  -> {"energy", "forces"} forces flat 3N in
+  Hartree/Bohr, frozen DOFs zeroed
+- ``get_hessian(coords_bohr)`` -> {... , "hessian"} (3N,3N) Hartree/Bohr^2
+  (or active block if ``return_partial_hessian``), frozen columns zeroed
+
+TPU-first differences:
+- the potential is a pure jittable function ``energy_fn(coords_ang[P,3]) -> eV``
+  over a padded system; forces are ``jax.grad``; the *analytic* Hessian is the
+  default (batched forward-over-reverse), with batched central-difference FD
+  as the alternative (eps = 1e-3 Ang like uma_pysis.py:601) — where the
+  reference loops 6*N_active serial force calls (uma_pysis.py:652-675), we
+  evaluate all displacements in ONE vmapped, mesh-sharded pass.
+- batched image evaluation (``energy_and_forces_batch``) for string/path
+  methods: vmap over the image axis, sharded across the device mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import ANG2BOHR, BOHR2ANG, AU2EV, EV2AU, F_EVAA_2_AU, H_EVAA_2_AU
+from ..core.structure import PaddedSystem, Structure, pad_to
+from ..parallel.mesh import shard_batch
+
+# Reference calculator option surface (uma_pysis.py:138-165), minus torch/Ray
+# device plumbing which has no TPU analogue.
+CALC_KW: Dict[str, Any] = {
+    "charge": 0,
+    "spin": 1,                      # multiplicity
+    "model": "uma-s-1p1",           # checkpoint name (mlip registry)
+    "task_name": "omol",
+    "device": "auto",               # kept for CLI compatibility; ignored (XLA picks)
+    "max_neigh": None,              # override neighbor cap
+    "radius": None,                 # override cutoff (Angstrom)
+    "freeze_atoms": [],
+    "hessian_calc_mode": "Analytical",   # TPU default: analytic is cheap here
+    "hessian_double": True,
+    "return_partial_hessian": False,
+    "fd_step": 1.0e-3,              # Angstrom, FD displacement (reference eps)
+    "workers": 1,                   # mapped to mesh data axis, not Ray
+    "workers_per_node": 1,
+}
+
+
+class Calculator:
+    """Freeze-aware, unit-converting calculator over a padded potential."""
+
+    def __init__(
+        self,
+        structure: Structure,
+        energy_fn: Callable[[jnp.ndarray, PaddedSystem], jnp.ndarray],
+        *,
+        freeze_atoms=None,
+        hessian_calc_mode: str = "Analytical",
+        return_partial_hessian: bool = False,
+        hessian_double: bool = True,
+        fd_step: float = 1.0e-3,
+        pad_multiple: int = 8,
+        mesh=None,
+    ):
+        if freeze_atoms is not None:
+            structure = structure.copy()
+            structure.freeze = sorted(set(int(i) for i in freeze_atoms))
+        self.structure = structure
+        self.system = pad_to(structure, multiple=pad_multiple)
+        self.n_atoms = structure.n_atoms
+        self.n_pad = self.system.n_pad
+        self.energy_fn = energy_fn
+        self.hessian_calc_mode = hessian_calc_mode or "FiniteDifference"
+        self.return_partial_hessian = return_partial_hessian
+        self.hessian_double = hessian_double
+        self.fd_step = float(fd_step)
+        self.mesh = mesh
+        self.force_calls = 0          # bench contract: count every force eval
+        self.energy_calls = 0
+        self._build()
+
+    # -- compiled kernels ---------------------------------------------------
+    def _build(self):
+        sys_ = self.system
+        efn = self.energy_fn
+
+        def energy(coords_pad):
+            return efn(coords_pad, sys_)
+
+        def energy_force(coords_pad):
+            e, g = jax.value_and_grad(energy)(coords_pad)
+            # zero forces on frozen + padding atoms (uma_pysis.py:700-706)
+            f = -g * sys_.free_mask[:, None]
+            return e, f
+
+        self._energy_j = jax.jit(energy)
+        self._eforce_j = jax.jit(energy_force)
+        self._eforce_batch_j = jax.jit(jax.vmap(energy_force))
+
+        def hessian(coords_pad):
+            return jax.hessian(energy)(coords_pad)
+
+        self._hessian_j = jax.jit(hessian)
+
+        def fd_forces_batch(coords_batch):
+            # [B,P,3] -> [B,P,3] forces (unmasked; masking applied on columns)
+            def f(c):
+                return -jax.grad(energy)(c)
+            return jax.vmap(f)(coords_batch)
+
+        self._fd_forces_batch_j = jax.jit(fd_forces_batch)
+
+    # -- helpers ------------------------------------------------------------
+    def _to_pad_ang(self, coords_bohr) -> jnp.ndarray:
+        c = np.asarray(coords_bohr, dtype=np.float64).reshape(-1, 3) * BOHR2ANG
+        assert c.shape[0] == self.n_atoms, (c.shape, self.n_atoms)
+        out = np.zeros((self.n_pad, 3), dtype=np.float64)
+        out[: self.n_atoms] = c
+        return jnp.asarray(out)
+
+    @property
+    def free_dof_mask(self) -> np.ndarray:
+        """[3N] bool over real atoms: movable DOFs."""
+        m = np.asarray(self.system.free_mask)[: self.n_atoms] > 0
+        return np.repeat(m, 3)
+
+    # -- public API (pysisyphus-style, Bohr/Hartree) ------------------------
+    def get_energy(self, coords_bohr) -> Dict[str, Any]:
+        c = self._to_pad_ang(coords_bohr)
+        e_ev = self._energy_j(c)
+        self.energy_calls += 1
+        return {"energy": float(e_ev) * EV2AU}
+
+    def get_forces(self, coords_bohr) -> Dict[str, Any]:
+        c = self._to_pad_ang(coords_bohr)
+        e_ev, f_evA = self._eforce_j(c)
+        self.force_calls += 1
+        f = np.asarray(f_evA, dtype=np.float64)[: self.n_atoms] * F_EVAA_2_AU
+        return {"energy": float(e_ev) * EV2AU, "forces": f.reshape(-1)}
+
+    def get_forces_batch(self, coords_bohr_batch) -> Dict[str, Any]:
+        """Evaluate B images in one sharded pass: [B,3N] or [B,N,3] Bohr."""
+        cb = np.asarray(coords_bohr_batch, dtype=np.float64).reshape(
+            len(coords_bohr_batch), -1, 3) * BOHR2ANG
+        B = cb.shape[0]
+        batch = np.zeros((B, self.n_pad, 3), dtype=np.float64)
+        batch[:, : self.n_atoms] = cb
+        jb = jnp.asarray(batch)
+        if self.mesh is not None:
+            jb = shard_batch(jb, self.mesh)
+        e_ev, f_evA = self._eforce_batch_j(jb)
+        self.force_calls += B
+        e = np.asarray(e_ev, dtype=np.float64) * EV2AU
+        f = (np.asarray(f_evA, dtype=np.float64)[:, : self.n_atoms]
+             * F_EVAA_2_AU).reshape(B, -1)
+        return {"energy": e, "forces": f}
+
+    def get_hessian(self, coords_bohr) -> Dict[str, Any]:
+        mode = self.hessian_calc_mode
+        if not mode or mode not in ("Analytical", "FiniteDifference"):
+            mode = "FiniteDifference"
+        if mode == "Analytical":
+            H_au = self._analytic_hessian(coords_bohr)
+        else:
+            H_au = self._fd_hessian(coords_bohr)
+        res = self.get_forces(coords_bohr)
+        free = self.free_dof_mask
+        if self.return_partial_hessian:
+            H_au = H_au[np.ix_(free, free)]
+        else:
+            Hm = np.zeros_like(H_au)
+            Hm[np.ix_(free, free)] = H_au[np.ix_(free, free)]
+            H_au = Hm
+        dtype = np.float64 if self.hessian_double else np.float32
+        res["hessian"] = H_au.astype(dtype)
+        return res
+
+    def _analytic_hessian(self, coords_bohr) -> np.ndarray:
+        c = self._to_pad_ang(coords_bohr)
+        H = np.asarray(self._hessian_j(c), dtype=np.float64)
+        H = H.reshape(self.n_pad * 3, self.n_pad * 3)
+        n3 = self.n_atoms * 3
+        idx = np.arange(self.n_pad * 3).reshape(self.n_pad, 3)[: self.n_atoms].reshape(-1)
+        H = H[np.ix_(idx, idx)]
+        assert H.shape == (n3, n3)
+        return H * H_EVAA_2_AU
+
+    def _fd_hessian(self, coords_bohr) -> np.ndarray:
+        """Batched central differences: ALL 2*N_free_dof displacements in one
+        vmapped pass (vs. the reference's serial loop, uma_pysis.py:652-675)."""
+        c0 = np.asarray(self._to_pad_ang(coords_bohr))
+        eps = self.fd_step
+        free = self.free_dof_mask
+        n3 = self.n_atoms * 3
+        dof_ids = np.nonzero(free)[0]
+        B = dof_ids.size
+        batch = np.tile(c0[None], (2 * B, 1, 1))
+        flat = batch.reshape(2 * B, -1)
+        pad_dof = dof_ids + 0  # padded layout == real layout for first n_atoms
+        # map real-atom dof index -> padded flat index
+        atom = dof_ids // 3
+        comp = dof_ids % 3
+        pad_flat = atom * 3 + comp
+        flat[np.arange(B), pad_flat] += eps
+        flat[B + np.arange(B), pad_flat] -= eps
+        batch = flat.reshape(2 * B, self.n_pad, 3)
+        jb = jnp.asarray(batch)
+        if self.mesh is not None:
+            jb = shard_batch(jb, self.mesh)
+        f = np.asarray(self._fd_forces_batch_j(jb), dtype=np.float64)
+        self.force_calls += 2 * B
+        f = f[:, : self.n_atoms].reshape(2 * B, n3)
+        fp, fm = f[:B], f[B:]
+        H = np.zeros((n3, n3), dtype=np.float64)
+        # column k of Hessian = -(F(x+e_k) - F(x-e_k)) / (2 eps)   [eV/Ang^2]
+        H[:, dof_ids] = (-(fp - fm) / (2.0 * eps)).T
+        H = 0.5 * (H + H.T)
+        return H * H_EVAA_2_AU
+
+    # -- Angstrom-side conveniences used by engines -------------------------
+    def energy_ev(self, coords_ang_pad: jnp.ndarray) -> jnp.ndarray:
+        return self._energy_j(coords_ang_pad)
+
+    def jittable_energy_force(self):
+        """The raw (eV, eV/Ang padded) jitted function for engine fusion."""
+        return self._eforce_j
+
+    def au_energy_force_fn(self):
+        """Pure closure for jit engines: coords_bohr_pad [P,3] ->
+        (E Hartree, F Hartree/Bohr [P,3], frozen+padding zeroed).
+
+        This is the function optimizers call INSIDE their lax.while_loop —
+        the whole optimization runs on device with no host round-trip per
+        step (unlike the reference's per-cycle host<->GPU boundary,
+        SURVEY.md §3.2)."""
+        sys_ = self.system
+        efn = self.energy_fn
+
+        def fn(coords_bohr_pad):
+            coords_ang = coords_bohr_pad * BOHR2ANG
+            e_ev, g_ev = jax.value_and_grad(
+                lambda c: efn(c, sys_))(coords_ang)
+            f_au = -g_ev * F_EVAA_2_AU * sys_.free_mask[:, None]
+            return e_ev * EV2AU, f_au
+
+        return fn
+
+    def pad_bohr(self, coords_bohr) -> jnp.ndarray:
+        """Host helper: [N,3]/[3N] Bohr -> padded [P,3] Bohr."""
+        c = np.asarray(coords_bohr, dtype=np.float64).reshape(-1, 3)
+        out = np.zeros((self.n_pad, 3), dtype=np.float64)
+        out[: self.n_atoms] = c
+        return jnp.asarray(out)
+
+    def unpad(self, coords_pad) -> np.ndarray:
+        return np.asarray(coords_pad, dtype=np.float64)[: self.n_atoms]

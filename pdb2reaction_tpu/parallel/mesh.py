@@ -1,0 +1,46 @@
+"""Device mesh + sharding helpers.
+
+The reference's distributed story is a Ray actor pool for parallel UMA
+inference (uma_pysis.py:234-242, docs/uma_pysis.md:30-155). The TPU-native
+replacement is a single `jax.sharding.Mesh`:
+
+- axis "data"  — images / FD displacements / scan grid points (data parallel)
+- axis "model" — tensor-parallel sharding inside the MLIP for very large
+  systems (feature-dimension sharding)
+
+Batched force evaluation shards the leading batch axis over "data"; XLA
+inserts the collectives over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devs = list(devices if devices is not None else jax.devices())
+    n = len(devs)
+    if data is None:
+        data = n // model
+    assert data * model <= n, f"mesh {data}x{model} > {n} devices"
+    arr = np.array(devs[: data * model]).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def shard_batch(x, mesh: Mesh):
+    """Shard the leading (batch/image) axis over the 'data' mesh axis.
+
+    Pads implicitly via device_put with a NamedSharding; callers should pad
+    the batch to a multiple of the data-axis size for even shards.
+    """
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.device_put(x, sharding)
+
+
+def replicate(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, P()))
