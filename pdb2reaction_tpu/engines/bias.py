@@ -1,0 +1,67 @@
+"""Harmonic distance restraints as composable energy-function wrappers.
+
+Capability match: the reference's ``HarmonicBiasCalculator``
+(/root/reference/pdb2reaction/opt.py:286-343): E_bias = sum_m 1/2 k (r_m - t_m)^2
+with k in eV/Ang^2 and targets in Angstrom, plus the ``--dist-freeze``
+restraint option (opt.py:346-410).
+
+TPU-first: the bias is *fused into the potential* — a wrapper around the
+pure ``energy_fn`` whose pair targets live in the dynamic ``params`` pytree,
+so scan drivers retarget restraints every scan step with zero recompilation
+(the reference rebuilds calculator state host-side instead).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_biased_energy_fn(base_energy_fn: Callable,
+                          pairs_ij: Sequence[Tuple[int, int]]):
+    """Wrap ``energy_fn`` with M harmonic distance wells.
+
+    The wrapped params pytree is ``{"base": <base params>,
+    "targets": [M] Ang, "k": [M] eV/Ang^2}``. Pair indices are static.
+    """
+    idx_i = jnp.asarray([int(i) for i, _ in pairs_ij], dtype=jnp.int32)
+    idx_j = jnp.asarray([int(j) for _, j in pairs_ij], dtype=jnp.int32)
+
+    def fn(coords, system, params):
+        e = base_energy_fn(coords, system, params["base"]) \
+            if _takes_params(base_energy_fn) else base_energy_fn(coords, system)
+        ri = coords[idx_i]
+        rj = coords[idx_j]
+        d = jnp.sqrt(jnp.maximum(jnp.sum((ri - rj) ** 2, axis=-1), 1e-24))
+        dev = d - params["targets"]
+        e_bias = 0.5 * jnp.sum(params["k"] * dev * dev)
+        return e + e_bias
+
+    return fn
+
+
+def _takes_params(fn) -> bool:
+    import inspect
+    if getattr(fn, "takes_params", False):
+        return True
+    try:
+        names = list(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        return True
+    return len(names) >= 3 and names[2] == "params"
+
+
+def bias_params(targets_ang, k_evAA, base_params: Any = None) -> Dict[str, Any]:
+    t = jnp.asarray(np.asarray(targets_ang, dtype=np.float64))
+    k = jnp.broadcast_to(jnp.asarray(k_evAA, dtype=jnp.float64), t.shape)
+    return {"base": base_params, "targets": t, "k": k}
+
+
+def dist_freeze_pairs(coords_ang: np.ndarray,
+                      pairs_ij: Sequence[Tuple[int, int]]):
+    """Targets for ``--dist-freeze``: restrain listed pairs at their current
+    distances (reference opt.py:346-410)."""
+    c = np.asarray(coords_ang, dtype=np.float64)
+    return [float(np.linalg.norm(c[i] - c[j])) for i, j in pairs_ij]

@@ -10,19 +10,24 @@ Behavioral contract mirrors the reference wrapper
   (or active block if ``return_partial_hessian``), frozen columns zeroed
 
 TPU-first differences:
-- the potential is a pure jittable function ``energy_fn(coords_ang[P,3]) -> eV``
-  over a padded system; forces are ``jax.grad``; the *analytic* Hessian is the
-  default (batched forward-over-reverse), with batched central-difference FD
-  as the alternative (eps = 1e-3 Ang like uma_pysis.py:601) — where the
-  reference loops 6*N_active serial force calls (uma_pysis.py:652-675), we
-  evaluate all displacements in ONE vmapped, mesh-sharded pass.
-- batched image evaluation (``energy_and_forces_batch``) for string/path
-  methods: vmap over the image axis, sharded across the device mesh.
+- the potential is a pure jittable function
+  ``energy_fn(coords_ang[P,3], system, params) -> eV`` over a padded system;
+  forces are ``jax.grad``; the *analytic* Hessian is the default (batched
+  forward-over-reverse), with batched central-difference FD as the
+  alternative (eps = 1e-3 Ang like uma_pysis.py:601) — where the reference
+  loops 6*N_active serial force calls (uma_pysis.py:652-675), we evaluate all
+  displacements in ONE vmapped, mesh-sharded pass.
+- ``params`` is a dynamic pytree (MLIP weights, bias-restraint targets, ...)
+  traced through jit, so e.g. scan drivers update restraint targets every
+  step with zero recompilation.
+- batched image evaluation (``get_forces_batch``) for string/path methods:
+  vmap over the image axis, sharded across the device mesh.
 """
 
 from __future__ import annotations
 
 import functools
+import inspect
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -53,14 +58,32 @@ CALC_KW: Dict[str, Any] = {
 }
 
 
+def _normalize_energy_fn(energy_fn: Callable) -> Callable:
+    """Accept both (coords, system) and (coords, system, params) signatures.
+
+    A function opts into dynamic params by naming its third positional
+    parameter ``params`` (or setting ``takes_params = True`` on itself).
+    """
+    if getattr(energy_fn, "takes_params", False):
+        return energy_fn
+    try:
+        names = list(inspect.signature(energy_fn).parameters)
+    except (TypeError, ValueError):
+        names = []
+    if len(names) >= 3 and names[2] == "params":
+        return energy_fn
+    return lambda coords, system, params: energy_fn(coords, system)
+
+
 class Calculator:
     """Freeze-aware, unit-converting calculator over a padded potential."""
 
     def __init__(
         self,
         structure: Structure,
-        energy_fn: Callable[[jnp.ndarray, PaddedSystem], jnp.ndarray],
+        energy_fn: Callable,
         *,
+        params: Any = None,
         freeze_atoms=None,
         hessian_calc_mode: str = "Analytical",
         return_partial_hessian: bool = False,
@@ -76,7 +99,8 @@ class Calculator:
         self.system = pad_to(structure, multiple=pad_multiple)
         self.n_atoms = structure.n_atoms
         self.n_pad = self.system.n_pad
-        self.energy_fn = energy_fn
+        self.energy_fn = _normalize_energy_fn(energy_fn)
+        self.params = params
         self.hessian_calc_mode = hessian_calc_mode or "FiniteDifference"
         self.return_partial_hessian = return_partial_hessian
         self.hessian_double = hessian_double
@@ -91,28 +115,24 @@ class Calculator:
         sys_ = self.system
         efn = self.energy_fn
 
-        def energy(coords_pad):
-            return efn(coords_pad, sys_)
+        def energy(coords_pad, params):
+            return efn(coords_pad, sys_, params)
 
-        def energy_force(coords_pad):
-            e, g = jax.value_and_grad(energy)(coords_pad)
+        def energy_force(coords_pad, params):
+            e, g = jax.value_and_grad(energy)(coords_pad, params)
             # zero forces on frozen + padding atoms (uma_pysis.py:700-706)
             f = -g * sys_.free_mask[:, None]
             return e, f
 
         self._energy_j = jax.jit(energy)
         self._eforce_j = jax.jit(energy_force)
-        self._eforce_batch_j = jax.jit(jax.vmap(energy_force))
+        self._eforce_batch_j = jax.jit(
+            jax.vmap(energy_force, in_axes=(0, None)))
+        self._hessian_j = jax.jit(jax.hessian(energy))
 
-        def hessian(coords_pad):
-            return jax.hessian(energy)(coords_pad)
-
-        self._hessian_j = jax.jit(hessian)
-
-        def fd_forces_batch(coords_batch):
-            # [B,P,3] -> [B,P,3] forces (unmasked; masking applied on columns)
+        def fd_forces_batch(coords_batch, params):
             def f(c):
-                return -jax.grad(energy)(c)
+                return -jax.grad(energy)(c, params)
             return jax.vmap(f)(coords_batch)
 
         self._fd_forces_batch_j = jax.jit(fd_forces_batch)
@@ -134,13 +154,13 @@ class Calculator:
     # -- public API (pysisyphus-style, Bohr/Hartree) ------------------------
     def get_energy(self, coords_bohr) -> Dict[str, Any]:
         c = self._to_pad_ang(coords_bohr)
-        e_ev = self._energy_j(c)
+        e_ev = self._energy_j(c, self.params)
         self.energy_calls += 1
         return {"energy": float(e_ev) * EV2AU}
 
     def get_forces(self, coords_bohr) -> Dict[str, Any]:
         c = self._to_pad_ang(coords_bohr)
-        e_ev, f_evA = self._eforce_j(c)
+        e_ev, f_evA = self._eforce_j(c, self.params)
         self.force_calls += 1
         f = np.asarray(f_evA, dtype=np.float64)[: self.n_atoms] * F_EVAA_2_AU
         return {"energy": float(e_ev) * EV2AU, "forces": f.reshape(-1)}
@@ -155,7 +175,7 @@ class Calculator:
         jb = jnp.asarray(batch)
         if self.mesh is not None:
             jb = shard_batch(jb, self.mesh)
-        e_ev, f_evA = self._eforce_batch_j(jb)
+        e_ev, f_evA = self._eforce_batch_j(jb, self.params)
         self.force_calls += B
         e = np.asarray(e_ev, dtype=np.float64) * EV2AU
         f = (np.asarray(f_evA, dtype=np.float64)[:, : self.n_atoms]
@@ -184,7 +204,7 @@ class Calculator:
 
     def _analytic_hessian(self, coords_bohr) -> np.ndarray:
         c = self._to_pad_ang(coords_bohr)
-        H = np.asarray(self._hessian_j(c), dtype=np.float64)
+        H = np.asarray(self._hessian_j(c, self.params), dtype=np.float64)
         H = H.reshape(self.n_pad * 3, self.n_pad * 3)
         n3 = self.n_atoms * 3
         idx = np.arange(self.n_pad * 3).reshape(self.n_pad, 3)[: self.n_atoms].reshape(-1)
@@ -203,8 +223,6 @@ class Calculator:
         B = dof_ids.size
         batch = np.tile(c0[None], (2 * B, 1, 1))
         flat = batch.reshape(2 * B, -1)
-        pad_dof = dof_ids + 0  # padded layout == real layout for first n_atoms
-        # map real-atom dof index -> padded flat index
         atom = dof_ids // 3
         comp = dof_ids % 3
         pad_flat = atom * 3 + comp
@@ -214,7 +232,7 @@ class Calculator:
         jb = jnp.asarray(batch)
         if self.mesh is not None:
             jb = shard_batch(jb, self.mesh)
-        f = np.asarray(self._fd_forces_batch_j(jb), dtype=np.float64)
+        f = np.asarray(self._fd_forces_batch_j(jb, self.params), dtype=np.float64)
         self.force_calls += 2 * B
         f = f[:, : self.n_atoms].reshape(2 * B, n3)
         fp, fm = f[:B], f[B:]
@@ -226,11 +244,7 @@ class Calculator:
 
     # -- Angstrom-side conveniences used by engines -------------------------
     def energy_ev(self, coords_ang_pad: jnp.ndarray) -> jnp.ndarray:
-        return self._energy_j(coords_ang_pad)
-
-    def jittable_energy_force(self):
-        """The raw (eV, eV/Ang padded) jitted function for engine fusion."""
-        return self._eforce_j
+        return self._energy_j(coords_ang_pad, self.params)
 
     def au_energy_force_fn(self):
         """Pure closure for jit engines: coords_bohr_pad [P,3] ->
@@ -239,14 +253,22 @@ class Calculator:
         This is the function optimizers call INSIDE their lax.while_loop —
         the whole optimization runs on device with no host round-trip per
         step (unlike the reference's per-cycle host<->GPU boundary,
-        SURVEY.md §3.2)."""
+        SURVEY.md §3.2). Captures ``self.params`` at closure-build time;
+        rebuild after changing params, or use ``au_energy_force_fn_p`` to
+        thread params explicitly."""
+        fn_p = self.au_energy_force_fn_p()
+        params = self.params
+        return lambda coords_bohr_pad: fn_p(coords_bohr_pad, params)
+
+    def au_energy_force_fn_p(self):
+        """Like ``au_energy_force_fn`` but with (coords, params) signature."""
         sys_ = self.system
         efn = self.energy_fn
 
-        def fn(coords_bohr_pad):
+        def fn(coords_bohr_pad, params):
             coords_ang = coords_bohr_pad * BOHR2ANG
             e_ev, g_ev = jax.value_and_grad(
-                lambda c: efn(c, sys_))(coords_ang)
+                lambda c: efn(c, sys_, params))(coords_ang)
             f_au = -g_ev * F_EVAA_2_AU * sys_.free_mask[:, None]
             return e_ev * EV2AU, f_au
 

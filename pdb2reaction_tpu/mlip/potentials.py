@@ -51,10 +51,10 @@ def morse(coords, system: PaddedSystem, De: float = 4.0, a: float = 2.0,
     pair = _pair_mask(system)
     d_safe = jnp.where(pair > 0, d, re + 50.0)
     x = jnp.exp(-a * (d_safe - re))
+    # pure Morse; the exponential tail is already short-ranged, and a hard
+    # cutoff would put force discontinuities in every optimizer test
     e = De * (x * x - 2.0 * x)
-    # only count pairs within a few re to keep it short-ranged
-    w = jnp.where(d_safe < 2.5 * re, 1.0, 0.0)
-    return 0.5 * jnp.sum(e * w * pair)
+    return 0.5 * jnp.sum(e * pair)
 
 
 def harmonic_wells(coords, system: PaddedSystem, centers, k: float = 5.0):
