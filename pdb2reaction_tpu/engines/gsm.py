@@ -1,0 +1,300 @@
+"""Growing String Method with image-parallel batched forces.
+
+Capability match: pysisyphus ``GrowingString`` + ``StringOptimizer`` as
+configured by the reference (/root/reference/pdb2reaction/path_opt.py:168-200,
+GS_KW/STOPT_KW): double-ended growth, equal-arc reparametrization, climbing
+image above ``climb_rms``, perpendicular-force growth criterion, frontier
+growth until ``max_nodes`` internal nodes exist, extra ``stop_in_when_full``
+cycles after the string is fully grown.
+
+TPU-first redesign (not a port):
+- The string lives as ONE padded array [M, P, 3] (M = max_nodes + 2) from
+  the start; "growing" flips entries of an image-active mask, so every jit
+  shape is static (SURVEY.md §7 hard part #2).
+- Every macro cycle evaluates ALL images in a single batched, mesh-sharded
+  force call — the reference walks images serially through one calculator
+  (path_opt.py:823, SURVEY.md §2.2). This is the headline speedup.
+- Upwinded tangents (Henkelman-Jonsson), perpendicular projection, scaled
+  steepest-descent step with global/per-image scaling, and arc-length
+  reparametrization are all vectorized over the image axis on device.
+- Lanczos HEI tangent refinement (climb_lanczos) is approximated by the
+  energy-upwinded tangent; a Rayleigh-quotient refinement is a later
+  optimization (documented deviation).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Reference option surface (path_opt.py:168-200)
+GS_KW: Dict[str, Any] = {
+    "fix_first": True,
+    "fix_last": True,
+    "max_nodes": 10,
+    "perp_thresh": 5e-3,
+    "reparam_every": 1,
+    "reparam_every_full": 1,
+    "param": "equi",
+    "max_micro_cycles": 10,
+    "climb": True,
+    "climb_rms": 5e-4,
+    "climb_lanczos": True,
+    "climb_lanczos_rms": 5e-4,
+    "climb_fixed": False,
+}
+
+STOPT_KW: Dict[str, Any] = {
+    "stop_in_when_full": 300,
+    "max_cycles": 300,
+    "scale_step": "global",
+    "print_every": 10,
+}
+
+
+class GsmResult(NamedTuple):
+    images: np.ndarray       # [M, P, 3] Bohr
+    energies: np.ndarray     # [M] Hartree
+    hei_idx: int
+    converged: bool
+    cycles: int
+    force_calls: int
+
+
+def select_hei_index(energies) -> int:
+    """Prefer internal local maxima (reference path_opt.py:263-278)."""
+    E = np.asarray(energies, dtype=float)
+    n = len(E)
+    if n >= 3:
+        cands = [i for i in range(1, n - 1)
+                 if E[i] > E[i - 1] and E[i] > E[i + 1]]
+        if cands:
+            return int(max(cands, key=lambda i: E[i]))
+        return 1 + int(np.argmax(E[1:-1]))
+    return int(np.argmax(E))
+
+
+def _interp_linear(x0, x1, M):
+    w = jnp.linspace(0.0, 1.0, M)[:, None, None]
+    return (1.0 - w) * x0[None] + w * x1[None]
+
+
+@jax.jit
+def _tangents(images, energies, img_mask):
+    """Upwinded tangents per image [M,P,3]; endpoints use one-sided."""
+    M = images.shape[0]
+    fwd = jnp.roll(images, -1, axis=0) - images          # x_{i+1} - x_i
+    bwd = images - jnp.roll(images, 1, axis=0)
+    e_next = jnp.roll(energies, -1)
+    e_prev = jnp.roll(energies, 1)
+    higher_fwd = (e_next > e_prev)[:, None, None]
+    tau = jnp.where(higher_fwd, fwd, bwd)
+    # endpoints: one-sided
+    tau = tau.at[0].set(fwd[0])
+    tau = tau.at[M - 1].set(bwd[M - 1])
+    norm = jnp.sqrt(jnp.sum(tau * tau, axis=(1, 2), keepdims=True) + 1e-30)
+    return tau / norm
+
+
+@jax.jit
+def _reparam_equal_arc(images, img_mask):
+    """Redistribute interior images at equal arc length along the string."""
+    M = images.shape[0]
+    seg = images[1:] - images[:-1]
+    seglen = jnp.sqrt(jnp.sum(seg * seg, axis=(1, 2)) + 1e-30)   # [M-1]
+    cum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seglen)])     # [M]
+    total = cum[-1]
+    targets = jnp.linspace(0.0, 1.0, M) * total
+    # find segment index for each target via searchsorted
+    seg_idx = jnp.clip(jnp.searchsorted(cum, targets, side="right") - 1,
+                       0, M - 2)
+    t0 = cum[seg_idx]
+    frac = (targets - t0) / jnp.maximum(seglen[seg_idx], 1e-30)
+    newpos = images[seg_idx] + frac[:, None, None] * seg[seg_idx]
+    newpos = newpos.at[0].set(images[0])
+    newpos = newpos.at[M - 1].set(images[M - 1])
+    return newpos
+
+
+def make_macro_step(eforce_batch_fn, free_mask, max_step: float,
+                    scale_step: str):
+    """One jitted macro cycle: batched forces -> projected step."""
+
+    fm = free_mask[None, :, None]
+
+    @jax.jit
+    def step_fn(images, img_mask, climb_on, hei_idx):
+        E, F = eforce_batch_fn(images)
+        F = F * fm
+        tau = _tangents(images, E, img_mask)
+        f_par = jnp.sum(F * tau, axis=(1, 2), keepdims=True) * tau
+        f_perp = F - f_par
+        M = images.shape[0]
+        # climbing image: invert parallel component on the HEI
+        climb_vec = f_perp - f_par  # NOTE: full climbing force F - 2(F.tau)tau
+        is_hei = (jnp.arange(M) == hei_idx)[:, None, None] & climb_on
+        f_eff = jnp.where(is_hei, climb_vec, f_perp)
+        # endpoints fixed
+        active = img_mask[:, None, None]
+        f_eff = f_eff * active
+        f_eff = f_eff.at[0].set(0.0).at[M - 1].set(0.0)
+        # steepest-descent step with scaling
+        if scale_step == "per_image":
+            mx = jnp.max(jnp.abs(f_eff), axis=(1, 2), keepdims=True)
+            scale = jnp.minimum(1.0, max_step / jnp.maximum(mx, 1e-30))
+        else:  # global
+            mx = jnp.max(jnp.abs(f_eff))
+            scale = jnp.minimum(1.0, max_step / jnp.maximum(mx, 1e-30))
+        step = f_eff * scale
+        new_images = images + step
+        # metrics
+        perp_rms = jnp.sqrt(
+            jnp.sum(f_perp * f_perp * active, axis=(1, 2))
+            / jnp.maximum(jnp.sum(jnp.ones_like(f_perp) * fm * active,
+                                  axis=(1, 2)), 1.0))
+        rms_all = jnp.sqrt(jnp.sum(f_perp * f_perp * active)
+                           / jnp.maximum(jnp.sum(jnp.ones_like(f_perp)
+                                                 * fm * active), 1.0))
+        # max |climbing force| on the HEI (full force with inverted parallel
+        # component): drives the climb-converged criterion
+        hei_fmax = jnp.max(jnp.abs(climb_vec[hei_idx] * fm[0]))
+        return new_images, E, perp_rms, rms_all, hei_fmax
+
+    return step_fn
+
+
+def gsm_mep(
+    eforce_batch_fn: Callable,     # [M,P,3] Bohr -> (E [M], F [M,P,3])
+    x0_bohr_pad: jnp.ndarray,      # [P,3] endpoint A
+    x1_bohr_pad: jnp.ndarray,      # [P,3] endpoint B
+    free_mask: jnp.ndarray,        # [P]
+    *,
+    max_nodes: int = 10,
+    perp_thresh: float = 5e-3,
+    max_cycles: int = 300,
+    stop_in_when_full: int = 300,
+    max_step: float = 0.1,         # Bohr, per-cycle displacement cap
+    scale_step: str = "global",
+    climb: bool = True,
+    climb_rms: float = 5e-4,
+    reparam_every: int = 1,
+    reparam_every_full: int = 1,
+    conv_perp_rms: float = 1.0e-3, # converged when overall perp RMS below
+    callback: Optional[Callable] = None,
+    print_every: int = 10,
+    **_ignored,
+) -> GsmResult:
+    M = max_nodes + 2
+    images = _interp_linear(jnp.asarray(x0_bohr_pad), jnp.asarray(x1_bohr_pad), M)
+    img_mask = jnp.ones(M)        # shape bookkeeping; growth via frontier below
+    step_fn = make_macro_step(eforce_batch_fn, jnp.asarray(free_mask),
+                              max_step, scale_step)
+
+    # Double-ended growth over the padded string: frontier counters select
+    # how many images near each end are optimized; images beyond the
+    # frontiers are re-interpolated between the frontier nodes each cycle.
+    n_left, n_right = 1, 1          # grown interior nodes per side
+    fully_grown = M - 2 <= (n_left + n_right - 0)  # handles tiny M
+    force_calls = 0
+    cycles_since_full = 0
+    conv = False
+    E = np.zeros(M)
+    cyc = 0
+
+    def grow_mask():
+        m = np.zeros(M)
+        m[: 1 + n_left] = 1.0
+        m[M - 1 - n_right:] = 1.0
+        return jnp.asarray(m)
+
+    def reinterp(images):
+        """Linear re-interpolation of ungrown interior between frontiers."""
+        li = n_left                  # left frontier image index
+        ri = M - 1 - n_right         # right frontier image index
+        if ri - li <= 1:
+            return images
+        imgs = np.asarray(images).copy()
+        for k in range(li + 1, ri):
+            w = (k - li) / (ri - li)
+            imgs[k] = (1 - w) * imgs[li] + w * imgs[ri]
+        return jnp.asarray(imgs)
+
+    images = reinterp(images)
+    hei_idx = M // 2
+    climb_on = False
+    stall = 0
+    max_micro_cycles = int(_ignored.get("max_micro_cycles", 10))
+
+    for cyc in range(1, max_cycles + 1):
+        gm = grow_mask()
+        images_new, E_j, perp_rms, rms_all, hei_fmax = step_fn(
+            images, gm, jnp.asarray(climb_on), jnp.asarray(hei_idx))
+        force_calls += M
+        E = np.asarray(E_j)
+        # only grown images move
+        images = jnp.where(gm[:, None, None] > 0, images_new, images)
+
+        fully_grown = (n_left + n_right) >= (M - 2)
+        if not fully_grown:
+            # grow a frontier once its perpendicular force has relaxed
+            # below perp_thresh (pysisyphus growth criterion)
+            pr = np.asarray(perp_rms)
+            grew = False
+            if pr[n_left] < perp_thresh and (n_left + n_right) < (M - 2):
+                n_left += 1
+                grew = True
+            if pr[M - 1 - n_right] < perp_thresh \
+                    and (n_left + n_right) < (M - 2):
+                n_right += 1
+                grew = True
+            # stall guard: force growth after max_micro_cycles without it
+            stall = 0 if grew else stall + 1
+            if not grew and stall >= max_micro_cycles \
+                    and (n_left + n_right) < (M - 2):
+                if n_left <= n_right:
+                    n_left += 1
+                else:
+                    n_right += 1
+                stall = 0
+            images = reinterp(images)
+        else:
+            cycles_since_full += 1
+
+        # reparametrize (the climbing image is excluded — reparametrization
+        # would drag it off the saddle every cycle)
+        every = reparam_every_full if fully_grown else reparam_every
+        if every and cyc % every == 0 and fully_grown:
+            if climb_on:
+                hei_pos = images[hei_idx]
+                images = _reparam_equal_arc(images, gm)
+                images = images.at[hei_idx].set(hei_pos)
+            else:
+                images = _reparam_equal_arc(images, gm)
+
+        # climbing image activation
+        hei_idx = select_hei_index(E)
+        if climb and fully_grown and float(rms_all) < climb_rms:
+            climb_on = True
+
+        if callback and cyc % print_every == 0:
+            callback(cyc, E, float(rms_all), n_left + n_right, climb_on)
+
+        climb_ok = (not climb) or (
+            climb_on and float(hei_fmax) < max(conv_perp_rms, climb_rms))
+        if fully_grown and float(rms_all) < conv_perp_rms and climb_ok:
+            conv = True
+            break
+        if fully_grown and cycles_since_full >= stop_in_when_full:
+            break
+
+    # final energies
+    E_j, _ = eforce_batch_fn(images)
+    force_calls += M
+    E = np.asarray(E_j)
+    return GsmResult(images=np.asarray(images), energies=E,
+                     hei_idx=select_hei_index(E), converged=conv,
+                     cycles=cyc, force_calls=force_calls)

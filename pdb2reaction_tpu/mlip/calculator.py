@@ -274,6 +274,23 @@ class Calculator:
 
         return fn
 
+    def au_energy_force_batch_fn(self):
+        """Batched closure: [B,P,3] Bohr -> (E [B] Ha, F [B,P,3] au).
+
+        One sharded pass over the mesh 'data' axis — the image-parallel
+        force evaluation GSM/NEB/DMF/FD-Hessian loops feed (the reference
+        evaluates string images serially, SURVEY.md §2.2 items 2-4)."""
+        fn_p = self.au_energy_force_fn_p()
+        params = self.params
+        batched = jax.vmap(lambda c: fn_p(c, params))
+        if self.mesh is not None:
+            mesh = self.mesh
+
+            def fn(coords_batch):
+                return batched(shard_batch(coords_batch, mesh))
+            return fn
+        return batched
+
     def pad_bohr(self, coords_bohr) -> jnp.ndarray:
         """Host helper: [N,3]/[3N] Bohr -> padded [P,3] Bohr."""
         c = np.asarray(coords_bohr, dtype=np.float64).reshape(-1, 3)

@@ -1,0 +1,94 @@
+"""High-level UMA-calculator factory — the ``uma_pysis``-equivalent entry.
+
+Reference behavior being matched (/root/reference/pdb2reaction/uma_pysis.py:425-780):
+construct from (charge, spin, model name, freeze_atoms, hessian mode) and
+expose get_energy/get_forces/get_hessian in Hartree/Bohr. The reference's
+``workers``/``workers_per_node`` Ray fan-out maps to the device mesh's
+"data" axis here (SURVEY.md §2.2 item 1).
+
+Weights resolve in order:
+1. an explicit ``checkpoint`` path (orbax),
+2. ``PDB2R_TPU_CKPT_DIR/<model>`` if present,
+3. deterministic seeded surrogate init (for tests/bench; documented openly —
+   fairchem checkpoint conversion is the convert.py roadmap).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..core.structure import Structure
+from .calculator import Calculator
+from .model import CONFIGS, make_model
+
+
+def load_checkpoint(path) -> Optional[dict]:
+    try:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(Path(path).resolve())
+    except Exception:
+        return None
+
+
+def save_checkpoint(path, params) -> None:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(Path(path).resolve(), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def make_uma_calculator(
+    structure: Structure,
+    *,
+    model: str = "uma-s-1p1",
+    charge: int = 0,
+    spin: int = 1,
+    freeze_atoms: Optional[Sequence[int]] = None,
+    checkpoint: Optional[str] = None,
+    seed: int = 0,
+    mesh=None,
+    hessian_calc_mode: str = "Analytical",
+    return_partial_hessian: bool = False,
+    hessian_double: bool = True,
+    fd_step: float = 1.0e-3,
+    max_neigh: Optional[int] = None,
+    radius: Optional[float] = None,
+    **_ignored,
+) -> Calculator:
+    cfg = CONFIGS[model]
+    if max_neigh or radius:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg,
+            max_neighbors=int(max_neigh) if max_neigh else cfg.max_neighbors,
+            cutoff=float(radius) if radius else cfg.cutoff,
+        )
+    fn, params, cfg = make_model(cfg, seed=seed, charge=charge, spin=spin)
+
+    ckpt_params = None
+    if checkpoint:
+        ckpt_params = load_checkpoint(checkpoint)
+    else:
+        root = os.environ.get("PDB2R_TPU_CKPT_DIR")
+        if root and (Path(root) / model).exists():
+            ckpt_params = load_checkpoint(Path(root) / model)
+    if ckpt_params is not None:
+        ckpt_params["charge"] = params["charge"]
+        ckpt_params["spin"] = params["spin"]
+        params = ckpt_params
+
+    return Calculator(
+        structure, fn, params=params,
+        freeze_atoms=freeze_atoms,
+        hessian_calc_mode=hessian_calc_mode,
+        return_partial_hessian=return_partial_hessian,
+        hessian_double=hessian_double,
+        fd_step=fd_step,
+        mesh=mesh,
+    )
