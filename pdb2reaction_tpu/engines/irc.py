@@ -1,0 +1,205 @@
+"""EulerPC intrinsic reaction coordinate integration.
+
+Capability match: the reference's IRC driver over pysisyphus ``EulerPC``
+(/root/reference/pdb2reaction/irc.py:119-146, IRC_KW_DEFAULT): mass-weighted
+predictor-corrector integration from a TS along the imaginary mode, Bofill
+Hessian updates, displ="energy" initial displacement (dE = 1e-3 Ha via the
+local quadratic), rms-gradient convergence at 1e-3, both branches.
+
+TPU-first design:
+- the predictor integrates the damped-Euler ODE dq/ds = -g/|g| on the local
+  quadratic model g(q) = g0 + H (q - q0) as a jitted ``lax.scan`` of
+  ``max_pred_steps`` model sub-steps on device (no force calls);
+- one real (batched-capable) force call per macro step; the corrector is a
+  single modified-midpoint pass on the refreshed model (the reference's
+  full mBS tableau is a later refinement — documented deviation);
+- Hessian refreshes ride the calculator's batched analytic path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .rfo import _bofill_update
+from .vib import frequencies_and_modes
+
+IRC_KW: Dict[str, Any] = {
+    "step_length": 0.10,         # sqrt(amu)*Bohr
+    "max_cycles": 125,
+    "downhill": False,
+    "forward": True,
+    "backward": True,
+    "root": 0,
+    "hessian_init": "calc",
+    "displ": "energy",
+    "displ_energy": 1.0e-3,      # Hartree
+    "displ_length": 0.10,
+    "rms_grad_thresh": 1.0e-3,
+    "energy_thresh": 1.0e-6,
+    "force_inflection": True,
+    "hessian_update": "bofill",
+    "hessian_recalc": None,
+    "max_pred_steps": 500,
+}
+
+
+class IrcBranch(NamedTuple):
+    coords: List[np.ndarray]     # list of [N,3] Bohr (excluding TS)
+    energies: List[float]
+    converged: bool
+
+
+class IrcResult(NamedTuple):
+    ts_coords: np.ndarray
+    ts_energy: float
+    forward: Optional[IrcBranch]
+    backward: Optional[IrcBranch]
+
+
+def _predictor_scan(max_pred_steps: int):
+    @jax.jit
+    def run(q0, g0, H, step_length):
+        h = step_length / max_pred_steps
+
+        def body(q, _):
+            g = g0 + H @ (q - q0)
+            gn = jnp.sqrt(jnp.sum(g * g))
+            dq = -g / jnp.maximum(gn, 1e-12) * h
+            return q + dq, None
+
+        qf, _ = jax.lax.scan(body, q0, None, length=max_pred_steps)
+        return qf
+    return run
+
+
+def eulerpc_irc(
+    calc,
+    x_ts_bohr_pad: jnp.ndarray,
+    *,
+    step_length: float = 0.10,
+    max_cycles: int = 125,
+    root: int = 0,
+    displ: str = "energy",
+    displ_energy: float = 1.0e-3,
+    displ_length: float = 0.10,
+    rms_grad_thresh: float = 1.0e-3,
+    energy_thresh: float = 1.0e-6,
+    forward: bool = True,
+    backward: bool = True,
+    downhill: bool = False,
+    hessian_recalc: Optional[int] = None,
+    max_pred_steps: int = 500,
+    callback: Optional[Callable] = None,
+    **_ignored,
+) -> IrcResult:
+    n = calc.n_atoms
+    P = calc.n_pad
+    eff = calc.au_energy_force_fn()
+    freeze = calc.structure.freeze
+    free_flat = np.repeat(np.asarray(calc.system.free_mask)[:n] > 0, 3)
+    masses = calc.structure.masses
+    sqm = np.sqrt(np.repeat(masses, 3))        # [3N], amu^(1/2)
+
+    def eforce(x3n):
+        pad = np.zeros((P, 3))
+        pad[:n] = x3n.reshape(n, 3)
+        e, f = eff(jnp.asarray(pad))
+        return float(e), np.asarray(f)[:n].reshape(-1)
+
+    x_ts = np.asarray(x_ts_bohr_pad)[:n].reshape(-1)
+    e_ts, _ = eforce(x_ts)
+
+    # TS Hessian -> imaginary mode (mass-weighted direction)
+    Hfull = calc.get_hessian(x_ts)["hessian"]
+    vib = frequencies_and_modes(Hfull, calc.structure.numbers,
+                                x_ts.reshape(n, 3), freeze)
+    if len(vib.freqs_cm) > 0:
+        k = int(np.argsort(vib.freqs_cm)[min(root, len(vib.freqs_cm) - 1)])
+        mode_mw = vib.modes_mw[k]               # [3N] mass-weighted
+    else:
+        # tiny active spaces: fall back to the unprojected free block
+        from .vib import free_block_modes
+        w, modes = free_block_modes(Hfull, calc.structure.numbers, freeze)
+        mode_mw = modes[min(root, modes.shape[0] - 1)]
+    mode_mw = mode_mw / max(np.linalg.norm(mode_mw), 1e-30)
+
+    # curvature along the mode in MW units (Ha/(Bohr^2 amu))
+    Hmw = Hfull / sqm[:, None] / sqm[None, :]
+    curv = float(mode_mw @ Hmw @ mode_mw)
+
+    if displ == "energy" and curv < 0:
+        dq = np.sqrt(max(2.0 * displ_energy / abs(curv), 1e-12))
+    else:
+        dq = displ_length
+
+    predictor = _predictor_scan(int(max_pred_steps))
+
+    def run_branch(sign: float) -> IrcBranch:
+        coords: List[np.ndarray] = []
+        energies: List[float] = []
+        # initial displacement in MW coords
+        q = x_ts * sqm + sign * dq * mode_mw
+        x = q / sqm
+        x[~free_flat] = x_ts[~free_flat]
+        e_prev = e_ts
+        H = Hfull.copy()
+        g_prev_mw = None
+        q_prev = None
+        conv = False
+        for cyc in range(1, max_cycles + 1):
+            e, f = eforce(x)
+            g = -f
+            g_mw = g / sqm
+            g_mw[~free_flat] = 0.0
+            rms_g = float(np.sqrt((g[free_flat] ** 2).mean())) \
+                if free_flat.any() else 0.0
+            coords.append(x.reshape(n, 3).copy())
+            energies.append(e)
+            if callback:
+                callback(sign, cyc, e, rms_g)
+            if rms_g < rms_grad_thresh and cyc > 1:
+                conv = True
+                break
+            if cyc > 2 and e > e_prev + energy_thresh:
+                # past a minimum (force inflection): stop
+                conv = True
+                break
+            # Bofill update of H (Cartesian) from real points
+            if q_prev is not None:
+                s = (x - x_prev)
+                y = (g - g_prev_cart)
+                if np.linalg.norm(s) > 1e-12:
+                    H = np.asarray(_bofill_update(jnp.asarray(H),
+                                                  jnp.asarray(s),
+                                                  jnp.asarray(y)))
+            # predictor on the MW quadratic model
+            q = x * sqm
+            Hmw_loc = H / sqm[:, None] / sqm[None, :]
+            qf = np.asarray(predictor(jnp.asarray(q), jnp.asarray(g_mw),
+                                      jnp.asarray(Hmw_loc),
+                                      jnp.asarray(step_length)))
+            # corrector: one modified-midpoint pass with the model refreshed
+            # at the predicted point
+            g_pred = g_mw + Hmw_loc @ (qf - q)
+            gn = np.linalg.norm(g_pred)
+            if gn > 1e-12:
+                qf = q + 0.5 * (qf - q) + 0.5 * (
+                    -g_pred / gn * step_length)
+            x_prev = x
+            g_prev_cart = g
+            q_prev = q
+            e_prev = e
+            x = qf / sqm
+            x[~free_flat] = x_prev[~free_flat]
+        return IrcBranch(coords=coords, energies=energies, converged=conv)
+
+    fwd = run_branch(+1.0) if (forward and not downhill) else None
+    bwd = run_branch(-1.0) if (backward and not downhill) else None
+    if downhill:
+        fwd = run_branch(+1.0)
+    return IrcResult(ts_coords=x_ts.reshape(n, 3), ts_energy=e_ts,
+                     forward=fwd, backward=bwd)

@@ -135,6 +135,25 @@ def frequencies_and_modes(
                      modes_cart=cart.reshape(-1, N, 3))
 
 
+def free_block_modes(H_au, numbers, freeze_idx):
+    """Unprojected mass-weighted free-block eigenpairs — the fallback when
+    the active space is too small for TR projection to leave any modes.
+
+    Returns (eigvals in Ha/Bohr^2/amu, modes_mw [k, 3N] embedded)."""
+    Z = np.asarray(numbers, dtype=int)
+    N = Z.size
+    masses = elements.masses_of(Z)
+    sqm = np.sqrt(np.repeat(masses, 3))
+    act = np.repeat(~np.isin(np.arange(N), list(freeze_idx or [])), 3)
+    H = np.asarray(H_au)
+    Hb = H[np.ix_(act, act)] if H.shape[0] == 3 * N else H
+    Hmw = Hb / sqm[act][:, None] / sqm[act][None, :]
+    w, V = np.linalg.eigh(Hmw)
+    modes = np.zeros((V.shape[1], 3 * N))
+    modes[:, act] = V.T
+    return w, modes
+
+
 def count_imaginary(freqs_cm: np.ndarray, thresh_cm: float = 5.0) -> int:
     """Number of imaginary modes below -thresh (tsopt.py neg_freq_thresh_cm)."""
     return int(np.sum(freqs_cm < -abs(thresh_cm)))

@@ -265,6 +265,7 @@ class Calculator:
         sys_ = self.system
         efn = self.energy_fn
 
+        @jax.jit
         def fn(coords_bohr_pad, params):
             coords_ang = coords_bohr_pad * BOHR2ANG
             e_ev, g_ev = jax.value_and_grad(
@@ -282,7 +283,7 @@ class Calculator:
         evaluates string images serially, SURVEY.md §2.2 items 2-4)."""
         fn_p = self.au_energy_force_fn_p()
         params = self.params
-        batched = jax.vmap(lambda c: fn_p(c, params))
+        batched = jax.jit(jax.vmap(lambda c: fn_p(c, params)))
         if self.mesh is not None:
             mesh = self.mesh
 
