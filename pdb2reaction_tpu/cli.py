@@ -1,0 +1,299 @@
+"""Command-line interface.
+
+Capability match: /root/reference/pdb2reaction/cli.py — a Click group whose
+DEFAULT subcommand is ``all`` (cli.py:5-41), registering the per-task
+drivers. Boolean flags take explicit True|False (README.md:35). Common
+options mirror the reference surface (-i, -q/--charge, -s/--spin,
+--freeze-atoms, --thresh, --args-yaml, --workers, ...) plus TPU-specific
+extras (--calc-mode exposes the analytic test potentials; --model picks
+the MLIP config).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import click
+
+from .workflows.config import (load_yaml_dict, apply_yaml_overrides,
+                               deep_update, pretty_block, parse_bool,
+                               normalize_choice)
+
+
+class DefaultGroup(click.Group):
+    """Click group that forwards unknown leading args to a default command
+    (reference cli.py:5-17 DefaultGroup behavior)."""
+
+    default_cmd = "all"
+
+    def resolve_command(self, ctx, args):
+        try:
+            return super().resolve_command(ctx, args)
+        except click.UsageError:
+            cmd = self.get_command(ctx, self.default_cmd)
+            if cmd is None:
+                raise
+            return self.default_cmd, cmd, args
+
+    def parse_args(self, ctx, args):
+        if args and args[0].startswith("-") and args[0] not in (
+                "-h", "--help", "--version"):
+            args = [self.default_cmd] + args
+        return super().parse_args(ctx, args)
+
+
+BOOL = click.Choice(["True", "False", "true", "false"],
+                    case_sensitive=False)
+
+
+def _bool_cb(ctx, param, value):
+    return None if value is None else parse_bool(value)
+
+
+def common_options(f):
+    opts = [
+        click.option("-q", "--charge", type=int, default=None,
+                     help="Total charge of the ML region."),
+        click.option("-s", "--spin", type=int, default=None,
+                     help="Spin multiplicity (2S+1)."),
+        click.option("--freeze-atoms", "freeze_atoms", default="",
+                     help="Comma-separated indices or 'RES SEQ NAME' specs."),
+        click.option("--auto-freeze-links", type=BOOL, default="True",
+                     callback=_bool_cb, help="Auto-freeze link-H parents."),
+        click.option("--calc-mode", default="uma",
+                     type=click.Choice(["uma", "morse", "lj"]),
+                     help="Potential backend (analytic modes for testing)."),
+        click.option("--model", default="uma-s-1p1",
+                     help="MLIP checkpoint/config name."),
+        click.option("--hessian-calc-mode", default="Analytical",
+                     type=click.Choice(["Analytical", "FiniteDifference"]),
+                     help="Hessian evaluation mode."),
+        click.option("--workers", type=int, default=1,
+                     help="Mesh data-axis size for batched force sharding."),
+        click.option("--args-yaml", type=click.Path(path_type=Path),
+                     default=None, help="YAML overriding any defaults."),
+        click.option("--out-dir", type=click.Path(path_type=Path),
+                     default=None, help="Output directory."),
+        click.option("--convert-files", type=BOOL, default="True",
+                     callback=_bool_cb,
+                     help="Mirror XYZ outputs as PDB/GJF."),
+    ]
+    for o in reversed(opts):
+        f = o(f)
+    return f
+
+
+def parse_freeze(spec: str) -> List:
+    if not spec:
+        return []
+    out: List = []
+    for tok in spec.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        out.append(int(tok) if tok.lstrip("+-").isdigit() else tok)
+    return out
+
+
+def make_mesh_or_none(workers: int):
+    if workers and workers > 1:
+        import jax
+        from .parallel.mesh import make_mesh
+        n = len(jax.devices())
+        return make_mesh(data=min(workers, n))
+    return None
+
+
+def yaml_overrides(args_yaml, cfg: Dict[str, Any],
+                   candidates) -> Dict[str, Any]:
+    if args_yaml:
+        y = load_yaml_dict(args_yaml)
+        apply_yaml_overrides(cfg, y, candidates)
+    return cfg
+
+
+@click.group(cls=DefaultGroup,
+             context_settings={"help_option_names": ["-h", "--help"]})
+@click.version_option("0.1.0", prog_name="pdb2reaction-tpu")
+def cli():
+    """pdb2reaction-tpu: TPU-native enzymatic reaction-path toolkit."""
+
+
+@cli.command("opt", help="Single-structure geometry optimization.")
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False))
+@click.option("--opt-mode", default="light",
+              help="light|lbfgs or heavy|rfo.")
+@click.option("--thresh", default="gau")
+@click.option("--max-cycles", type=int, default=10000)
+@click.option("--dist-freeze", default="",
+              help="Pairs i,j;k,l restrained at current distances.")
+@common_options
+def opt_cmd(input_path, opt_mode, thresh, max_cycles, dist_freeze, **kw):
+    from .workflows.opt import run_opt
+    cfg = dict(opt_mode=normalize_choice(opt_mode), thresh=thresh,
+               max_cycles=max_cycles)
+    yaml_overrides(kw.pop("args_yaml"), cfg, [("opt",), ("lbfgs",), ("rfo",)])
+    df = _parse_pairs(dist_freeze)
+    res = run_opt(
+        input_path, charge=kw["charge"], spin=kw["spin"],
+        freeze_atoms=parse_freeze(kw["freeze_atoms"]),
+        auto_freeze_links=kw["auto_freeze_links"],
+        calc_mode=kw["calc_mode"], model=kw["model"],
+        hessian_calc_mode=kw["hessian_calc_mode"],
+        dist_freeze=df or None,
+        out_dir=kw["out_dir"] or "./result_opt/",
+        mesh=make_mesh_or_none(kw["workers"]),
+        convert_files=kw["convert_files"], **cfg)
+    sys.exit(0 if res["converged"] else 3)
+
+
+def _parse_pairs(spec: str) -> List[Tuple[Any, Any]]:
+    out = []
+    for grp in (spec or "").split(";"):
+        grp = grp.strip()
+        if not grp:
+            continue
+        toks = [t.strip() for t in grp.split(",")]
+        a = int(toks[0]) if toks[0].lstrip("+-").isdigit() else toks[0]
+        b = int(toks[1]) if toks[1].lstrip("+-").isdigit() else toks[1]
+        out.append((a, b))
+    return out
+
+
+def _parse_scan_stages(specs: Tuple[str, ...]) -> List[List[Tuple]]:
+    """Each spec is 'i,j,target[;k,l,target...]' — one stage per option."""
+    stages = []
+    for spec in specs:
+        stage = []
+        for grp in spec.split(";"):
+            grp = grp.strip()
+            if not grp:
+                continue
+            toks = [t.strip() for t in grp.split(",")]
+            i = int(toks[0]) if toks[0].lstrip("+-").isdigit() else toks[0]
+            j = int(toks[1]) if toks[1].lstrip("+-").isdigit() else toks[1]
+            stage.append((i, j, float(toks[2])))
+        if stage:
+            stages.append(stage)
+    return stages
+
+
+@cli.command("scan", help="Staged 1-D relaxed bond scan.")
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False))
+@click.option("--scan-list", "scan_lists", multiple=True, required=True,
+              help="Stage spec 'i,j,target[;k,l,target]' (repeatable).")
+@click.option("--step", "step_ang", type=float, default=0.10)
+@click.option("--bias-k", type=float, default=10.0)
+@click.option("--preopt", type=BOOL, default="False", callback=_bool_cb)
+@click.option("--endopt", type=BOOL, default="False", callback=_bool_cb)
+@common_options
+def scan_cmd(input_path, scan_lists, step_ang, bias_k, preopt, endopt, **kw):
+    from .workflows.scan import run_scan
+    stages = _parse_scan_stages(scan_lists)
+    cfg: Dict[str, Any] = dict(step_ang=step_ang, bias_k=bias_k,
+                               preopt=preopt, endopt=endopt)
+    yaml_overrides(kw.pop("args_yaml"), cfg, [("scan",), ("bias",)])
+    run_scan(input_path, stages, charge=kw["charge"], spin=kw["spin"],
+             freeze_atoms=parse_freeze(kw["freeze_atoms"]),
+             auto_freeze_links=kw["auto_freeze_links"],
+             calc_mode=kw["calc_mode"], model=kw["model"],
+             out_dir=kw["out_dir"] or "./result_scan/",
+             mesh=make_mesh_or_none(kw["workers"]), **cfg)
+
+
+@cli.command("path-opt", help="Two-endpoint MEP search (GSM or DMF).")
+@click.option("-i", "--input", "input_paths", multiple=True, required=True,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False))
+@click.option("--mep-mode", default="gsm", type=click.Choice(["gsm", "dmf"]))
+@click.option("--max-nodes", type=int, default=10)
+@click.option("--preopt", type=BOOL, default="True", callback=_bool_cb)
+@click.option("--align", type=BOOL, default="True", callback=_bool_cb)
+@common_options
+def path_opt_cmd(input_paths, mep_mode, max_nodes, preopt, align, **kw):
+    from .workflows.path_opt import run_path_opt
+    cfg: Dict[str, Any] = dict(mep_mode=mep_mode, preopt=preopt, align=align,
+                               gs_kw={"max_nodes": max_nodes})
+    yaml_overrides(kw.pop("args_yaml"), cfg, [("gs",), ("sopt",), ("dmf",)])
+    run_path_opt(list(input_paths), charge=kw["charge"], spin=kw["spin"],
+                 freeze_atoms=parse_freeze(kw["freeze_atoms"]),
+                 auto_freeze_links=kw["auto_freeze_links"],
+                 calc_mode=kw["calc_mode"], model=kw["model"],
+                 out_dir=kw["out_dir"] or "./result_path_opt/",
+                 mesh=make_mesh_or_none(kw["workers"]), **cfg)
+
+
+@cli.command("tsopt", help="Transition-state optimization (Dimer/RS-I-RFO).")
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False))
+@click.option("--opt-mode", default="light", help="light|dimer or heavy|rsirfo.")
+@click.option("--thresh", default="baker")
+@click.option("--max-cycles", type=int, default=10000)
+@common_options
+def tsopt_cmd(input_path, opt_mode, thresh, max_cycles, **kw):
+    from .workflows.tsopt import run_tsopt
+    cfg: Dict[str, Any] = dict(opt_mode=opt_mode, thresh=thresh,
+                               max_cycles=max_cycles)
+    yaml_overrides(kw.pop("args_yaml"), cfg,
+                   [("tsopt",), ("hessian_dimer",), ("rsirfo",)])
+    res = run_tsopt(input_path, charge=kw["charge"], spin=kw["spin"],
+                    freeze_atoms=parse_freeze(kw["freeze_atoms"]),
+                    auto_freeze_links=kw["auto_freeze_links"],
+                    calc_mode=kw["calc_mode"], model=kw["model"],
+                    out_dir=kw["out_dir"] or "./result_tsopt/",
+                    mesh=make_mesh_or_none(kw["workers"]), **cfg)
+    sys.exit(0 if res["converged"] else 3)
+
+
+@cli.command("freq", help="Vibrational analysis + thermochemistry.")
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False))
+@click.option("-T", "--temperature", type=float, default=298.15)
+@click.option("--pressure", type=float, default=101325.0)
+@click.option("--max-write-modes", type=int, default=10)
+@common_options
+def freq_cmd(input_path, temperature, pressure, max_write_modes, **kw):
+    from .workflows.freq import run_freq
+    cfg: Dict[str, Any] = dict(temperature=temperature, pressure=pressure,
+                               max_write_modes=max_write_modes)
+    yaml_overrides(kw.pop("args_yaml"), cfg, [("freq",)])
+    run_freq(input_path, charge=kw["charge"], spin=kw["spin"],
+             freeze_atoms=parse_freeze(kw["freeze_atoms"]),
+             auto_freeze_links=kw["auto_freeze_links"],
+             calc_mode=kw["calc_mode"], model=kw["model"],
+             hessian_calc_mode=kw["hessian_calc_mode"],
+             out_dir=kw["out_dir"] or "./result_freq/",
+             mesh=make_mesh_or_none(kw["workers"]), **cfg)
+
+
+@cli.command("irc", help="Intrinsic reaction coordinate (EulerPC).")
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False))
+@click.option("--step-length", type=float, default=0.10)
+@click.option("--max-cycles", type=int, default=125)
+@click.option("--forward", type=BOOL, default="True", callback=_bool_cb)
+@click.option("--backward", type=BOOL, default="True", callback=_bool_cb)
+@common_options
+def irc_cmd(input_path, step_length, max_cycles, forward, backward, **kw):
+    from .workflows.irc import run_irc
+    cfg: Dict[str, Any] = dict(step_length=step_length,
+                               max_cycles=max_cycles, forward=forward,
+                               backward=backward)
+    yaml_overrides(kw.pop("args_yaml"), cfg, [("irc",)])
+    run_irc(input_path, charge=kw["charge"], spin=kw["spin"],
+            freeze_atoms=parse_freeze(kw["freeze_atoms"]),
+            auto_freeze_links=kw["auto_freeze_links"],
+            calc_mode=kw["calc_mode"], model=kw["model"],
+            out_dir=kw["out_dir"] or "./result_irc/",
+            mesh=make_mesh_or_none(kw["workers"]), **cfg)
+
+
+def main():
+    cli()
+
+
+if __name__ == "__main__":
+    main()

@@ -187,11 +187,16 @@ def make_lbfgs_step(energy_force_fn, free_mask_flat, th: Thresholds,
     return body
 
 
+_NO_PARAMS = object()
+_RUN_CACHE: dict = {}
+
+
 def lbfgs_minimize(
     energy_force_fn: Callable,        # [P,3] Bohr -> (E Ha, F [P,3])
     x0_bohr_pad: jnp.ndarray,         # [P,3]
     free_mask: jnp.ndarray,           # [P]
     *,
+    params: Any = _NO_PARAMS,         # when set, fn is (coords, params)
     thresh: str = "gau",
     max_cycles: int = 10000,
     keep_last: int = 7,
@@ -205,20 +210,50 @@ def lbfgs_minimize(
 ) -> OptResult:
     """Minimize. ``callback(cycle, e, f)`` fires every ``chunk`` cycles when
     chunk > 0 (host logging); otherwise the whole run is one device program.
+
+    Pass a stable ``energy_force_fn`` (e.g. ``Calculator.au_energy_force_fn_p``)
+    plus ``params`` to reuse the compiled loop across calls — scan drivers
+    retarget restraints hundreds of times with ONE compilation.
     """
     th = get_thresholds(thresh)
     P3 = x0_bohr_pad.size
     mask_flat = jnp.repeat(free_mask, 3)
+    use_params = params is not _NO_PARAMS
 
-    def eff_flat(x_flat):
-        e, f = energy_force_fn(x_flat.reshape(-1, 3))
-        return e, f.reshape(-1)
+    key = (energy_force_fn, P3, thresh, keep_last, float(max_step),
+           float(beta), bool(gamma_mult), bool(line_search), use_params)
+    runner = _RUN_CACHE.get(key)
+    if runner is None:
+        def make_eff(p):
+            def eff_flat(x_flat):
+                if use_params:
+                    e, f = energy_force_fn(x_flat.reshape(-1, 3), p)
+                else:
+                    e, f = energy_force_fn(x_flat.reshape(-1, 3))
+                return e, f.reshape(-1)
+            return eff_flat
 
-    body = make_lbfgs_step(eff_flat, mask_flat, th, keep_last, max_step,
-                           beta, gamma_mult, line_search, x0_bohr_pad.shape)
+        @jax.jit
+        def run(st, n_max, p):
+            body = make_lbfgs_step(make_eff(p), mask_flat, th, keep_last,
+                                   max_step, beta, gamma_mult, line_search,
+                                   None)
 
+            def cond(s):
+                return (~s.done) & (s.cycle < n_max)
+            return jax.lax.while_loop(cond, body, st)
+
+        @jax.jit
+        def first(x0f, p):
+            return make_eff(p)(x0f)
+
+        runner = (run, first)
+        _RUN_CACHE[key] = runner
+    run, first = runner
+
+    p_arg = params if use_params else None
     x0f = x0_bohr_pad.reshape(-1)
-    e0, f0 = eff_flat(x0f)
+    e0, f0 = first(x0f, p_arg)
     init = LBFGSState(
         x=x0f, e=e0, f=f0,
         s_hist=jnp.zeros((keep_last, P3)), y_hist=jnp.zeros((keep_last, P3)),
@@ -227,19 +262,13 @@ def lbfgs_minimize(
         last_step=jnp.zeros(P3), dE=jnp.array(0.0), gamma=jnp.array(1.0),
     )
 
-    @jax.jit
-    def run(st, n_max):
-        def cond(s):
-            return (~s.done) & (s.cycle < n_max)
-        return jax.lax.while_loop(cond, body, st)
-
     if chunk and callback is not None:
         st = init
         while (not bool(st.done)) and int(st.cycle) < max_cycles:
-            st = run(st, jnp.minimum(st.cycle + chunk, max_cycles))
+            st = run(st, jnp.minimum(st.cycle + chunk, max_cycles), p_arg)
             callback(int(st.cycle), float(st.e), np.asarray(st.f))
     else:
-        st = run(init, jnp.array(max_cycles))
+        st = run(init, jnp.array(max_cycles), p_arg)
 
     return OptResult(x=st.x.reshape(-1, 3), e=st.e, f=st.f.reshape(-1, 3),
                      cycles=st.cycle, converged=st.done)

@@ -48,7 +48,12 @@ class ThermoResult:
     n_imag: int
 
     def as_dict(self) -> Dict:
-        return asdict(self)
+        out = {}
+        for k, v in asdict(self).items():
+            out[k] = (int(v) if isinstance(v, (int, np.integer))
+                      else float(v) if isinstance(v, (float, np.floating))
+                      else v)
+        return out
 
 
 def _rotational_entropy_energy(coords_ang, masses_amu, T, sigma=1):

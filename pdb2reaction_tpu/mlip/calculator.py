@@ -137,6 +137,23 @@ class Calculator:
 
         self._fd_forces_batch_j = jax.jit(fd_forces_batch)
 
+        # stable-identity au-unit closures (engines key compile caches on
+        # these, so they must be built once per calculator)
+        from ..constants import BOHR2ANG as _B2A, EV2AU as _EV2AU, \
+            F_EVAA_2_AU as _F2AU
+
+        @jax.jit
+        def au_eforce_p(coords_bohr_pad, params):
+            coords_ang = coords_bohr_pad * _B2A
+            e_ev, g_ev = jax.value_and_grad(
+                lambda c: efn(c, sys_, params))(coords_ang)
+            f_au = -g_ev * _F2AU * sys_.free_mask[:, None]
+            return e_ev * _EV2AU, f_au
+
+        self._au_eforce_p = au_eforce_p
+        self._au_eforce_batch_p = jax.jit(
+            jax.vmap(au_eforce_p, in_axes=(0, None)))
+
     # -- helpers ------------------------------------------------------------
     def _to_pad_ang(self, coords_bohr) -> jnp.ndarray:
         c = np.asarray(coords_bohr, dtype=np.float64).reshape(-1, 3) * BOHR2ANG
@@ -261,19 +278,9 @@ class Calculator:
         return lambda coords_bohr_pad: fn_p(coords_bohr_pad, params)
 
     def au_energy_force_fn_p(self):
-        """Like ``au_energy_force_fn`` but with (coords, params) signature."""
-        sys_ = self.system
-        efn = self.energy_fn
-
-        @jax.jit
-        def fn(coords_bohr_pad, params):
-            coords_ang = coords_bohr_pad * BOHR2ANG
-            e_ev, g_ev = jax.value_and_grad(
-                lambda c: efn(c, sys_, params))(coords_ang)
-            f_au = -g_ev * F_EVAA_2_AU * sys_.free_mask[:, None]
-            return e_ev * EV2AU, f_au
-
-        return fn
+        """Like ``au_energy_force_fn`` but with (coords, params) signature.
+        Stable identity per calculator — safe as a compile-cache key."""
+        return self._au_eforce_p
 
     def au_energy_force_batch_fn(self):
         """Batched closure: [B,P,3] Bohr -> (E [B] Ha, F [B,P,3] au).
@@ -281,16 +288,15 @@ class Calculator:
         One sharded pass over the mesh 'data' axis — the image-parallel
         force evaluation GSM/NEB/DMF/FD-Hessian loops feed (the reference
         evaluates string images serially, SURVEY.md §2.2 items 2-4)."""
-        fn_p = self.au_energy_force_fn_p()
+        batched_p = self._au_eforce_batch_p
         params = self.params
-        batched = jax.jit(jax.vmap(lambda c: fn_p(c, params)))
         if self.mesh is not None:
             mesh = self.mesh
 
             def fn(coords_batch):
-                return batched(shard_batch(coords_batch, mesh))
+                return batched_p(shard_batch(coords_batch, mesh), params)
             return fn
-        return batched
+        return lambda coords_batch: batched_p(coords_batch, params)
 
     def pad_bohr(self, coords_bohr) -> jnp.ndarray:
         """Host helper: [N,3]/[3N] Bohr -> padded [P,3] Bohr."""

@@ -1,0 +1,223 @@
+"""Shared workflow plumbing: input prep, freeze links, calculators, outputs.
+
+Capability match (by reference behavior):
+- input preparation for .pdb/.xyz/.trj/.gjf with charge/spin resolution
+  (utils.py:745-888, ``prepare_input_structure`` /
+  ``resolve_charge_spin_or_raise``)
+- link-H parent auto-freeze from LKH/HL records (utils.py:995-1222,
+  ``detect_freeze_links``): for each HL atom, the nearest non-LKH atom is
+  frozen; merged into every driver's freeze list (e.g. opt.py:668-676)
+- atom selector strings like 'TYR 285 CA' resolved against PDB metadata
+  (utils.py:1057-1159)
+- output mirroring: every XYZ/TRJ product gets a PDB companion when the
+  input was a PDB, behind a global toggle (utils.py:891-989)
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+
+# Optimizer math runs in float64 (unit conversions, thresholds at 1e-6
+# Ha/Bohr demand it); the MLIP stays float32/bfloat16 internally via
+# explicit casts, so the TPU hot path is unaffected.
+jax.config.update("jax_enable_x64", True)
+
+# Honor JAX_PLATFORMS even when a site plugin (axon) force-registered a
+# platform list before we were imported.
+_env_platforms = os.environ.get("JAX_PLATFORMS")
+if _env_platforms and jax.config.jax_platforms != _env_platforms:
+    try:
+        jax.config.update("jax_platforms", _env_platforms)
+    except Exception:
+        pass
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..core.structure import Structure
+from ..core import io_pdb, io_xyz
+from ..bio.residues import LINK_H_NAME, LINK_H_RESNAME
+from ..mlip.calculator import Calculator
+from ..mlip import potentials
+from ..mlip.uma import make_uma_calculator
+
+_CONVERT_ENABLED = True
+
+
+def set_convert_enabled(flag: bool) -> None:
+    global _CONVERT_ENABLED
+    _CONVERT_ENABLED = bool(flag)
+
+
+def convert_enabled() -> bool:
+    return _CONVERT_ENABLED
+
+
+def load_structure(path) -> Structure:
+    p = Path(path)
+    suf = p.suffix.lower()
+    if suf == ".pdb":
+        return io_pdb.read_pdb(p)
+    if suf in (".xyz", ".trj"):
+        return io_xyz.read_xyz(p)
+    if suf == ".gjf" or suf == ".com":
+        from ..core.io_gjf import read_gjf
+        return read_gjf(p)
+    raise ValueError(f"Unsupported structure format: {p}")
+
+
+def detect_freeze_links(pdb_path) -> List[int]:
+    """Indices (0-based, into the non-LKH atom sequence) of the parent atom
+    of every HL link hydrogen (reference utils.py:1186-1210)."""
+    atoms = io_pdb.parse_pdb_atoms(pdb_path)
+    others, lkhs = [], []
+    for a in atoms:
+        if a["resname"] == LINK_H_RESNAME and a["name"] == LINK_H_NAME:
+            lkhs.append(a)
+        else:
+            others.append(a)
+    if not lkhs:
+        return []
+    oxyz = np.array([[a["x"], a["y"], a["z"]] for a in others]) \
+        if others else np.zeros((0, 3))
+    out = []
+    for h in lkhs:
+        if len(others) == 0:
+            out.append(-1)
+            continue
+        d2 = ((oxyz - np.array([h["x"], h["y"], h["z"]])) ** 2).sum(1)
+        out.append(int(np.argmin(d2)))
+    return out
+
+
+def merge_freeze(struct: Structure, extra: Sequence[int],
+                 auto_freeze_links: bool = True) -> List[int]:
+    """Union of explicit freeze indices and detected link parents."""
+    freeze = set(int(i) for i in extra)
+    if auto_freeze_links and struct.source_path \
+            and str(struct.source_path).lower().endswith(".pdb"):
+        freeze.update(i for i in detect_freeze_links(struct.source_path)
+                      if i >= 0)
+    return sorted(freeze)
+
+
+def resolve_atom_spec(spec: Union[int, str], struct: Structure) -> int:
+    """Resolve an atom selector: integer index or 'RESNAME RESSEQ ATOMNAME'
+    string like 'TYR 285 CA' (utils.py:1057-1159)."""
+    if isinstance(spec, (int, np.integer)):
+        return int(spec)
+    s = str(spec).strip()
+    if s.lstrip("+-").isdigit():
+        return int(s)
+    parts = s.split()
+    if len(parts) != 3 or struct.pdb_atoms is None:
+        raise ValueError(f"Cannot resolve atom spec {spec!r} "
+                         "(need 'RESNAME RESSEQ NAME' and PDB input)")
+    resname, resseq, name = parts[0].upper(), int(parts[1]), parts[2].upper()
+    hits = [i for i, a in enumerate(struct.pdb_atoms)
+            if a["resname"].upper() == resname and a["resseq"] == resseq
+            and a["name"].upper() == name]
+    if len(hits) != 1:
+        raise ValueError(f"Atom spec {spec!r} matched {len(hits)} atoms")
+    return hits[0]
+
+
+def resolve_charge_spin(struct: Structure, charge: Optional[int],
+                        spin: Optional[int]) -> Tuple[int, int]:
+    """CLI charge/spin win; else .gjf template values; else raise for charge
+    (reference requires explicit charge, utils.py:809-888) with spin
+    defaulting to 1."""
+    q = charge
+    s = spin
+    if q is None and getattr(struct, "gjf_charge", None) is not None:
+        q = struct.gjf_charge
+    if s is None and getattr(struct, "gjf_spin", None) is not None:
+        s = struct.gjf_spin
+    if q is None:
+        raise ValueError("Charge (-q/--charge) is required for this input")
+    return int(q), int(s if s is not None else 1)
+
+
+def make_calculator(struct: Structure, *, calc_mode: str = "uma",
+                    charge: int = 0, spin: int = 1,
+                    freeze_atoms: Sequence[int] = (),
+                    model: str = "uma-s-1p1",
+                    mesh=None, **calc_kw) -> Calculator:
+    """Calculator factory. ``calc_mode`` selects the UMA-class MLIP or an
+    analytic test potential (morse/lj) — the latter run every workflow
+    end-to-end without pretrained weights (SURVEY.md §4(d) fake-calculator
+    strategy the reference lacks)."""
+    mode = (calc_mode or "uma").lower()
+    if mode == "uma":
+        return make_uma_calculator(struct, model=model, charge=charge,
+                                   spin=spin, freeze_atoms=freeze_atoms,
+                                   mesh=mesh, **calc_kw)
+    if mode == "morse":
+        return Calculator(struct, potentials.make_morse(),
+                          freeze_atoms=freeze_atoms, mesh=mesh,
+                          **{k: v for k, v in calc_kw.items()
+                             if k in ("hessian_calc_mode", "fd_step",
+                                      "return_partial_hessian",
+                                      "hessian_double", "pad_multiple")})
+    if mode == "lj":
+        return Calculator(struct, potentials.make_lj(),
+                          freeze_atoms=freeze_atoms, mesh=mesh,
+                          **{k: v for k, v in calc_kw.items()
+                             if k in ("hessian_calc_mode", "fd_step",
+                                      "return_partial_hessian",
+                                      "hessian_double", "pad_multiple")})
+    raise ValueError(f"Unknown calc mode {calc_mode!r}")
+
+
+def write_outputs(out_dir: Path, name: str, struct: Structure,
+                  coords_bohr: np.ndarray, energy: Optional[float] = None,
+                  source_pdb: Optional[Path] = None) -> List[Path]:
+    """Write final_geometry.xyz (+ .pdb companion if input was PDB and
+    conversion enabled) — utils.py:891-989 mirroring behavior."""
+    from ..constants import BOHR2ANG
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    coords_ang = np.asarray(coords_bohr).reshape(-1, 3) * BOHR2ANG
+    st = struct.copy(coords=coords_ang)
+    paths = []
+    xyz = out_dir / f"{name}.xyz"
+    io_xyz.write_xyz(xyz, st, energy=energy)
+    paths.append(xyz)
+    src = source_pdb or struct.source_path
+    if convert_enabled() and src and str(src).lower().endswith(".pdb"):
+        pdb = out_dir / f"{name}.pdb"
+        try:
+            io_pdb.overlay_coords_on_template(src, coords_ang, pdb)
+            paths.append(pdb)
+        except Exception as e:
+            print(f"[convert] WARNING: PDB conversion failed: {e}")
+    return paths
+
+
+def write_trajectory(out_dir: Path, name: str, struct: Structure,
+                     frames_bohr: Sequence[np.ndarray],
+                     energies: Optional[Sequence[float]] = None,
+                     source_pdb: Optional[Path] = None) -> List[Path]:
+    from ..constants import BOHR2ANG
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    frames = [struct.copy(coords=np.asarray(c).reshape(-1, 3) * BOHR2ANG)
+              for c in frames_bohr]
+    trj = out_dir / f"{name}.trj"
+    io_xyz.write_trj(trj, frames, energies=energies)
+    paths = [trj]
+    src = source_pdb or struct.source_path
+    if convert_enabled() and src and str(src).lower().endswith(".pdb"):
+        pdb = out_dir / f"{name}.pdb"
+        try:
+            io_pdb.write_pdb_frames(
+                pdb, load_structure(src),
+                [np.asarray(c).reshape(-1, 3) * BOHR2ANG for c in frames_bohr],
+                energies=energies)
+            paths.append(pdb)
+        except Exception as e:
+            print(f"[convert] WARNING: PDB trajectory conversion failed: {e}")
+    return paths

@@ -1,0 +1,92 @@
+"""Vibrational analysis + thermochemistry driver (`freq` subcommand).
+
+Capability match: /root/reference/pdb2reaction/freq.py — Hessian (analytic
+default here; batched FD alternative), PHVA with freeze links, frequency
+table ``frequencies_cm-1.txt``, mode animations, and a Gaussian-style
+QRRHO thermochemistry block -> ``thermoanalysis.yaml`` (freq.py:758-859).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+import yaml
+
+from ..constants import BOHR2ANG
+from ..engines.vib import frequencies_and_modes, mode_animation_frames
+from ..engines.thermo import thermochemistry
+from ..core import io_xyz
+from . import common
+from .config import format_elapsed
+
+
+def run_freq(
+    input_path,
+    *,
+    charge: Optional[int] = None,
+    spin: Optional[int] = None,
+    freeze_atoms: Sequence = (),
+    auto_freeze_links: bool = True,
+    calc_mode: str = "uma",
+    model: str = "uma-s-1p1",
+    hessian_calc_mode: str = "Analytical",
+    temperature: float = 298.15,
+    pressure: float = 101325.0,
+    max_write_modes: int = 10,
+    amplitude_ang: float = 0.3,
+    out_dir="./result_freq/",
+    mesh=None,
+    verbose: bool = True,
+    **calc_kw,
+) -> Dict[str, Any]:
+    t0 = time.time()
+    struct = common.load_structure(input_path)
+    q, s = common.resolve_charge_spin(struct, charge, spin)
+    freeze = common.merge_freeze(struct, [common.resolve_atom_spec(f, struct)
+                                          for f in freeze_atoms],
+                                 auto_freeze_links)
+    struct.freeze = freeze
+    calc = common.make_calculator(struct, calc_mode=calc_mode, charge=q,
+                                  spin=s, freeze_atoms=freeze, model=model,
+                                  hessian_calc_mode=hessian_calc_mode,
+                                  mesh=mesh, **calc_kw)
+    x = struct.coords_bohr.reshape(-1)
+    res = calc.get_hessian(x)
+    H = res["hessian"]
+    e0 = res["energy"]
+    vib = frequencies_and_modes(H, struct.numbers, struct.coords_bohr,
+                                freeze_idx=freeze)
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    freq_txt = out / "frequencies_cm-1.txt"
+    freq_txt.write_text("\n".join(f"{f:12.4f}" for f in vib.freqs_cm) + "\n")
+
+    # mode animations for the lowest |n| modes (freq.py:742-757)
+    order = np.argsort(vib.freqs_cm)
+    wrote = []
+    for rank, k in enumerate(order[:max_write_modes]):
+        frames = mode_animation_frames(struct.coords, vib.modes_cart[k],
+                                       amplitude_ang)
+        trj = out / f"mode_{rank:03d}_{vib.freqs_cm[k]:.1f}cm-1.trj"
+        io_xyz.write_trj(trj, [struct.copy(coords=f) for f in frames])
+        wrote.append(trj)
+
+    th = thermochemistry(vib.freqs_cm, struct.numbers, struct.coords,
+                         electronic_energy=e0, T=temperature,
+                         pressure=pressure, multiplicity=s)
+    (out / "thermoanalysis.yaml").write_text(
+        yaml.safe_dump(th.as_dict(), sort_keys=False))
+
+    if verbose:
+        n_imag = int((vib.freqs_cm < 0).sum())
+        print(f"[freq] {len(vib.freqs_cm)} modes, {n_imag} imaginary; "
+              f"ZPE = {th.zpe:.6f} Ha, G = {th.gibbs:.8f} Ha")
+        print(f"[freq] elapsed {format_elapsed(t0)}")
+    return {"freqs_cm": vib.freqs_cm, "modes_cart": vib.modes_cart,
+            "thermo": th, "energy": e0, "hessian": H,
+            "outputs": [freq_txt] + wrote, "structure": struct,
+            "calculator": calc}

@@ -1,0 +1,121 @@
+"""Transition-state optimization driver (`tsopt` subcommand).
+
+Capability match: /root/reference/pdb2reaction/tsopt.py — two modes:
+"light" (HessianDimer: dimer translations with Hessian-seeded orientation,
+flatten loop) and "heavy" (RS-I-RFO uphill mode following); final
+imaginary-mode animation export (tsopt.py:1099-1147, 1594-1642).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+
+from ..constants import BOHR2ANG
+from ..engines.dimer import hessian_dimer, HESSIAN_DIMER_KW
+from ..engines.rfo import rfo_optimize, RSIRFO_KW
+from ..engines.vib import frequencies_and_modes, count_imaginary, \
+    mode_animation_frames
+from ..core import io_xyz
+from . import common
+from .config import normalize_choice, format_elapsed
+
+TS_MODES = ("dimer", "rsirfo")
+_TS_ALIASES = {"light": "dimer", "heavy": "rsirfo", "rs-i-rfo": "rsirfo",
+               "hessian_dimer": "dimer"}
+
+
+def run_tsopt(
+    input_path,
+    *,
+    charge: Optional[int] = None,
+    spin: Optional[int] = None,
+    opt_mode: str = "dimer",
+    thresh: str = "baker",
+    max_cycles: int = 10000,
+    freeze_atoms: Sequence = (),
+    auto_freeze_links: bool = True,
+    calc_mode: str = "uma",
+    model: str = "uma-s-1p1",
+    out_dir="./result_tsopt/",
+    mesh=None,
+    verbose: bool = True,
+    hessian_dimer_kw: Optional[Dict[str, Any]] = None,
+    rsirfo_kw: Optional[Dict[str, Any]] = None,
+    write_imag_mode: bool = True,
+    **calc_kw,
+) -> Dict[str, Any]:
+    t0 = time.time()
+    struct = common.load_structure(input_path)
+    q, s = common.resolve_charge_spin(struct, charge, spin)
+    freeze = common.merge_freeze(struct, [common.resolve_atom_spec(f, struct)
+                                          for f in freeze_atoms],
+                                 auto_freeze_links)
+    struct.freeze = freeze
+    mode = normalize_choice(opt_mode, aliases=_TS_ALIASES, choices=TS_MODES)
+    calc = common.make_calculator(struct, calc_mode=calc_mode, charge=q,
+                                  spin=s, freeze_atoms=freeze, model=model,
+                                  mesh=mesh, **calc_kw)
+    x0 = calc.pad_bohr(struct.coords_bohr)
+
+    if mode == "dimer":
+        kw = {**HESSIAN_DIMER_KW, **(hessian_dimer_kw or {})}
+        kw["thresh"] = thresh if thresh != "gau" else kw["thresh"]
+        kw["max_cycles_total"] = max_cycles
+        res = hessian_dimer(calc, x0, **kw)
+        coords = calc.unpad(res.x)
+        e = res.e
+        conv = res.converged
+        cycles = res.cycles
+        freqs = res.freqs_cm
+        imode = res.imag_mode_cart
+        n_imag = res.n_imag
+    else:
+        kw = {**RSIRFO_KW, **(rsirfo_kw or {})}
+        kw["thresh"] = thresh or kw["thresh"]
+        H0 = calc.get_hessian(struct.coords_bohr.reshape(-1))["hessian"]
+        fn = calc.au_energy_force_fn()
+        r = rfo_optimize(fn, x0, calc.system.free_mask, calc.n_atoms,
+                         hessian0=H0, mode="ts", max_cycles=max_cycles,
+                         hessian_fn=lambda xp: calc.get_hessian(
+                             np.asarray(xp)[: calc.n_atoms].reshape(-1))["hessian"],
+                         **{k: v for k, v in kw.items()
+                            if k in ("roots", "thresh", "trust_radius",
+                                     "trust_max", "trust_min",
+                                     "hessian_update", "hessian_recalc",
+                                     "small_eigval_thresh")})
+        coords = calc.unpad(r.x)
+        e = r.e
+        conv = r.converged
+        cycles = r.cycles
+        H = calc.get_hessian(coords.reshape(-1))["hessian"]
+        vib = frequencies_and_modes(H, struct.numbers, coords, freeze)
+        freqs = vib.freqs_cm
+        n_imag = count_imaginary(freqs)
+        imode = (vib.modes_cart[int(np.argmin(freqs))]
+                 if len(freqs) else None)
+
+    out = Path(out_dir)
+    paths = common.write_outputs(out, "final_geometry", struct, coords,
+                                 energy=e)
+    if write_imag_mode and imode is not None:
+        frames = mode_animation_frames(coords * BOHR2ANG, imode)
+        trj = out / "imag_mode.trj"
+        io_xyz.write_trj(trj, [struct.copy(coords=f) for f in frames])
+        paths.append(trj)
+
+    if verbose:
+        print(f"[tsopt:{mode}] {'converged' if conv else 'NOT converged'} "
+              f"in {cycles} cycles; E = {e:.8f} Ha; "
+              f"{n_imag} imaginary mode(s)")
+        if len(freqs):
+            print(f"[tsopt] lowest mode: {np.min(freqs):.1f} cm-1")
+        print(f"[tsopt] elapsed {format_elapsed(t0)}")
+    return {"coords_bohr": coords, "energy": e, "converged": conv,
+            "cycles": cycles, "freqs_cm": freqs, "n_imag": n_imag,
+            "imag_mode_cart": imode, "outputs": paths,
+            "structure": struct, "calculator": calc,
+            "force_calls": calc.force_calls}
