@@ -291,6 +291,53 @@ def irc_cmd(input_path, step_length, max_cycles, forward, backward, **kw):
             mesh=make_mesh_or_none(kw["workers"]), **cfg)
 
 
+@cli.command("path-search",
+             help="Recursive multi-step MEP search between structures.")
+@click.option("-i", "--input", "input_paths", multiple=True, required=True,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False))
+@click.option("--mep-mode", default="gsm", type=click.Choice(["gsm", "dmf"]))
+@click.option("--max-depth", type=int, default=3)
+@click.option("--refine-mode", default="hei",
+              type=click.Choice(["hei", "minima"]))
+@click.option("--kink-max-nodes", type=int, default=5)
+@click.option("--max-nodes", type=int, default=10)
+@common_options
+def path_search_cmd(input_paths, mep_mode, max_depth, refine_mode,
+                    kink_max_nodes, max_nodes, **kw):
+    from .workflows.path_search import run_path_search
+    cfg: Dict[str, Any] = dict(
+        mep_mode=mep_mode,
+        gs_kw={"max_nodes": max_nodes},
+        search_kw={"max_depth": max_depth, "refine_mode": refine_mode,
+                   "kink_max_nodes": kink_max_nodes})
+    yaml_overrides(kw.pop("args_yaml"), cfg, [("search",), ("gs",), ("bond",)])
+    run_path_search(list(input_paths), charge=kw["charge"], spin=kw["spin"],
+                    freeze_atoms=parse_freeze(kw["freeze_atoms"]),
+                    auto_freeze_links=kw["auto_freeze_links"],
+                    calc_mode=kw["calc_mode"], model=kw["model"],
+                    out_dir=kw["out_dir"] or "./result_path_search/",
+                    mesh=make_mesh_or_none(kw["workers"]), **cfg)
+
+
+@cli.command("trj2fig", help="Energy profile figure from a trajectory.")
+@click.option("-i", "--input", "trj_path", required=True,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False))
+@click.option("--reference", default="first",
+              type=click.Choice(["first", "min", "last", "none"]))
+@click.option("--unit", default="kcal", type=click.Choice(["kcal", "au"]))
+@click.option("--recompute", type=BOOL, default="False", callback=_bool_cb)
+@common_options
+def trj2fig_cmd(trj_path, reference, unit, recompute, **kw):
+    from .workflows.trj2fig import run_trj2fig
+    res = run_trj2fig(trj_path, reference=reference, unit=unit,
+                      recompute=recompute, charge=kw["charge"],
+                      spin=kw["spin"], calc_mode=kw["calc_mode"],
+                      model=kw["model"],
+                      out_path=(Path(kw["out_dir"]) / "profile.png")
+                      if kw["out_dir"] else None)
+    click.echo(f"[trj2fig] wrote {res['figure']}")
+
+
 def main():
     cli()
 

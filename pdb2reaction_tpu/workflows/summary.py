@@ -1,0 +1,144 @@
+"""Summary writers and energy diagrams.
+
+Capability match: /root/reference/pdb2reaction/summary_log.py (human
+``summary.log`` with per-segment barriers, bond-change blocks, TS
+imaginary-frequency quality warnings :75-127, energy tables in au +
+kcal/mol, directory tree :155) and utils.build_energy_diagram
+(utils.py:319-495) / path_search's compressed R->TS1->IM1->...->P diagram
+(path_search.py:2575-2759). Figures use matplotlib (plotly isn't in this
+image; same artifacts, documented substitution).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+import yaml
+
+from ..constants import AU2KCALPERMOL
+
+
+def write_summary_yaml(path, summary: Dict[str, Any]) -> Path:
+    path = Path(path)
+    path.write_text(yaml.safe_dump(summary, sort_keys=False))
+    return path
+
+
+def _freq_warnings(freqs_cm: Optional[Sequence[float]]) -> List[str]:
+    """TS quality diagnostics (summary_log.py:75-127 semantics)."""
+    if freqs_cm is None or len(freqs_cm) == 0:
+        return []
+    freqs = np.asarray(freqs_cm)
+    n_imag = int((freqs < -5.0).sum())
+    warns = []
+    if n_imag == 0:
+        warns.append("WARNING: no imaginary mode — structure may not be a TS")
+    elif n_imag > 1:
+        warns.append(f"WARNING: {n_imag} imaginary modes — higher-order "
+                     "saddle; consider tsopt flattening")
+    if n_imag >= 1 and abs(float(freqs.min())) < 50.0:
+        warns.append("WARNING: |imaginary frequency| < 50 cm-1 — shallow "
+                     "TS, barrier may be unreliable")
+    return warns
+
+
+def write_summary_log(path, summary: Dict[str, Any], *,
+                      elapsed: str = "", command: str = "",
+                      freq_blocks: Optional[Dict[int, Sequence[float]]] = None,
+                      tree_root: Optional[Path] = None) -> Path:
+    lines: List[str] = []
+    bar = "=" * 72
+    lines += [bar, "pdb2reaction-tpu summary", bar, ""]
+    if command:
+        lines += [f"Command: {command}", ""]
+    segs = summary.get("segments", [])
+    lines.append(f"Segments: {len(segs)} "
+                 f"({sum(1 for s in segs if s.get('reactive'))} reactive)")
+    lines.append("")
+    lines.append(f"{'seg':>4} {'type':>9} {'barrier':>10} {'dE':>10} "
+                 f"{'E_TS (au)':>16}")
+    lines.append(f"{'':>4} {'':>9} {'kcal/mol':>10} {'kcal/mol':>10} {'':>16}")
+    for s in segs:
+        typ = "kink" if s.get("kink") else (
+            "reactive" if s.get("reactive") else "segment")
+        lines.append(f"{s['index']:>4} {typ:>9} {s['barrier_kcal']:>10.2f} "
+                     f"{s['delta_e_kcal']:>10.2f} {s['e_ts_au']:>16.8f}")
+    lines.append("")
+    for s in segs:
+        if s.get("bond_changes"):
+            lines += [f"--- segment {s['index']} bond changes ---",
+                      s["bond_changes"], ""]
+        if freq_blocks and s["index"] in freq_blocks:
+            freqs = freq_blocks[s["index"]]
+            lines.append(f"--- segment {s['index']} TS frequencies ---")
+            imag = [f for f in freqs if f < 0]
+            lines.append("imaginary: " +
+                         (", ".join(f"{f:.1f}" for f in imag) or "none"))
+            lines += _freq_warnings(freqs)
+            lines.append("")
+    if tree_root is not None and Path(tree_root).exists():
+        lines += ["--- output tree ---"]
+        root = Path(tree_root)
+        for p in sorted(root.rglob("*")):
+            rel = p.relative_to(root)
+            indent = "  " * (len(rel.parts) - 1)
+            lines.append(f"{indent}{rel.name}")
+        lines.append("")
+    if elapsed:
+        lines.append(f"Elapsed: {elapsed}")
+    path = Path(path)
+    path.write_text("\n".join(lines) + "\n")
+    return path
+
+
+def build_energy_diagram(path, segments, *, unit: str = "kcal",
+                         labels: Optional[List[str]] = None,
+                         extra_series: Optional[Dict[str, List[float]]] = None):
+    """Compressed stationary-point diagram R -> TS1 -> IM1 -> ... -> P
+    (path_search.py:2575-2759). Levels drawn as horizontal bars joined by
+    dashed connectors; reactive segments contribute TS levels."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    conv = AU2KCALPERMOL if unit == "kcal" else 1.0
+    levels: List[float] = []
+    names: List[str] = []
+    e0 = segments[0].energies[0]
+    levels.append(0.0)
+    names.append("R")
+    n_ts = 0
+    for seg in segments:
+        if seg.is_reactive:
+            n_ts += 1
+            levels.append((seg.energies[seg.hei_idx] - e0) * conv)
+            names.append(f"TS{n_ts}")
+        levels.append((seg.energies[-1] - e0) * conv)
+        names.append(f"IM{n_ts}" if seg is not segments[-1] else "P")
+    if labels:
+        names = labels[: len(names)] + names[len(labels):]
+
+    fig, ax = plt.subplots(figsize=(1.2 * len(levels) + 2, 4.5))
+    w = 0.36
+    for i, (lv, nm) in enumerate(zip(levels, names)):
+        ax.hlines(lv, i - w, i + w, lw=2.5,
+                  color="#C0392B" if nm.startswith("TS") else "#2C3E50")
+        ax.annotate(f"{nm}\n{lv:.1f}", (i, lv), textcoords="offset points",
+                    xytext=(0, 6), ha="center", fontsize=9)
+        if i:
+            ax.plot([i - 1 + w, i - w], [levels[i - 1], lv], ls="--",
+                    lw=1, color="#7F8C8D")
+    if extra_series:
+        for label, vals in extra_series.items():
+            ax.plot(range(len(vals)), vals, "o--", ms=4, label=label)
+        ax.legend()
+    ax.set_ylabel(f"dE ({'kcal/mol' if unit == 'kcal' else 'au'})")
+    ax.set_xticks([])
+    ax.spines[["top", "right", "bottom"]].set_visible(False)
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return Path(path)

@@ -1,0 +1,100 @@
+"""Energy-profile figures from trajectories (`trj2fig` subcommand).
+
+Capability match: /root/reference/pdb2reaction/trj2fig.py — dE/E profile
+from XYZ-comment energies (:86-109) or recomputed with the calculator
+(:112-131), reference-frame selection (:137-177), figure + CSV export
+(:224-307), and the programmatic ``run_trj2fig`` hook used by
+path_search/all (:346). Matplotlib replaces plotly/kaleido (not in image).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..constants import AU2KCALPERMOL
+from ..core import io_xyz
+from . import common
+
+
+def read_trj_energies(trj_path) -> List[Optional[float]]:
+    frames = io_xyz.read_xyz_frames(trj_path)
+    return [io_xyz.parse_energy_comment(f.comment) for f in frames]
+
+
+def plot_profile(out_path, energies_au: Sequence[float], *,
+                 reference: str = "first", unit: str = "kcal",
+                 title: str = "", csv_path=None) -> Path:
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    E = np.asarray([e for e in energies_au if e is not None], dtype=float)
+    if reference == "min":
+        e0 = E.min()
+    elif reference == "last":
+        e0 = E[-1]
+    elif reference == "none":
+        e0 = 0.0
+    else:
+        e0 = E[0]
+    conv = AU2KCALPERMOL if unit == "kcal" else 1.0
+    rel = (E - e0) * conv
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(np.arange(len(rel)), rel, "o-", ms=4, color="#2C3E50")
+    hei = int(np.argmax(rel))
+    ax.plot([hei], [rel[hei]], "o", ms=7, color="#C0392B")
+    ax.annotate(f"{rel[hei]:.1f}", (hei, rel[hei]),
+                textcoords="offset points", xytext=(0, 8), ha="center")
+    ax.set_xlabel("image")
+    ax.set_ylabel(f"dE ({'kcal/mol' if unit == 'kcal' else 'au'})")
+    if title:
+        ax.set_title(title)
+    ax.spines[["top", "right"]].set_visible(False)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    if csv_path:
+        np.savetxt(csv_path, np.column_stack([np.arange(len(E)), E, rel]),
+                   delimiter=",", header="image,energy_au,rel_" + unit,
+                   comments="")
+    return Path(out_path)
+
+
+def run_trj2fig(
+    trj_path,
+    *,
+    out_path=None,
+    reference: str = "first",
+    unit: str = "kcal",
+    recompute: bool = False,
+    charge: Optional[int] = None,
+    spin: Optional[int] = None,
+    calc_mode: str = "uma",
+    model: str = "uma-s-1p1",
+    csv: bool = True,
+    **calc_kw,
+) -> Dict[str, Any]:
+    trj_path = Path(trj_path)
+    energies = read_trj_energies(trj_path)
+    if recompute or any(e is None for e in energies):
+        frames = io_xyz.read_xyz_frames(trj_path)
+        q, s = common.resolve_charge_spin(frames[0], charge, spin)
+        calc = common.make_calculator(frames[0], calc_mode=calc_mode,
+                                      charge=q, spin=s, model=model,
+                                      **calc_kw)
+        eb = calc.au_energy_force_batch_fn()
+        import jax.numpy as jnp
+        batch = np.stack([np.pad(f.coords_bohr,
+                                 ((0, calc.n_pad - f.n_atoms), (0, 0)))
+                          for f in frames])
+        E, _ = eb(jnp.asarray(batch))
+        energies = [float(e) for e in np.asarray(E)]
+    out_path = Path(out_path) if out_path else trj_path.with_suffix(".png")
+    csv_path = out_path.with_suffix(".csv") if csv else None
+    plot_profile(out_path, energies, reference=reference, unit=unit,
+                 title=trj_path.name, csv_path=csv_path)
+    return {"energies": energies, "figure": out_path, "csv": csv_path}
