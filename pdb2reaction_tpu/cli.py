@@ -338,6 +338,80 @@ def trj2fig_cmd(trj_path, reference, unit, recompute, **kw):
     click.echo(f"[trj2fig] wrote {res['figure']}")
 
 
+@cli.command("extract", help="Extract the active-site pocket around a "
+                             "substrate.")
+@click.option("-i", "--input", "inputs", multiple=True, required=True,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False))
+@click.option("-c", "--center", required=True,
+              help="Substrate: PDB path, residue IDs, or residue names.")
+@click.option("-o", "--output", "outputs", multiple=True,
+              type=click.Path(path_type=Path))
+@click.option("--radius", type=float, default=2.6)
+@click.option("--radius-het2het", type=float, default=0.0)
+@click.option("--include-h2o", type=BOOL, default="True", callback=_bool_cb)
+@click.option("--exclude-backbone", type=BOOL, default="True",
+              callback=_bool_cb)
+@click.option("--add-linkh", "add_link_h", type=BOOL, default="True",
+              callback=_bool_cb)
+@click.option("--selected-resn", default="",
+              help="Force-include residue IDs (comma separated).")
+@click.option("--ligand-charge", default=None,
+              help="Total number or 'RES:Q,RES2:Q2' mapping.")
+@click.option("--verbose", type=BOOL, default="True", callback=_bool_cb)
+def extract_cmd(inputs, center, outputs, radius, radius_het2het,
+                include_h2o, exclude_backbone, add_link_h, selected_resn,
+                ligand_charge, verbose):
+    from .workflows.common import jax  # ensure config side effects
+    from .bio.extract import extract_api
+    res = extract_api(
+        list(inputs), center, list(outputs) or None,
+        radius=radius, radius_het2het=radius_het2het,
+        include_h2o=include_h2o, exclude_backbone=exclude_backbone,
+        add_link_h=add_link_h,
+        selected_resn=[t for t in selected_resn.split(",") if t.strip()]
+        or None,
+        ligand_charge=ligand_charge, verbose=verbose)
+    click.echo(f"[extract] wrote {res['outputs']}")
+    click.echo(f"[extract] charge summary: {res['charge_summary']}")
+
+
+@cli.command("add-elem-info", help="Fill/repair PDB element columns 77-78.")
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False))
+@click.option("-o", "--output", "output_path", default=None,
+              type=click.Path(path_type=Path))
+@click.option("--verbose", type=BOOL, default="True", callback=_bool_cb)
+def add_elem_cmd(input_path, output_path, verbose):
+    from .bio.add_elem import assign_elements
+    assign_elements(input_path, output_path, verbose=verbose)
+
+
+@cli.command("align-freeze-atoms",
+             help="Kabsch-align structures on their freeze-atom union.")
+@click.option("-i", "--input", "inputs", multiple=True, required=True,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False))
+@click.option("-o", "--out-dir", "out_dir", default="./result_align/",
+              type=click.Path(path_type=Path))
+@click.option("--freeze-atoms", default="")
+def align_cmd(inputs, out_dir, freeze_atoms):
+    from .workflows import common
+    from .bio.align import align_sequence_inplace
+    from .core import io_xyz, io_pdb
+    structs = [common.load_structure(p) for p in inputs]
+    for st in structs:
+        st.freeze = common.merge_freeze(st, parse_freeze(freeze_atoms), True)
+    align_sequence_inplace(structs)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for p, st in zip(inputs, structs):
+        dst = out / Path(p).name
+        if str(p).lower().endswith(".pdb"):
+            io_pdb.write_pdb(dst, st)
+        else:
+            io_xyz.write_xyz(dst, st)
+        click.echo(f"[align] wrote {dst}")
+
+
 def main():
     cli()
 
