@@ -412,6 +412,121 @@ def align_cmd(inputs, out_dir, freeze_atoms):
         click.echo(f"[align] wrote {dst}")
 
 
+@cli.command("all", help="End-to-end pipeline: extract -> [scan] -> path "
+                         "search -> tsopt -> irc -> freq [-> dft].")
+@click.option("-i", "--input", "input_paths", multiple=True, required=True,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False))
+@click.option("-c", "--center", default=None,
+              help="Substrate spec for pocket extraction (PDB inputs).")
+@click.option("--ligand-charge", default=None)
+@click.option("--scan-lists", "scan_lists", multiple=True,
+              help="Stage spec 'i,j,target[;k,l,target]' (repeatable).")
+@click.option("--mep-mode", default="gsm", type=click.Choice(["gsm", "dmf"]))
+@click.option("--refine-path", type=BOOL, default="True", callback=_bool_cb)
+@click.option("--tsopt", "do_tsopt", type=BOOL, default="True",
+              callback=_bool_cb)
+@click.option("--irc", "do_irc", type=BOOL, default="True",
+              callback=_bool_cb)
+@click.option("--freq", "do_freq", type=BOOL, default="True",
+              callback=_bool_cb)
+@click.option("--dft", "do_dft", type=BOOL, default="False",
+              callback=_bool_cb)
+@click.option("--max-nodes", type=int, default=10)
+@common_options
+def all_cmd(input_paths, center, ligand_charge, scan_lists, mep_mode,
+            refine_path, do_tsopt, do_irc, do_freq, do_dft, max_nodes,
+            **kw):
+    from .workflows.allflow import run_all
+    cfg: Dict[str, Any] = dict(
+        center=center, ligand_charge=ligand_charge,
+        scan_stages=_parse_scan_stages(scan_lists) or None,
+        mep_mode=mep_mode, refine_path=refine_path, tsopt=do_tsopt,
+        do_irc=do_irc, do_freq=do_freq, do_dft=do_dft,
+        gs_kw={"max_nodes": max_nodes})
+    yaml_overrides(kw.pop("args_yaml"), cfg, [("all",), ("search",)])
+    run_all(list(input_paths), charge=kw["charge"], spin=kw["spin"],
+            calc_mode=kw["calc_mode"], model=kw["model"],
+            freeze_atoms=parse_freeze(kw["freeze_atoms"]),
+            auto_freeze_links=kw["auto_freeze_links"],
+            out_dir=kw["out_dir"] or "./result_all/",
+            mesh=make_mesh_or_none(kw["workers"]), **cfg)
+
+
+def _scan_axes(specs):
+    axes = []
+    for spec in specs:
+        toks = [t.strip() for t in spec.split(",")]
+        i = int(toks[0]) if toks[0].lstrip("+-").isdigit() else toks[0]
+        j = int(toks[1]) if toks[1].lstrip("+-").isdigit() else toks[1]
+        ax = {"pair": (i, j), "end": float(toks[2])}
+        if len(toks) > 3:
+            ax["step"] = float(toks[3])
+        if len(toks) > 4:
+            ax["start"] = float(toks[4])
+        axes.append(ax)
+    return axes
+
+
+@cli.command("scan2d", help="2-D relaxed distance-grid scan.")
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False))
+@click.option("--scan", "scans", multiple=True, required=True,
+              help="Axis 'i,j,end[,step[,start]]' (exactly 2).")
+@click.option("--plot-only", default=None,
+              type=click.Path(path_type=Path, exists=True))
+@common_options
+def scan2d_cmd(input_path, scans, plot_only, **kw):
+    from .workflows.scan_nd import run_scan_nd
+    axes = _scan_axes(scans)
+    assert len(axes) == 2, "scan2d needs exactly two --scan axes"
+    run_scan_nd(input_path, axes, charge=kw["charge"], spin=kw["spin"],
+                freeze_atoms=parse_freeze(kw["freeze_atoms"]),
+                auto_freeze_links=kw["auto_freeze_links"],
+                calc_mode=kw["calc_mode"], model=kw["model"],
+                out_dir=kw["out_dir"], plot_only=plot_only,
+                mesh=make_mesh_or_none(kw["workers"]))
+
+
+@cli.command("scan3d", help="3-D relaxed distance-grid scan.")
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False))
+@click.option("--scan", "scans", multiple=True, required=True,
+              help="Axis 'i,j,end[,step[,start]]' (exactly 3).")
+@click.option("--plot-only", default=None,
+              type=click.Path(path_type=Path, exists=True))
+@common_options
+def scan3d_cmd(input_path, scans, plot_only, **kw):
+    from .workflows.scan_nd import run_scan_nd
+    axes = _scan_axes(scans)
+    assert len(axes) == 3, "scan3d needs exactly three --scan axes"
+    run_scan_nd(input_path, axes, charge=kw["charge"], spin=kw["spin"],
+                freeze_atoms=parse_freeze(kw["freeze_atoms"]),
+                auto_freeze_links=kw["auto_freeze_links"],
+                calc_mode=kw["calc_mode"], model=kw["model"],
+                out_dir=kw["out_dir"], plot_only=plot_only,
+                mesh=make_mesh_or_none(kw["workers"]))
+
+
+@cli.command("dft", help="DFT single point (CPU PySCF backend).")
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False))
+@click.option("--func", default="wb97m-v")
+@click.option("--basis", default="def2-svp")
+@common_options
+def dft_cmd(input_path, func, basis, **kw):
+    from .workflows.dft import run_dft, ScfNotConverged
+    try:
+        run_dft(input_path, charge=kw["charge"], spin=kw["spin"],
+                func=func, basis=basis,
+                out_dir=kw["out_dir"] or "./result_dft/")
+    except ScfNotConverged as e:
+        click.echo(f"[dft] ERROR: {e}", err=True)
+        sys.exit(3)
+    except ImportError as e:
+        click.echo(f"[dft] ERROR: {e}", err=True)
+        sys.exit(2)
+
+
 def main():
     cli()
 

@@ -1,0 +1,331 @@
+"""End-to-end pipeline (`all` subcommand, the default command).
+
+Capability match: /root/reference/pdb2reaction/all.py (4474 LoC; SURVEY.md
+§3.1): mode selection (:2398), preflight element repair (:2465-2491),
+Stage 1 pocket extraction with pocket-charge -> workflow-charge rounding
+(:2508-2545, _round_charge_with_note :699), Stage 1b staged scan with
+full-PDB -> pocket index remapping (:458-698, :3250), Stage 2 recursive
+path search (default) or pairwise path-opt concatenation (:3335-3707),
+Stage 3 merged full-system mirrors (:3758-3787), Stage 4 per reactive
+segment: tsopt on the HEI (:1505-1622), IRC with endpoint matching
+(:1625-1806), endpoint minimization (:1228-1294), freq (:1297-1374), DFT
+when available (:1415-1502), and aggregated energy diagrams + summary
+(:1070-1226, :4387-4449).
+
+Sub-stages are direct library calls sharing one calculator program — not
+the reference's in-process sys.argv swapping (all.py:1358-1367).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+import yaml
+
+from ..constants import BOHR2ANG, AU2KCALPERMOL
+from ..core import io_pdb, io_xyz
+from ..bio import merge as bio_merge
+from ..bio.add_elem import assign_elements, pdb_needs_elem_fix
+from ..bio.extract import extract_api
+from . import common
+from .config import format_elapsed
+from .opt import optimize_structure
+from .path_search import run_path_search, segments_summary
+from .summary import (write_summary_log, write_summary_yaml,
+                      build_energy_diagram)
+
+
+def round_charge(value: float, verbose=True) -> int:
+    """Round the extraction pocket charge to the nearest integer workflow
+    charge with a note (all.py:699)."""
+    q = int(round(value))
+    if verbose and abs(value - q) > 1e-6:
+        print(f"[all] NOTE: pocket charge {value} rounded to {q}")
+    return q
+
+
+def run_all(
+    input_paths: Sequence,
+    *,
+    center: Optional[str] = None,
+    charge: Optional[int] = None,
+    spin: Optional[int] = None,
+    ligand_charge=None,
+    scan_stages: Optional[Sequence] = None,
+    freeze_atoms: Sequence = (),
+    auto_freeze_links: bool = True,
+    refine_path: bool = True,
+    tsopt: bool = True,
+    do_irc: bool = True,
+    do_freq: bool = True,
+    do_dft: bool = False,
+    calc_mode: str = "uma",
+    model: str = "uma-s-1p1",
+    mep_mode: str = "gsm",
+    out_dir="./result_all/",
+    mesh=None,
+    verbose: bool = True,
+    extract_kw: Optional[Dict[str, Any]] = None,
+    search_kw: Optional[Dict[str, Any]] = None,
+    gs_kw: Optional[Dict[str, Any]] = None,
+    **calc_kw,
+) -> Dict[str, Any]:
+    t0 = time.time()
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    input_paths = [Path(p) for p in input_paths]
+    is_pdb = all(p.suffix.lower() == ".pdb" for p in input_paths)
+
+    # ---- preflight: element repair (all.py:2465-2491) --------------------
+    fixed_inputs = []
+    for p in input_paths:
+        if p.suffix.lower() == ".pdb" and pdb_needs_elem_fix(p):
+            fixed = out / f"elem_fixed_{p.name}"
+            assign_elements(p, fixed, verbose=verbose)
+            fixed_inputs.append(fixed)
+        else:
+            fixed_inputs.append(p)
+
+    # ---- Stage 1: extraction (all.py:2508-2545) --------------------------
+    charge_summary = None
+    if center and is_pdb:
+        stage1 = out / "stage1_extract"
+        stage1.mkdir(exist_ok=True)
+        pockets = [stage1 / f"pocket_{p.stem}.pdb" for p in fixed_inputs]
+        res = extract_api(fixed_inputs, center, pockets,
+                          ligand_charge=ligand_charge, verbose=verbose,
+                          **(extract_kw or {}))
+        charge_summary = res["charge_summary"]
+        if charge is None:
+            charge = round_charge(charge_summary["total_charge"], verbose)
+        work_inputs = pockets
+        full_templates = fixed_inputs
+    else:
+        work_inputs = fixed_inputs
+        full_templates = None
+    if charge is None:
+        raise ValueError("Charge is required (give -q or extract a pocket)")
+    spin = spin or 1
+
+    results: Dict[str, Any] = {"charge": charge, "spin": spin,
+                               "charge_summary": charge_summary}
+
+    # ---- Stage 1b: staged scan to generate endpoints (all.py:3250) -------
+    if scan_stages and len(work_inputs) == 1:
+        from .scan import run_scan
+        if full_templates is not None:
+            # remap full-structure indices to pocket (all.py:458-698)
+            full_atoms = io_pdb.parse_pdb_atoms(full_templates[0])
+            pocket_atoms = io_pdb.parse_pdb_atoms(work_inputs[0])
+            remapped = []
+            for stage in scan_stages:
+                remapped.append([
+                    tuple(bio_merge.remap_indices([i, j], full_atoms,
+                                                  pocket_atoms)) + (t,)
+                    for (i, j, t) in stage])
+            scan_stages = remapped
+        scan_res = run_scan(work_inputs[0], scan_stages, charge=charge,
+                            spin=spin, calc_mode=calc_mode, model=model,
+                            freeze_atoms=freeze_atoms,
+                            auto_freeze_links=auto_freeze_links,
+                            out_dir=out / "stage1b_scan", mesh=mesh,
+                            verbose=verbose, endopt=True, **calc_kw)
+        # endpoints: input structure + scan product
+        prod = out / "stage1b_scan" / "scan_product.xyz"
+        st = scan_res["structure"]
+        io_xyz.write_xyz(prod, st.copy(
+            coords=scan_res["coords_bohr"] * BOHR2ANG))
+        work_inputs = [work_inputs[0], prod]
+        results["scan"] = {"stages": len(scan_stages)}
+
+    if len(work_inputs) < 2:
+        raise ValueError("Need >= 2 structures (or --scan-lists) for a path")
+
+    # ---- Stage 2: MEP (all.py:3335-3707) ---------------------------------
+    ps = run_path_search(
+        work_inputs, charge=charge, spin=spin, calc_mode=calc_mode,
+        model=model, mep_mode=mep_mode, out_dir=out / "stage2_path",
+        freeze_atoms=freeze_atoms, auto_freeze_links=auto_freeze_links,
+        mesh=mesh, verbose=verbose, gs_kw=gs_kw,
+        search_kw=search_kw, **calc_kw)
+    segments = ps["segments"]
+    calc = ps["calculator"]
+    pocket_struct = ps["structures"][0]
+    results["path"] = segments_summary(segments)
+
+    # ---- Stage 3: merged full-system mirrors (all.py:3758-3787) ----------
+    if full_templates is not None:
+        stage3 = out / "stage3_merged"
+        stage3.mkdir(exist_ok=True)
+        full0 = io_pdb.read_pdb(full_templates[0])
+        try:
+            merged_frames = [
+                bio_merge.merge_pocket_into_full(
+                    full0, pocket_struct, f * BOHR2ANG).coords
+                for f in ps["mep_frames_bohr"]]
+            io_pdb.write_pdb_frames(stage3 / "mep_full.pdb", full0,
+                                    merged_frames,
+                                    energies=ps["mep_energies"])
+        except Exception as e:
+            print(f"[all] WARNING: full-system merge failed: {e}")
+
+    # ---- Stage 4: per reactive segment (all.py:3855+) --------------------
+    seg_results = []
+    freq_blocks: Dict[int, Any] = {}
+    for si, seg in enumerate(segments):
+        if not seg.is_reactive:
+            continue
+        seg_out = out / f"stage4_seg_{si:03d}"
+        seg_out.mkdir(exist_ok=True)
+        entry: Dict[str, Any] = {"segment": si}
+        hei_x = seg.images_bohr[seg.hei_idx]
+
+        ts_x = hei_x
+        ts_e = seg.energies[seg.hei_idx]
+        if tsopt:
+            from ..engines.dimer import hessian_dimer
+            try:
+                hei_path = seg_out / "hei_guess.xyz"
+                io_xyz.write_xyz(hei_path, pocket_struct.copy(
+                    coords=hei_x * BOHR2ANG), energy=ts_e)
+                dres = hessian_dimer(calc, calc.pad_bohr(hei_x),
+                                     flatten_max_iter=10)
+                ts_x = calc.unpad(dres.x)
+                ts_e = dres.e
+                entry["tsopt"] = {"converged": bool(dres.converged),
+                                  "energy_au": float(ts_e),
+                                  "n_imag": int(dres.n_imag)}
+                common.write_outputs(seg_out, "ts_final", pocket_struct,
+                                     ts_x, energy=ts_e)
+            except Exception as e:
+                print(f"[all] WARNING: tsopt failed on segment {si}: {e}")
+                entry["tsopt"] = {"error": str(e)}
+
+        # endpoint minimization (all.py:1228-1294)
+        minima = []
+        for tag, xg in (("reactant", seg.images_bohr[0]),
+                        ("product", seg.images_bohr[-1])):
+            st = pocket_struct.copy(coords=np.asarray(xg) * BOHR2ANG)
+            coords, e, conv, _ = optimize_structure(st, calc,
+                                                    opt_mode="lbfgs",
+                                                    thresh="gau")
+            minima.append((tag, coords, e))
+            common.write_outputs(seg_out, f"{tag}_opt", pocket_struct,
+                                 coords, energy=e)
+        entry["endpoints"] = {t: float(e) for t, _, e in minima}
+
+        # IRC from the TS (all.py:1625-1806)
+        if do_irc:
+            from ..engines.irc import eulerpc_irc
+            try:
+                ircres = eulerpc_irc(calc, calc.pad_bohr(ts_x))
+                frames = []
+                energies = []
+                if ircres.backward:
+                    frames += list(reversed(ircres.backward.coords))
+                    energies += list(reversed(ircres.backward.energies))
+                frames.append(ircres.ts_coords)
+                energies.append(ircres.ts_energy)
+                if ircres.forward:
+                    frames += ircres.forward.coords
+                    energies += ircres.forward.energies
+                common.write_trajectory(seg_out, "irc", pocket_struct,
+                                        frames, energies)
+                entry["irc"] = {
+                    "endpoints_au": [float(energies[0]),
+                                     float(energies[-1])],
+                    "matches_minima": _match_irc(
+                        frames, minima, pocket_struct, calc),
+                }
+            except Exception as e:
+                print(f"[all] WARNING: IRC failed on segment {si}: {e}")
+                entry["irc"] = {"error": str(e)}
+
+        # frequencies + thermo (all.py:1297-1374)
+        if do_freq:
+            from ..engines.vib import frequencies_and_modes
+            from ..engines.thermo import thermochemistry
+            try:
+                gibbs = {}
+                for tag, coords, e in (minima
+                                       + [("ts", ts_x, ts_e)]):
+                    H = calc.get_hessian(np.asarray(coords).reshape(-1)
+                                         )["hessian"]
+                    vib = frequencies_and_modes(
+                        H, pocket_struct.numbers, coords,
+                        pocket_struct.freeze)
+                    th = thermochemistry(vib.freqs_cm,
+                                         pocket_struct.numbers,
+                                         np.asarray(coords) * BOHR2ANG,
+                                         electronic_energy=float(e),
+                                         multiplicity=spin)
+                    gibbs[tag] = {"G_au": float(th.gibbs),
+                                  "ZPE_au": float(th.zpe),
+                                  "n_imag": int(th.n_imag)}
+                    if tag == "ts":
+                        freq_blocks[si] = vib.freqs_cm.tolist()
+                entry["thermo"] = gibbs
+            except Exception as e:
+                print(f"[all] WARNING: freq failed on segment {si}: {e}")
+                entry["thermo"] = {"error": str(e)}
+
+        # DFT single points (all.py:1415-1502) — optional
+        if do_dft:
+            from .dft import run_dft
+            try:
+                for tag, coords, e in minima + [("ts", ts_x, ts_e)]:
+                    p = seg_out / f"{tag}_dft.xyz"
+                    io_xyz.write_xyz(p, pocket_struct.copy(
+                        coords=np.asarray(coords) * BOHR2ANG))
+                    entry.setdefault("dft", {})[tag] = run_dft(
+                        p, charge=charge, spin=spin,
+                        out_dir=seg_out / f"dft_{tag}")["energy_au"]
+            except ImportError as e:
+                entry["dft"] = {"skipped": str(e)}
+            except Exception as e:
+                entry["dft"] = {"error": str(e)}
+        seg_results.append(entry)
+
+    results["segments"] = seg_results
+
+    # ---- aggregation: diagrams + summary (all.py:4387-4449) --------------
+    summary = segments_summary(segments)
+    summary["stage4"] = seg_results
+    write_summary_yaml(out / "summary.yaml", summary)
+    write_summary_log(out / "summary.log", summary,
+                      elapsed=format_elapsed(t0),
+                      freq_blocks=freq_blocks, tree_root=out)
+    try:
+        build_energy_diagram(out / "energy_diagram_all.png", segments)
+    except Exception as e:
+        print(f"[all] WARNING: diagram failed: {e}")
+
+    if verbose:
+        print(f"[all] pipeline complete: {len(seg_results)} reactive "
+              f"segment(s); elapsed {format_elapsed(t0)}")
+    results["out_dir"] = out
+    results["force_calls"] = calc.force_calls
+    return results
+
+
+def _match_irc(frames, minima, struct, calc) -> Dict[str, str]:
+    """Match IRC endpoints to optimized minima by bond state then RMSD
+    (all.py:1625-1806)."""
+    from ..bio.bonds import compare_structures
+    from ..bio.align import rmsd
+    out = {}
+    for side, frame in (("backward", frames[0]), ("forward", frames[-1])):
+        best = None
+        best_r = np.inf
+        for tag, coords, _ in minima:
+            bc = compare_structures(struct.numbers, frame.reshape(-1, 3),
+                                    np.asarray(coords).reshape(-1, 3))
+            r = rmsd(frame.reshape(-1, 3), np.asarray(coords))
+            if not bc.any_change and r < best_r:
+                best, best_r = tag, r
+        out[side] = best or "unmatched"
+    return out

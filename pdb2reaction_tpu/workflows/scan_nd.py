@@ -1,0 +1,190 @@
+"""2-D / 3-D relaxed grid scans (`scan2d`, `scan3d` subcommands).
+
+Capability match: /root/reference/pdb2reaction/scan2d.py (docstring :1-100)
+and scan3d.py (:1-95): distance-grid scans with biased relaxation at every
+grid point, warm starts from the nearest previously converged grid point,
+unbiased energies recorded on the grid, surface.csv export, heatmap /
+contour (2D) and isosurface-style (3D) figures, plus a plot-only mode from
+an existing surface.csv. RBF smoothing of the plotted surface follows the
+reference (scipy.interpolate.RBFInterpolator).
+
+TPU-first: all grid relaxations reuse ONE compiled L-BFGS program — the
+restraint targets are dynamic params (zero recompilation across the grid).
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..constants import BOHR2ANG, ANG2BOHR
+from ..engines.lbfgs import lbfgs_minimize
+from ..engines.bias import make_biased_energy_fn, bias_params
+from ..mlip.calculator import Calculator
+from . import common
+from .config import format_elapsed
+
+
+def grid_values(d0: float, spec: Dict[str, Any]) -> np.ndarray:
+    """Axis values from {'start','end','step'} or {'values': [...]};
+    start defaults to the current distance (reference semantics)."""
+    if "values" in spec:
+        return np.asarray(spec["values"], dtype=float)
+    start = float(spec.get("start", d0))
+    end = float(spec["end"])
+    step = abs(float(spec.get("step", 0.1))) or 0.1
+    n = max(1, int(round(abs(end - start) / step))) + 1
+    return np.linspace(start, end, n)
+
+
+def run_scan_nd(
+    input_path,
+    axes: Sequence[Dict[str, Any]],   # [{'pair':(i,j), 'end':..,'step':..}]
+    *,
+    charge: Optional[int] = None,
+    spin: Optional[int] = None,
+    freeze_atoms: Sequence = (),
+    auto_freeze_links: bool = True,
+    bias_k: float = 10.0,
+    relax_thresh: str = "gau_loose",
+    relax_max_cycles: int = 300,
+    calc_mode: str = "uma",
+    model: str = "uma-s-1p1",
+    out_dir=None,
+    mesh=None,
+    verbose: bool = True,
+    plot_only: Optional[str] = None,
+    **calc_kw,
+) -> Dict[str, Any]:
+    t0 = time.time()
+    ndim = len(axes)
+    assert ndim in (2, 3), "run_scan_nd supports 2 or 3 axes"
+    out = Path(out_dir or f"./result_scan{ndim}d/")
+    out.mkdir(parents=True, exist_ok=True)
+
+    if plot_only:
+        table = np.loadtxt(plot_only, delimiter=",", skiprows=1)
+        fig = _plot_surface(out, table, ndim)
+        return {"surface": table, "outputs": [fig]}
+
+    struct = common.load_structure(input_path)
+    q, s = common.resolve_charge_spin(struct, charge, spin)
+    freeze = common.merge_freeze(struct, [common.resolve_atom_spec(f, struct)
+                                          for f in freeze_atoms],
+                                 auto_freeze_links)
+    struct.freeze = freeze
+
+    pairs = []
+    for ax in axes:
+        i, j = ax["pair"]
+        pairs.append((common.resolve_atom_spec(i, struct),
+                      common.resolve_atom_spec(j, struct)))
+
+    base_calc = common.make_calculator(struct, calc_mode=calc_mode,
+                                       charge=q, spin=s,
+                                       freeze_atoms=freeze, model=model,
+                                       mesh=mesh, **calc_kw)
+    biased_fn = make_biased_energy_fn(base_calc.energy_fn, pairs)
+    d0 = [float(np.linalg.norm(struct.coords[p[0]] - struct.coords[p[1]]))
+          for p in pairs]
+    calc = Calculator(struct, biased_fn,
+                      params=bias_params(d0, bias_k, base_calc.params),
+                      freeze_atoms=freeze, mesh=mesh)
+    eff_p = calc.au_energy_force_fn_p()
+
+    values = [grid_values(d0[k], axes[k]) for k in range(ndim)]
+    shape = tuple(len(v) for v in values)
+    energies = np.full(shape, np.nan)
+    coords_store: Dict[Tuple[int, ...], np.ndarray] = {}
+    x_init = np.asarray(struct.coords_bohr)
+
+    def relax(coords_bohr, targets):
+        p = bias_params(list(targets), bias_k, base_calc.params)
+        res = lbfgs_minimize(eff_p, calc.pad_bohr(coords_bohr),
+                             calc.system.free_mask, params=p,
+                             thresh=relax_thresh,
+                             max_cycles=relax_max_cycles, max_step=0.1)
+        calc.force_calls += int(res.cycles) + 1
+        return calc.unpad(res.x)
+
+    # nested iteration with nearest-converged warm start
+    # (scan2d.py:48-58, scan3d.py:70-80)
+    done: List[Tuple[int, ...]] = []
+    rows = []
+    for idx in itertools.product(*[range(n) for n in shape]):
+        targets = [values[k][idx[k]] for k in range(ndim)]
+        if done:
+            nearest = min(done, key=lambda d: sum((a - b) ** 2
+                                                  for a, b in zip(d, idx)))
+            start = coords_store[nearest]
+        else:
+            start = x_init
+        coords = relax(start, targets)
+        coords_store[idx] = coords
+        done.append(idx)
+        # unbiased energy at the relaxed point (scan2d.py:357)
+        e = float(base_calc.get_energy(coords.reshape(-1))["energy"])
+        energies[idx] = e
+        rows.append(list(targets) + [e])
+        if verbose:
+            print(f"[scan{ndim}d] {idx}: d = "
+                  + ", ".join(f"{t:.3f}" for t in targets)
+                  + f" -> E = {e:.6f} Ha")
+
+    header = ",".join(f"d{k + 1}_ang" for k in range(ndim)) + ",energy_au"
+    table = np.asarray(rows)
+    csv = out / "surface.csv"
+    np.savetxt(csv, table, delimiter=",", header=header, comments="")
+    fig = _plot_surface(out, table, ndim)
+    if verbose:
+        print(f"[scan{ndim}d] elapsed {format_elapsed(t0)}")
+    return {"values": values, "energies": energies, "surface": table,
+            "outputs": [csv, fig], "structure": struct,
+            "calculator": calc,
+            "force_calls": calc.force_calls + base_calc.force_calls}
+
+
+def _plot_surface(out: Path, table: np.ndarray, ndim: int) -> Path:
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from ..constants import AU2KCALPERMOL
+
+    E = (table[:, ndim] - np.nanmin(table[:, ndim])) * AU2KCALPERMOL
+    if ndim == 2:
+        fig, ax = plt.subplots(figsize=(6, 5))
+        x, y = table[:, 0], table[:, 1]
+        try:
+            from scipy.interpolate import RBFInterpolator
+            xi = np.linspace(x.min(), x.max(), 80)
+            yi = np.linspace(y.min(), y.max(), 80)
+            XX, YY = np.meshgrid(xi, yi)
+            Z = RBFInterpolator(np.column_stack([x, y]), E)(
+                np.column_stack([XX.ravel(), YY.ravel()])).reshape(XX.shape)
+            pc = ax.contourf(XX, YY, Z, levels=24, cmap="viridis")
+            ax.contour(XX, YY, Z, levels=12, colors="w", linewidths=0.4)
+        except Exception:
+            pc = ax.tricontourf(x, y, E, levels=24, cmap="viridis")
+        ax.plot(x, y, "k.", ms=2)
+        fig.colorbar(pc, label="dE (kcal/mol)")
+        ax.set_xlabel("d1 (Å)")
+        ax.set_ylabel("d2 (Å)")
+        path = out / "surface_2d.png"
+    else:
+        fig = plt.figure(figsize=(7, 6))
+        ax = fig.add_subplot(projection="3d")
+        sc = ax.scatter(table[:, 0], table[:, 1], table[:, 2], c=E,
+                        cmap="viridis", s=30)
+        fig.colorbar(sc, label="dE (kcal/mol)", shrink=0.7)
+        ax.set_xlabel("d1 (Å)")
+        ax.set_ylabel("d2 (Å)")
+        ax.set_zlabel("d3 (Å)")
+        path = out / "surface_3d.png"
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return path
