@@ -213,6 +213,20 @@ def select_residues(model: Model, substrate: Set[ResKey], *,
     selected: Set[ResKey] = set(substrate)
     backbone_contact: Set[ResKey] = set()
 
+    # One cell-list radius query over the whole structure replaces the
+    # per-residue O(N_res * N_sub) cdist loops (native C++ engine with
+    # numpy fallback — csrc/cell_list.cpp).
+    from .. import native as _native
+    within_set: Set[int] = set(
+        int(i) for i in _native.radius_query(model.coords, sub_xyz,
+                                             radius)[:, 0])
+    het_within: Set[int] = set()
+    if radius_het2het and sub_het:
+        het_within = set(
+            int(i) for i in _native.radius_query(
+                model.coords, model.coords[sub_het],
+                radius_het2het)[:, 0])
+
     for key in model.res_order:
         if key in selected:
             continue
@@ -220,34 +234,25 @@ def select_residues(model: Model, substrate: Set[ResKey], *,
         if resname in WATER_RES and not include_h2o:
             continue
         idx = model.residues[key].atoms
-        d = np.linalg.norm(model.coords[idx][:, None, :]
-                           - sub_xyz[None, :, :], axis=-1)
-        within = d.min(axis=1) <= radius
         is_aa = model.is_aa(key)
         qualify = False
-        if within.any():
+        hit = [i for i in idx if i in within_set]
+        if hit:
             if exclude_backbone and is_aa:
-                nb = [model.atom_name(idx[a]) not in BACKBONE_ATOMS
-                      for a in range(len(idx))]
-                qualify = bool(np.any(within & np.array(nb)))
+                qualify = any(model.atom_name(i) not in BACKBONE_ATOMS
+                              for i in hit)
             else:
                 qualify = True
             if not exclude_backbone and is_aa:
-                bbhit = [model.atom_name(idx[a]) in BACKBONE_ATOMS
-                         for a in range(len(idx))]
-                if np.any(within & np.array(bbhit)):
+                if any(model.atom_name(i) in BACKBONE_ATOMS for i in hit):
                     backbone_contact.add(key)
-        if not qualify and radius_het2het and sub_het:
-            het_idx = [i for i in idx if model.element(i) not in ("C", "H")]
-            if het_idx:
-                if exclude_backbone and is_aa:
-                    het_idx = [i for i in het_idx
-                               if model.atom_name(i) not in BACKBONE_ATOMS]
-                if het_idx:
-                    dh = np.linalg.norm(
-                        model.coords[het_idx][:, None, :]
-                        - model.coords[sub_het][None, :, :], axis=-1)
-                    qualify = bool((dh <= radius_het2het).any())
+        if not qualify and het_within:
+            het_idx = [i for i in idx if i in het_within
+                       and model.element(i) not in ("C", "H")]
+            if exclude_backbone and is_aa:
+                het_idx = [i for i in het_idx
+                           if model.atom_name(i) not in BACKBONE_ATOMS]
+            qualify = bool(het_idx)
         if qualify:
             selected.add(key)
 

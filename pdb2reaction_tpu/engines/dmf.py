@@ -128,10 +128,17 @@ def dmf_mep(
     fbenm_cycles: int = 100,
     tol: float = 1e-4,
     lr: float = 0.02,
+    solver: str = "device",        # "device" momentum scan | "native" C++
     verbose: bool = False,
     **_ignored,
 ) -> DmfResult:
-    """Solve the discrete max-flux path problem on device."""
+    """Solve the discrete max-flux path problem.
+
+    solver="device": heavy-ball descent fully on device (one lax.scan).
+    solver="native": the C++ L-BFGS-B core (csrc/nlp_solver.cpp — the
+    Ipopt-replacement) iterates host-side over a jitted objective/gradient
+    callback; interior images are the variables, endpoints are the bounds.
+    """
     sys_ = calc.system
     free = sys_.free_mask[:, None]
     eb_p = calc._au_eforce_batch_p
@@ -157,6 +164,36 @@ def dmf_mep(
         mean_len = jnp.mean(seglen)
         pen = spacing_weight * jnp.sum((seglen - mean_len) ** 2)
         return J + pen
+
+    if solver == "native":
+        from .. import native as native_mod
+
+        interior_shape = (M - 2,) + tuple(images.shape[1:])
+
+        @jax.jit
+        def obj_grad(interior, p):
+            imgs = jnp.concatenate([images[:1], interior, images[-1:]], 0)
+            val, g = jax.value_and_grad(objective)(imgs, p)
+            g = (g * free[None])[1:-1]
+            return val, g
+
+        def fg(xflat):
+            v, g = obj_grad(jnp.asarray(xflat.reshape(interior_shape)),
+                            params)
+            return float(v), np.asarray(g).reshape(-1)
+
+        x0 = np.asarray(images[1:-1]).reshape(-1)
+        xs, fval, iters, conv = native_mod.lbfgsb_minimize(
+            fg, x0, max_iter=max_cycles, gtol=tol)
+        images = jnp.concatenate(
+            [images[:1], jnp.asarray(xs.reshape(interior_shape)),
+             images[-1:]], 0)
+        E, _ = eb_p(images, params)
+        E = np.asarray(E, dtype=float)
+        calc.force_calls += (iters + 2) * M
+        return DmfResult(images=np.asarray(images), energies=E,
+                         hei_idx=select_hei_index(E), converged=conv,
+                         cycles=iters, force_calls=(iters + 2) * M)
 
     @jax.jit
     def solve(imgs, p):
