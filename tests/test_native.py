@@ -29,7 +29,7 @@ def test_lbfgsb_quadratic():
     def fg(x):
         return 0.5 * x @ A @ x - b @ x, A @ x - b
 
-    x, f, it, conv = native.lbfgsb_minimize(fg, np.zeros(3), gtol=1e-10)
+    x, f, it, conv = native.lbfgsb_minimize(fg, np.zeros(3), gtol=1e-8)
     assert conv
     np.testing.assert_allclose(x, np.linalg.solve(A, b), atol=1e-7)
 
