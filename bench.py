@@ -35,7 +35,7 @@ def main():
         e, g = jax.value_and_grad(lambda c: fn(c, sys_, params))(coords)
         return e, -g
 
-    B = 16  # image batch (GSM string / FD displacement batching)
+    B = 64  # image batch (GSM strings + FD-Hessian displacement batching)
 
     @jax.jit
     def eforce_batch(params, coords_b):
@@ -56,7 +56,7 @@ def main():
     eb.block_until_ready()
 
     # measure batched throughput (the framework's operating mode: all hot
-    # loops feed batched force evaluations)
+    # loops feed batched force evaluations). f32, dense-adjacency MXU path.
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):

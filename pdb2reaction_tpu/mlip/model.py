@@ -56,6 +56,11 @@ class ModelConfig:
     charge_range: int = 8       # embeddings for charge in [-range, range]
     spin_range: int = 8         # multiplicity 1..range
     dtype: Any = jnp.float32
+    # message-passing layout: "dense" contracts a [P,P,R] radial adjacency
+    # with plain matmuls (zero gathers — the TPU/MXU-native formulation;
+    # also exact: no max_neighbors truncation); "gather" is the [P,K]
+    # neighbor-matrix variant for very large P where P^2 is prohibitive.
+    mp_mode: str = "dense"
 
 
 # Registry of named configs. "uma-s-1p1" is the flagship surrogate matching
@@ -121,9 +126,38 @@ def init_params(key, cfg: ModelConfig) -> Dict[str, Any]:
     return params
 
 
-def energy_fn(coords_ang: jnp.ndarray, system: PaddedSystem,
-              params: Dict[str, Any], cfg: ModelConfig) -> jnp.ndarray:
-    """Total potential energy in eV. Pure; differentiable in coords."""
+def _embed_nodes(system, params, cfg, atom_mask):
+    z = jnp.clip(system.numbers, 0, cfg.max_z)
+    s = params["embed_z"][z]
+    q_idx = jnp.clip(params["charge"].astype(jnp.int32) + cfg.charge_range,
+                     0, 2 * cfg.charge_range)
+    m_idx = jnp.clip(params["spin"].astype(jnp.int32), 0, cfg.spin_range)
+    s = s + params["embed_q"][q_idx] + params["embed_s"][m_idx]
+    return z, s * atom_mask[:, None]
+
+
+def _update_block(lp, s, v, atom_mask):
+    vu = v @ lp["upd_vu"]                           # [P,3,C]
+    vv = v @ lp["upd_vv"]
+    vv_norm = jnp.sqrt(jnp.sum(vv * vv, axis=1) + 1e-8)   # [P,C] invariant
+    a = _apply_mlp(lp["upd_mlp"], jnp.concatenate([s, vv_norm], -1))
+    a_ss, a_sv, a_vv = jnp.split(a, 3, axis=-1)
+    dot_uv = jnp.sum(vu * vv, axis=1)               # [P,C]
+    s = s + (a_ss + a_sv * dot_uv) * atom_mask[:, None]
+    v = v + a_vv[:, None, :] * vu * atom_mask[:, None, None]
+    return s, v
+
+
+def _readout(params, s, z, atom_mask, coords_dtype):
+    e_atom = _apply_mlp(params["readout"], s)[..., 0]   # [P]
+    e_ref = params["atom_ref"][z]
+    e = jnp.sum((e_atom.astype(jnp.float32) + e_ref)
+                * atom_mask.astype(jnp.float32))
+    return e.astype(jnp.float64) if coords_dtype == jnp.float64 else e
+
+
+def energy_fn_gather(coords_ang, system, params, cfg) -> jnp.ndarray:
+    """[P,K] neighbor-matrix variant (for very large P)."""
     dt = cfg.dtype
     P = coords_ang.shape[0]
     C = cfg.hidden
@@ -138,48 +172,114 @@ def energy_fn(coords_ang: jnp.ndarray, system: PaddedSystem,
     dist = dist.astype(dt)
     unit = vec / dist[..., None]                        # [P,K,3]
     env = (cosine_envelope(dist, cfg.cutoff) * nbr_mask)  # [P,K]
-    rad = bessel_basis(dist, cfg.cutoff, cfg.n_radial) * env[..., None]
+    # radial features with the envelope folded in; the trailing channel
+    # carries the env itself so the filter bias is env-gated too
+    rad = jnp.concatenate(
+        [bessel_basis(dist, cfg.cutoff, cfg.n_radial) * env[..., None],
+         env[..., None]], -1)                           # [P,K,R+1]
 
-    z = jnp.clip(system.numbers, 0, cfg.max_z)
-    s = params["embed_z"][z]                            # [P,C] scalars
-    q_idx = jnp.clip(params["charge"].astype(jnp.int32) + cfg.charge_range,
-                     0, 2 * cfg.charge_range)
-    m_idx = jnp.clip(params["spin"].astype(jnp.int32), 0, cfg.spin_range)
-    s = s + params["embed_q"][q_idx] + params["embed_s"][m_idx]
-    s = s * atom_mask[:, None]
+    z, s = _embed_nodes(system, params, cfg, atom_mask)
     v = jnp.zeros((P, 3, C), dt)                        # vector features
 
     for lp in params["layers"]:
-        # ---- message block (PaiNN-style) --------------------------------
+        W = jnp.concatenate([lp["w_radial"]["w"],
+                             lp["w_radial"]["b"][None, :]], 0)  # [R+1,3C]
         phi = _apply_mlp(lp["phi"], s)                  # [P,3C] from nodes
         phi_j = phi[idx]                                # [P,K,3C] gather
-        w = _apply_dense(lp["w_radial"], rad)           # [P,K,3C]
-        m = phi_j * w                                   # fused filter
+        w = rad @ W                                     # [P,K,3C]
+        m = phi_j * w
         m_s, m_vv, m_vs = jnp.split(m, 3, axis=-1)      # [P,K,C] each
-        gate = env[..., None]
-        ds = jnp.sum(m_s * gate, axis=1)                # [P,C]
+        ds = jnp.sum(m_s, axis=1)                       # [P,C]
         v_j = v[idx]                                    # [P,K,3,C]
-        dv = jnp.sum(m_vv[:, :, None, :] * v_j * gate[:, :, None, :], axis=1)
-        dv = dv + jnp.sum(m_vs[:, :, None, :] * unit[..., None]
-                          * gate[:, :, None, :], axis=1)
+        dv = jnp.sum(m_vv[:, :, None, :] * v_j, axis=1)
+        dv = dv + jnp.sum(m_vs[:, :, None, :] * unit[..., None], axis=1)
         s = s + ds * atom_mask[:, None]
         v = v + dv * atom_mask[:, None, None]
+        s, v = _update_block(lp, s, v, atom_mask)
 
-        # ---- update block -----------------------------------------------
-        vu = v @ lp["upd_vu"]                           # [P,3,C]
-        vv = v @ lp["upd_vv"]
-        vv_norm = jnp.sqrt(jnp.sum(vv * vv, axis=1) + 1e-8)   # [P,C] invariant
-        a = _apply_mlp(lp["upd_mlp"], jnp.concatenate([s, vv_norm], -1))
-        a_ss, a_sv, a_vv = jnp.split(a, 3, axis=-1)
-        dot_uv = jnp.sum(vu * vv, axis=1)               # [P,C]
-        s = s + (a_ss + a_sv * dot_uv) * atom_mask[:, None]
-        v = v + a_vv[:, None, :] * vu * atom_mask[:, None, None]
+    return _readout(params, s, z, atom_mask, coords_ang.dtype)
 
-    e_atom = _apply_mlp(params["readout"], s)[..., 0]   # [P]
-    e_ref = params["atom_ref"][z]
-    e = jnp.sum((e_atom.astype(jnp.float32) + e_ref)
-                * atom_mask.astype(jnp.float32))
-    return e.astype(jnp.float64) if coords_ang.dtype == jnp.float64 else e
+
+def energy_fn_dense(coords_ang, system, params, cfg) -> jnp.ndarray:
+    """Dense radial-adjacency formulation — the TPU-native hot path.
+
+    Message passing becomes pure matmuls: with the radial adjacency
+    A[i,j,r] = bessel_r(d_ij) * env(d_ij) (plus an env-only channel for
+    the filter bias), the PaiNN message
+        ds[i,c] = sum_j phi[j,c] * w[i,j,c],  w = A @ W
+    contracts exactly as
+        T[i,r,c] = sum_j A[i,j,r] phi[j,c]   (MXU batched matmul)
+        ds[i,c]  = sum_r T[i,r,c] W[r,c]
+    so no [P,K,3C] gather intermediates ever exist (the gather variant OOMs
+    at image-batch 64 on v5e: 32.5 GB of HLO temps). Also exact: every
+    in-cutoff neighbor contributes (no max_neighbors truncation).
+    """
+    dt = cfg.dtype
+    P = coords_ang.shape[0]
+    C = cfg.hidden
+    atom_mask = system.atom_mask.astype(dt)
+
+    x = coords_ang.astype(dt)
+    diff = x[:, None, :] - x[None, :, :]
+    d2 = jnp.sum(diff * diff, -1)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    eye = jnp.eye(P, dtype=bool)
+    pair = (atom_mask[:, None] * atom_mask[None, :]
+            * (1.0 - jnp.eye(P, dtype=dt)))
+    within = (d <= cfg.cutoff) & (~eye)
+    env = cosine_envelope(d, cfg.cutoff) * pair * within.astype(dt)  # [P,P]
+    d_safe = jnp.where(within, d, 1.0)
+    unit = jnp.where(within[..., None], diff / d_safe[..., None], 0.0)
+    A = jnp.concatenate(
+        [bessel_basis(d_safe, cfg.cutoff, cfg.n_radial) * env[..., None],
+         env[..., None]], -1)                            # [P,P,R+1]
+    # directional adjacency shared by every layer's edge-direction stream:
+    # Au[i,j,(r,k)] = A[i,j,r] * u[i,j,k]
+    Au = (A[:, :, :, None] * unit[:, :, None, :]).reshape(
+        P, P, A.shape[-1] * 3)
+
+    z, s = _embed_nodes(system, params, cfg, atom_mask)
+    v = jnp.zeros((P, 3, C), dt)
+
+    for lp in params["layers"]:
+        W = jnp.concatenate([lp["w_radial"]["w"],
+                             lp["w_radial"]["b"][None, :]], 0)  # [R+1,3C]
+        W_s, W_vv, W_vs = jnp.split(W, 3, axis=-1)       # [R+1,C]
+        phi = _apply_mlp(lp["phi"], s)                   # [P,3C]
+        phi_s, phi_vv, phi_vs = jnp.split(phi, 3, axis=-1)
+        # scalar stream: T = A . phi  -> contract radial weights
+        T_s = jnp.einsum("ijr,jc->irc", A, phi_s,
+                         preferred_element_type=dt)
+        ds = jnp.einsum("irc,rc->ic", T_s, W_s,
+                        preferred_element_type=dt)
+        # vector stream 1: neighbor vector features
+        phiv = phi_vv[:, None, :] * v                    # [P,3,C] gated at j
+        T_v = jnp.einsum("ijr,jkc->irkc", A,
+                         phiv, preferred_element_type=dt)
+        dv = jnp.einsum("irkc,rc->ikc", T_v, W_vv,
+                        preferred_element_type=dt)
+        # vector stream 2: edge directions.
+        # dv2[i,k,c] = sum_r W_vs[r,c] sum_j A[i,j,r] u[i,j,k] phi_vs[j,c];
+        # contract j first against the precomputed directional adjacency
+        # Au (30 MB) so no [P,P,C] temp is ever formed.
+        M = jnp.einsum("ijm,jc->imc", Au, phi_vs,
+                       preferred_element_type=dt)        # [P,(R+1)*3,C]
+        M = M.reshape(P, A.shape[-1], 3, C)
+        dv2 = jnp.einsum("irkc,rc->ikc", M, W_vs,
+                         preferred_element_type=dt)
+        s = s + ds * atom_mask[:, None]
+        v = v + (dv + dv2) * atom_mask[:, None, None]
+        s, v = _update_block(lp, s, v, atom_mask)
+
+    return _readout(params, s, z, atom_mask, coords_ang.dtype)
+
+
+def energy_fn(coords_ang: jnp.ndarray, system: PaddedSystem,
+              params: Dict[str, Any], cfg: ModelConfig) -> jnp.ndarray:
+    """Total potential energy in eV. Pure; differentiable in coords."""
+    if cfg.mp_mode == "dense":
+        return energy_fn_dense(coords_ang, system, params, cfg)
+    return energy_fn_gather(coords_ang, system, params, cfg)
 
 
 def make_model(name_or_cfg, *, seed: int = 0, charge: int = 0, spin: int = 1):

@@ -1,0 +1,68 @@
+"""First-class checkpoint/resume for long-running workflows.
+
+The reference has only partial, file-based restartability (SURVEY.md §5.4:
+optimizer ``restart*.yml`` dumps are never surfaced, ``all.py`` is not
+resumable). Here every expensive stage can snapshot its state and resume:
+
+- array state is stored as ``.npz``; metadata (configs, indices, hashes) as
+  JSON next to it;
+- stages are keyed by a content hash of their inputs, so a resumed run
+  re-validates that it is continuing the *same* computation (the reference
+  guards a Hessian cache the same way with exact coordinate comparison,
+  tsopt.py:690-731);
+- used by scan (per-stage), path-search (per-segment memo) and GSM
+  (periodic image dumps).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def content_key(*arrays, extra: str = "") -> str:
+    h = hashlib.sha256()
+    for a in arrays:
+        h.update(np.ascontiguousarray(np.asarray(a, dtype=np.float64)))
+    h.update(extra.encode())
+    return h.hexdigest()[:16]
+
+
+class CheckpointStore:
+    def __init__(self, directory):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def _paths(self, name: str):
+        return self.dir / f"{name}.json", self.dir / f"{name}.npz"
+
+    def save(self, name: str, meta: Dict[str, Any],
+             arrays: Optional[Dict[str, np.ndarray]] = None) -> None:
+        jp, ap = self._paths(name)
+        if arrays:
+            np.savez_compressed(ap, **{k: np.asarray(v)
+                                       for k, v in arrays.items()})
+        jp.write_text(json.dumps(meta, default=float))
+
+    def load(self, name: str):
+        """Returns (meta, arrays) or None."""
+        jp, ap = self._paths(name)
+        if not jp.exists():
+            return None
+        meta = json.loads(jp.read_text())
+        arrays = {}
+        if ap.exists():
+            with np.load(ap) as z:
+                arrays = {k: z[k] for k in z.files}
+        return meta, arrays
+
+    def has(self, name: str) -> bool:
+        return self._paths(name)[0].exists()
+
+    def delete(self, name: str) -> None:
+        for p in self._paths(name):
+            p.unlink(missing_ok=True)

@@ -82,7 +82,7 @@ class SegmentReport:
 class PathSearch:
     def __init__(self, calc, numbers, *, mep_mode="gsm", gs_kw=None,
                  stopt_kw=None, dmf_kw=None, search_kw=None, bond_kw=None,
-                 verbose=True):
+                 verbose=True, store=None):
         self.calc = calc
         self.numbers = np.asarray(numbers, int)
         self.n = calc.n_atoms
@@ -93,6 +93,7 @@ class PathSearch:
         self.verbose = verbose
         self.kink_streak = 0
         self.segments_run = 0
+        self.store = store          # CheckpointStore: per-segment MEP memo
 
     # -- helpers ------------------------------------------------------------
     def _log(self, msg):
@@ -111,14 +112,32 @@ class PathSearch:
         return np.asarray(coords), float(e)
 
     def _mep(self, cA_bohr, cB_bohr):
+        key = None
+        if self.store is not None:
+            from ..runtime.checkpoint import content_key
+            key = "mep_" + content_key(cA_bohr, cB_bohr,
+                                       extra=str(self.mep["mep_mode"]))
+            hit = self.store.load(key)
+            if hit is not None:
+                meta, arrays = hit
+                self._log(f"resume: segment {key} restored from checkpoint")
+                return ([arrays["images"][k]
+                         for k in range(arrays["images"].shape[0])],
+                        list(meta["energies"]), int(meta["hei_idx"]),
+                        bool(meta["converged"]))
         stA = self.calc.structure.copy(coords=cA_bohr * BOHR2ANG)
         stB = self.calc.structure.copy(coords=cB_bohr * BOHR2ANG)
         self.segments_run += 1
         res = run_mep_between(stA, stB, self.calc, verbose=False,
                               **self.mep)
         images = [img[: self.n] for img in res.images]
-        return images, list(map(float, res.energies)), res.hei_idx, \
-            res.converged
+        energies = list(map(float, res.energies))
+        if self.store is not None and key:
+            self.store.save(key, {"energies": energies,
+                                  "hei_idx": int(res.hei_idx),
+                                  "converged": bool(res.converged)},
+                            {"images": np.stack(images)})
+        return images, energies, res.hei_idx, res.converged
 
     def _segment(self, images, energies, hei, conv) -> SegmentReport:
         bc = self._bond_change(images[0], images[-1])
@@ -283,10 +302,12 @@ def run_path_search(
             st.coords = coords * BOHR2ANG
     align_sequence_inplace(structs)
 
+    from ..runtime.checkpoint import CheckpointStore
+    store = CheckpointStore(Path(out_dir) / "checkpoint")
     searcher = PathSearch(calc, structs[0].numbers, mep_mode=mep_mode,
                           gs_kw=gs_kw, stopt_kw=stopt_kw, dmf_kw=dmf_kw,
                           search_kw=search_kw, bond_kw=bond_kw,
-                          verbose=verbose)
+                          verbose=verbose, store=store)
     all_segments: List[SegmentReport] = []
     for a, b in zip(structs[:-1], structs[1:]):
         searcher.kink_streak = 0

@@ -116,12 +116,32 @@ def run_scan(
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    from ..runtime.checkpoint import CheckpointStore, content_key
+    store = CheckpointStore(out / "checkpoint")
     results = []
     coords_bohr = struct.coords_bohr
     step_bohr = step_ang * ANG2BOHR
     stage_reports = []
     paths = []
     for si, stage in enumerate(stages):
+        stage_key = f"stage_{si}_" + content_key(
+            coords_bohr, extra=str(stage) + str(step_ang) + str(bias_k))
+        hit = store.load(stage_key)
+        if hit is not None:
+            meta, arrays = hit
+            coords_bohr = arrays["coords"]
+            stage_frames = [arrays["frames"][k]
+                            for k in range(arrays["frames"].shape[0])]
+            stage_energies = list(meta["energies"])
+            cur_d.update({tuple(p): t for p, t in
+                          zip(meta["pairs"], meta["targets"])})
+            stage_reports.append(meta["report"])
+            results.append({"frames_bohr": stage_frames,
+                            "energies": stage_energies,
+                            "bond_changes": None})
+            if verbose:
+                print(f"[scan] stage {si + 1} resumed from checkpoint")
+            continue
         stage_frames = []
         stage_energies = []
         stage_start_bohr = coords_bohr.copy()
@@ -158,6 +178,12 @@ def run_scan(
                                 coords_bohr)
         report = summarize_changes(struct.numbers, bc)
         stage_reports.append(report)
+        store.save(stage_key,
+                   {"energies": stage_energies, "report": report,
+                    "pairs": [list(p) for p in scheds],
+                    "targets": [scheds[p][-1] for p in scheds]},
+                   {"coords": coords_bohr,
+                    "frames": np.stack(stage_frames)})
         if verbose:
             print(f"[scan] stage {si + 1} bond changes:\n{report}")
         paths += common.write_trajectory(out, f"stage_{si + 1:02d}", struct,
