@@ -79,10 +79,23 @@ def common_options(f):
         click.option("--convert-files", type=BOOL, default="True",
                      callback=_bool_cb,
                      help="Mirror XYZ outputs as PDB/GJF."),
+        click.option("--profile", "profile_dir", default=None,
+                     type=click.Path(path_type=Path),
+                     help="Capture a jax.profiler trace into DIR."),
     ]
     for o in reversed(opts):
         f = o(f)
-    return f
+
+    import functools
+
+    @functools.wraps(f)
+    def wrapper(*args, **kw):
+        profile_dir = kw.pop("profile_dir", None)
+        from .runtime.profiling import trace
+        with trace(profile_dir):
+            return f(*args, **kw)
+
+    return wrapper
 
 
 def parse_freeze(spec: str) -> List:

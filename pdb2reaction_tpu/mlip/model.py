@@ -274,9 +274,67 @@ def energy_fn_dense(coords_ang, system, params, cfg) -> jnp.ndarray:
     return _readout(params, s, z, atom_mask, coords_ang.dtype)
 
 
+def energy_fn_pallas(coords_ang, system, params, cfg) -> jnp.ndarray:
+    """Fused-kernel formulation for large systems.
+
+    Same math as ``energy_fn_dense`` but every radial contraction runs
+    through the Pallas ``radial_contract`` kernel (pallas_ops.py): the
+    [P,P,R] adjacency is built tile-wise in VMEM and contracted on the
+    MXU without ever touching HBM — O(P) memory instead of O(P^2).
+    The edge-direction stream uses the u = (x_i - x_j)/d split:
+        sum_j A u_k phi = x_ik * (B phi) - B (x_k phi),   B = A/d.
+    """
+    from .pallas_ops import radial_contract
+    dt = jnp.float32
+    P = coords_ang.shape[0]
+    C = cfg.hidden
+    atom_mask = system.atom_mask.astype(dt)
+    x = coords_ang.astype(dt)
+    mask = system.atom_mask.astype(dt)
+
+    z, s = _embed_nodes(system, params, cfg, atom_mask)
+    s = s.astype(dt)
+    v = jnp.zeros((P, 3, C), dt)
+
+    for lp in params["layers"]:
+        W = jnp.concatenate([lp["w_radial"]["w"],
+                             lp["w_radial"]["b"][None, :]],
+                            0).astype(dt)                 # [R+1,3C]
+        W_s, W_vv, W_vs = jnp.split(W, 3, axis=-1)
+        phi = _apply_mlp(lp["phi"], s)
+        phi_s, phi_vv, phi_vs = jnp.split(phi, 3, axis=-1)
+        T_s = radial_contract(x, mask, phi_s, cfg.cutoff, cfg.n_radial)
+        ds = jnp.einsum("irc,rc->ic", T_s, W_s,
+                        preferred_element_type=dt)
+        feats_v = (phi_vv[:, None, :] * v).reshape(P, 3 * C)
+        T_v = radial_contract(x, mask, feats_v, cfg.cutoff,
+                              cfg.n_radial).reshape(P, -1, 3, C)
+        dv = jnp.einsum("irkc,rc->ikc", T_v, W_vv,
+                        preferred_element_type=dt)
+        featsB = jnp.concatenate(
+            [x[:, k:k + 1] * phi_vs for k in range(3)] + [phi_vs], -1)
+        Q = radial_contract(x, mask, featsB, cfg.cutoff, cfg.n_radial,
+                            div_d=True)                   # [P,R+1,4C]
+        Q1 = Q[..., : 3 * C].reshape(P, -1, 3, C)
+        Q2 = Q[..., 3 * C:]
+        # u = (x_i - x_j)/d convention (matches energy_fn_dense)
+        dv2 = jnp.einsum("irc,rc->ic", Q2, W_vs,
+                         preferred_element_type=dt)[:, None, :] \
+            * x[:, :, None] \
+            - jnp.einsum("irkc,rc->ikc", Q1, W_vs,
+                         preferred_element_type=dt)
+        s = s + ds * atom_mask[:, None]
+        v = v + (dv + dv2) * atom_mask[:, None, None]
+        s, v = _update_block(lp, s, v, atom_mask)
+
+    return _readout(params, s, z, atom_mask, coords_ang.dtype)
+
+
 def energy_fn(coords_ang: jnp.ndarray, system: PaddedSystem,
               params: Dict[str, Any], cfg: ModelConfig) -> jnp.ndarray:
     """Total potential energy in eV. Pure; differentiable in coords."""
+    if cfg.mp_mode == "pallas":
+        return energy_fn_pallas(coords_ang, system, params, cfg)
     if cfg.mp_mode == "dense":
         return energy_fn_dense(coords_ang, system, params, cfg)
     return energy_fn_gather(coords_ang, system, params, cfg)

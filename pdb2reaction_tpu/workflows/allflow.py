@@ -142,6 +142,40 @@ def run_all(
         work_inputs = [work_inputs[0], prod]
         results["scan"] = {"stages": len(scan_stages)}
 
+    # ---- TSOPT-only mode: one input, no scan (all.py:2675-3156) ----------
+    if len(work_inputs) == 1 and not scan_stages:
+        from .tsopt import run_tsopt
+        from .irc import run_irc as _run_irc
+        from .freq import run_freq as _run_freq
+        ts_out = out / "tsopt"
+        res_ts = run_tsopt(work_inputs[0], charge=charge, spin=spin,
+                           freeze_atoms=freeze_atoms,
+                           auto_freeze_links=auto_freeze_links,
+                           calc_mode=calc_mode, model=model,
+                           out_dir=ts_out, mesh=mesh, verbose=verbose,
+                           **calc_kw)
+        results["tsopt"] = {"converged": res_ts["converged"],
+                            "energy_au": res_ts["energy"],
+                            "n_imag": res_ts["n_imag"]}
+        ts_geom = ts_out / "final_geometry.xyz"
+        if do_freq and ts_geom.exists():
+            _run_freq(ts_geom, charge=charge, spin=spin,
+                      freeze_atoms=freeze_atoms,
+                      auto_freeze_links=False, calc_mode=calc_mode,
+                      model=model, out_dir=out / "freq", mesh=mesh,
+                      verbose=verbose)
+        if do_irc and ts_geom.exists():
+            _run_irc(ts_geom, charge=charge, spin=spin,
+                     freeze_atoms=freeze_atoms, auto_freeze_links=False,
+                     calc_mode=calc_mode, model=model,
+                     out_dir=out / "irc", mesh=mesh, verbose=verbose)
+        write_summary_yaml(out / "summary.yaml", results)
+        if verbose:
+            print(f"[all] TSOPT-only mode complete; elapsed "
+                  f"{format_elapsed(t0)}")
+        results["out_dir"] = out
+        return results
+
     if len(work_inputs) < 2:
         raise ValueError("Need >= 2 structures (or --scan-lists) for a path")
 

@@ -37,14 +37,20 @@ def test_all_pipeline_xyz(tmp_path):
     assert (out / "summary.log").read_text().count("reactive") >= 1
 
 
-def test_all_default_subcommand(tmp_path):
-    """`pdb2r -i ...` routes to `all` (DefaultGroup behavior)."""
+def test_all_default_subcommand_tsopt_only(tmp_path):
+    """`pdb2r -i ...` routes to `all` (DefaultGroup); a single input with
+    no scan lists enters TSOPT-only mode (reference all.py:2675-3156)."""
     a = tmp_path / "A.xyz"
     a.write_text(H3A)
+    out = tmp_path / "out"
     res = CliRunner().invoke(cli, ["-i", str(a), "-q", "0",
-                                   "--calc-mode", "morse"])
-    # fails because only one structure, but it must reach run_all's check
-    assert "Need >= 2 structures" in str(res.exception) or res.exit_code != 0
+                                   "--calc-mode", "morse",
+                                   "--freeze-atoms", "0,2",
+                                   "--out-dir", str(out)])
+    assert res.exit_code == 0, res.output
+    summary = yaml.safe_load((out / "summary.yaml").read_text())
+    assert "tsopt" in summary
+    assert (out / "tsopt" / "final_geometry.xyz").exists()
 
 
 def test_scan2d_small(tmp_path):
