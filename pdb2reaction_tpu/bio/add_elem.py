@@ -11,9 +11,8 @@ assignment + summary (``assign_elements`` :231-295).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
-from ..core import io_pdb
 from .. import elements
 from . import residues as RES
 

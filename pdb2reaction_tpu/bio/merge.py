@@ -8,11 +8,10 @@ protein template by identity keys + Kabsch on the unmoved frame).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from ..core import io_pdb
 from ..core.structure import Structure
 from .align import kabsch
 from .residues import LINK_H_RESNAME

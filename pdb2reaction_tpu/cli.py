@@ -13,12 +13,11 @@ from __future__ import annotations
 
 import sys
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import click
 
-from .workflows.config import (load_yaml_dict, apply_yaml_overrides,
-                               deep_update, pretty_block, parse_bool,
+from .workflows.config import (load_yaml_dict, apply_yaml_overrides, parse_bool,
                                normalize_choice)
 
 

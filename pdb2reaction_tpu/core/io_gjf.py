@@ -16,7 +16,6 @@ from typing import List, Optional
 import numpy as np
 
 from .structure import Structure
-from .. import elements
 
 
 @dataclass

@@ -13,7 +13,7 @@ so scan drivers retarget restraints every scan step with zero recompilation
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -25,13 +25,11 @@ TPU-first redesign:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence
+from typing import Any, Callable, Dict, NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .lbfgs import lbfgs_minimize
 from .vib import frequencies_and_modes, count_imaginary
 from .thresholds import get_thresholds
 

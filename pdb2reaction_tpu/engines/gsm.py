@@ -24,7 +24,6 @@ TPU-first redesign (not a port):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax

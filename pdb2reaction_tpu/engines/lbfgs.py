@@ -12,8 +12,6 @@ Units: atomic units throughout (Bohr coordinates, Hartree energies).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax

@@ -17,7 +17,7 @@ Hartree/(Bohr^2 amu) and convert via ``constants.NU_CM_FACTOR``.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

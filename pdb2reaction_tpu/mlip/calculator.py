@@ -26,16 +26,15 @@ TPU-first differences:
 
 from __future__ import annotations
 
-import functools
 import inspect
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import ANG2BOHR, BOHR2ANG, AU2EV, EV2AU, F_EVAA_2_AU, H_EVAA_2_AU
-from ..core.structure import PaddedSystem, Structure, pad_to
+from ..constants import BOHR2ANG, EV2AU, F_EVAA_2_AU, H_EVAA_2_AU
+from ..core.structure import Structure, pad_to
 from ..parallel.mesh import shard_batch
 
 # Reference calculator option surface (uma_pysis.py:138-165), minus torch/Ray

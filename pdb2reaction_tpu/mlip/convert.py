@@ -24,8 +24,7 @@ identical cutoffs/max_neigh, cf. SURVEY.md §4(b).
 
 from __future__ import annotations
 
-from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

@@ -37,8 +37,6 @@ for the next round.
 from __future__ import annotations
 
 import functools
-import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

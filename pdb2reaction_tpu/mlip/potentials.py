@@ -9,9 +9,7 @@ All return eV given Angstrom coordinates.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 from ..core.structure import PaddedSystem

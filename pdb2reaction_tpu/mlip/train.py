@@ -15,8 +15,7 @@ driver's ``dryrun_multichip`` exercises:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +24,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.structure import PaddedSystem
-from .model import ModelConfig, energy_fn, init_params
+from .model import ModelConfig, energy_fn
 
 
 class TrainBatch(NamedTuple):

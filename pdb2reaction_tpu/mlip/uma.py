@@ -17,10 +17,8 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
-import jax
-import numpy as np
 
 from ..core.structure import Structure
 from .calculator import Calculator

@@ -18,15 +18,13 @@ the reference's in-process sys.argv swapping (all.py:1358-1367).
 
 from __future__ import annotations
 
-import math
 import time
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import numpy as np
-import yaml
 
-from ..constants import BOHR2ANG, AU2KCALPERMOL
+from ..constants import BOHR2ANG
 from ..core import io_pdb, io_xyz
 from ..bio import merge as bio_merge
 from ..bio.add_elem import assign_elements, pdb_needs_elem_fix
@@ -180,12 +178,14 @@ def run_all(
         raise ValueError("Need >= 2 structures (or --scan-lists) for a path")
 
     # ---- Stage 2: MEP (all.py:3335-3707) ---------------------------------
+    skw2 = dict(search_kw or {})
+    skw2["refine_path"] = refine_path
     ps = run_path_search(
         work_inputs, charge=charge, spin=spin, calc_mode=calc_mode,
         model=model, mep_mode=mep_mode, out_dir=out / "stage2_path",
         freeze_atoms=freeze_atoms, auto_freeze_links=auto_freeze_links,
         mesh=mesh, verbose=verbose, gs_kw=gs_kw,
-        search_kw=search_kw, **calc_kw)
+        search_kw=skw2, **calc_kw)
     segments = ps["segments"]
     calc = ps["calculator"]
     pocket_struct = ps["structures"][0]

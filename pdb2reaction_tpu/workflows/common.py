@@ -33,7 +33,21 @@ if _env_platforms and jax.config.jax_platforms != _env_platforms:
         jax.config.update("jax_platforms", _env_platforms)
     except Exception:
         pass
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+# Persistent compilation cache: workflows re-jit identical programs across
+# processes (CLI invocations); caching makes repeat runs start instantly.
+# Disable with PDB2R_TPU_NO_CACHE=1.
+if not os.environ.get("PDB2R_TPU_NO_CACHE"):
+    try:
+        _cache_dir = os.environ.get(
+            "PDB2R_TPU_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "pdb2r_jax"))
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import time
 from pathlib import Path
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import numpy as np
 import yaml
@@ -42,7 +42,6 @@ class ScfNotConverged(RuntimeError):
 
 def _require_pyscf():
     try:
-        import pyscf  # noqa: F401
         return True
     except ImportError as e:
         raise ImportError(

@@ -15,7 +15,6 @@ from typing import Any, Dict, Optional, Sequence
 import numpy as np
 import yaml
 
-from ..constants import BOHR2ANG
 from ..engines.vib import frequencies_and_modes, mode_animation_frames
 from ..engines.thermo import thermochemistry
 from ..core import io_xyz

@@ -12,7 +12,6 @@ import time
 from pathlib import Path
 from typing import Any, Dict, Optional, Sequence
 
-import numpy as np
 
 from ..engines.irc import eulerpc_irc, IRC_KW
 from . import common

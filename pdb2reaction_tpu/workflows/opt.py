@@ -16,9 +16,8 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..constants import BOHR2ANG
-from ..engines.lbfgs import lbfgs_minimize, LBFGS_KW
-from ..engines.rfo import rfo_optimize, RFO_KW
+from ..engines.lbfgs import lbfgs_minimize
+from ..engines.rfo import rfo_optimize
 from ..engines.bias import (make_biased_energy_fn, bias_params,
                             dist_freeze_pairs)
 from ..mlip.calculator import Calculator

@@ -11,12 +11,12 @@ from __future__ import annotations
 
 import time
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import numpy as np
 
-from ..constants import BOHR2ANG, ANG2BOHR
-from ..engines.gsm import gsm_mep, GS_KW, STOPT_KW, select_hei_index
+from ..constants import BOHR2ANG
+from ..engines.gsm import gsm_mep, GS_KW, STOPT_KW
 from ..bio.align import align_sequence_inplace
 from . import common
 from .opt import optimize_structure

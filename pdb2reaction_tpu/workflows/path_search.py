@@ -24,17 +24,15 @@ the whole recursion shares ONE compiled potential program.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
-import yaml
 
 from ..constants import BOHR2ANG, AU2KCALPERMOL
 from ..bio.bonds import compare_structures, summarize_changes
 from ..bio.align import align_sequence_inplace, rmsd
-from ..core import io_xyz
 from . import common
 from .opt import optimize_structure
 from .path_opt import run_mep_between
@@ -308,10 +306,17 @@ def run_path_search(
                           gs_kw=gs_kw, stopt_kw=stopt_kw, dmf_kw=dmf_kw,
                           search_kw=search_kw, bond_kw=bond_kw,
                           verbose=verbose, store=store)
+    refine_path = skw.get("refine_path", True)
     all_segments: List[SegmentReport] = []
     for a, b in zip(structs[:-1], structs[1:]):
         searcher.kink_streak = 0
-        segs = searcher.build(a.coords_bohr, b.coords_bohr, depth=0)
+        if refine_path:
+            segs = searcher.build(a.coords_bohr, b.coords_bohr, depth=0)
+        else:
+            # --refine-path False: single MEP per adjacent pair, no
+            # recursion (reference all.py:3335-3386 concatenation mode)
+            imgs, es, h, cv = searcher._mep(a.coords_bohr, b.coords_bohr)
+            segs = [searcher._segment(imgs, es, h, cv)]
         all_segments.extend(segs)
 
     out = Path(out_dir)

@@ -21,7 +21,6 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..constants import BOHR2ANG, ANG2BOHR
 from ..engines.lbfgs import lbfgs_minimize
 from ..engines.bias import make_biased_energy_fn, bias_params
 from ..mlip.calculator import Calculator

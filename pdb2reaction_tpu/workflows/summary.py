@@ -11,7 +11,6 @@ image; same artifacts, documented substitution).
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
 
