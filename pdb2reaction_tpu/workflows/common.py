@@ -36,8 +36,11 @@ if _env_platforms and jax.config.jax_platforms != _env_platforms:
 
 # Persistent compilation cache: workflows re-jit identical programs across
 # processes (CLI invocations); caching makes repeat runs start instantly.
-# Disable with PDB2R_TPU_NO_CACHE=1.
-if not os.environ.get("PDB2R_TPU_NO_CACHE"):
+# Disable with PDB2R_TPU_NO_CACHE=1. NOT enabled on the axon remote-compile
+# platform: executable serialization hangs compiles there (verified with a
+# minimal reproducer — a trivial matmul stalls with the cache dir set).
+if not os.environ.get("PDB2R_TPU_NO_CACHE") \
+        and "axon" not in (jax.config.jax_platforms or ""):
     try:
         _cache_dir = os.environ.get(
             "PDB2R_TPU_CACHE",
