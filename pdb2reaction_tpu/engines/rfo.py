@@ -195,6 +195,35 @@ def make_rfo_cycle(ts_roots: Optional[Sequence[int]], hessian_update: str,
     return jax.jit(cycle), jax.jit(upd)
 
 
+def _gdiis_step(hist_x, hist_g, x_cur, g_cur, max_vecs: int = 5):
+    """GDIIS extrapolation: least-squares combination of recent geometries
+    minimizing the interpolated gradient (reference RFO gdiis=True,
+    opt.py:262-271). Returns (x_diis, ok)."""
+    X = hist_x[-max_vecs:] + [x_cur]
+    G = hist_g[-max_vecs:] + [g_cur]
+    m = len(X)
+    if m < 2:
+        return x_cur, False
+    Gm = np.stack([np.asarray(g) for g in G])           # [m, D]
+    B = Gm @ Gm.T
+    # solve min |sum c_i g_i| s.t. sum c_i = 1
+    A = np.zeros((m + 1, m + 1))
+    A[:m, :m] = B
+    A[m, :m] = 1.0
+    A[:m, m] = 1.0
+    rhs = np.zeros(m + 1)
+    rhs[m] = 1.0
+    try:
+        sol = np.linalg.solve(A, rhs)
+    except np.linalg.LinAlgError:
+        return x_cur, False
+    c = sol[:m]
+    if np.abs(c).max() > 10.0:          # ill-conditioned: reject
+        return x_cur, False
+    x_diis = sum(ci * np.asarray(xi) for ci, xi in zip(c, X))
+    return x_diis, True
+
+
 def rfo_optimize(
     energy_force_fn: Callable,      # [P,3] Bohr -> (E Ha, F [P,3] au)
     x0_bohr_pad: jnp.ndarray,
@@ -215,6 +244,8 @@ def rfo_optimize(
     hessian_fn: Optional[Callable] = None,   # x_pad -> (3N,3N) au (exact)
     small_eigval_thresh: float = 1e-8,
     max_energy_incr: Optional[float] = None,
+    gdiis: bool = True,
+    gdiis_thresh: float = 2.5e-3,   # RMS(step) gate (opt.py:266)
     callback: Optional[Callable] = None,
     print_every: int = 100,
     **_ignored,
@@ -241,6 +272,8 @@ def rfo_optimize(
     trust = float(trust_radius)
     conv = False
     cyc = 0
+    diis_x: list = []
+    diis_g: list = []
     for cyc in range(1, max_cycles + 1):
         if hessian_fn is not None and hessian_recalc and cyc > 1 \
                 and (cyc - 1) % int(hessian_recalc) == 0:
@@ -248,6 +281,20 @@ def rfo_optimize(
             H = jnp.asarray(dmap.compact_hessian(np.asarray(Hfull)))
         step, pred, lam = cycle_j(H, g, jnp.asarray(trust))
         step_np = np.asarray(step)
+        # GDIIS extrapolation once steps are small (min mode endgame only;
+        # gated like the reference: RMS(step) < gdiis_thresh)
+        x_free = np.asarray(dmap.gather(x))
+        step_rms = float(np.sqrt(np.mean(step_np ** 2)))
+        if gdiis and mode == "min" and step_rms < gdiis_thresh \
+                and len(diis_x) >= 1:
+            # estimated gradient at the proposed point: g + H s
+            g_est = np.asarray(g) + np.asarray(H) @ step_np
+            x_d, ok = _gdiis_step(diis_x, diis_g, x_free + step_np, g_est)
+            if ok:
+                nrm = np.linalg.norm(x_d - x_free)
+                if 0 < nrm <= 2.0 * trust:
+                    step = jnp.asarray(x_d - x_free)
+                    step_np = np.asarray(step)
         x_new = dmap.scatter(dmap.gather(x) + step, x)
         e_new_j, f_new = eff(x_new)
         e_new = float(e_new_j)
@@ -271,6 +318,11 @@ def rfo_optimize(
         s = step
         y = g_new - g
         H = update_j(H, s, y)
+        diis_x.append(np.asarray(dmap.gather(x_new)))
+        diis_g.append(np.asarray(g_new))
+        if len(diis_x) > 6:
+            diis_x.pop(0)
+            diis_g.pop(0)
         # convergence over free DOFs
         is_conv = bool(_conv_check(th, f_new.reshape(-1),
                                    (x_new - x).reshape(-1), dE,
