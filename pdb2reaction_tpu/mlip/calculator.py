@@ -27,6 +27,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import inspect
+import os
 from typing import Any, Callable, Dict
 
 import jax
@@ -123,18 +124,25 @@ class Calculator:
             f = -g * sys_.free_mask[:, None]
             return e, f
 
+        _chunk = int(os.environ.get("PDB2R_TPU_BATCH_CHUNK", "4"))
+
         self._energy_j = jax.jit(energy)
         self._eforce_j = jax.jit(energy_force)
-        self._eforce_batch_j = jax.jit(
-            jax.vmap(energy_force, in_axes=(0, None)))
+
+        @jax.jit
+        def eforce_batch(coords_batch, params):
+            return jax.lax.map(lambda c: energy_force(c, params),
+                               coords_batch, batch_size=_chunk)
+
+        self._eforce_batch_j = eforce_batch
         self._hessian_j = jax.jit(jax.hessian(energy))
 
+        @jax.jit
         def fd_forces_batch(coords_batch, params):
-            def f(c):
-                return -jax.grad(energy)(c, params)
-            return jax.vmap(f)(coords_batch)
+            return jax.lax.map(lambda c: -jax.grad(energy)(c, params),
+                               coords_batch, batch_size=_chunk)
 
-        self._fd_forces_batch_j = jax.jit(fd_forces_batch)
+        self._fd_forces_batch_j = fd_forces_batch
 
         # stable-identity au-unit closures (engines key compile caches on
         # these, so they must be built once per calculator)
@@ -150,8 +158,20 @@ class Calculator:
             return e_ev * _EV2AU, f_au
 
         self._au_eforce_p = au_eforce_p
-        self._au_eforce_batch_p = jax.jit(
-            jax.vmap(au_eforce_p, in_axes=(0, None)))
+        # Batched images run through lax.map with a bounded chunk instead of
+        # a full vmap: XLA stages ~8 live copies of the per-layer [B,P,P,R]
+        # temps under vmap, which OOMs v5e HBM at 300 atoms x 12 images
+        # (40.7 GB observed); chunking caps the live-batch footprint while
+        # keeping per-chunk MXU utilization.
+        chunk = int(os.environ.get("PDB2R_TPU_BATCH_CHUNK", "4"))
+
+        @jax.jit
+        def au_eforce_batch(coords_batch, params):
+            def one(c):
+                return au_eforce_p(c, params)
+            return jax.lax.map(one, coords_batch, batch_size=chunk)
+
+        self._au_eforce_batch_p = au_eforce_batch
 
     # -- helpers ------------------------------------------------------------
     def _to_pad_ang(self, coords_bohr) -> jnp.ndarray:

@@ -227,19 +227,21 @@ def energy_fn_dense(coords_ang, system, params, cfg) -> jnp.ndarray:
     within = (d <= cfg.cutoff) & (~eye)
     env = cosine_envelope(d, cfg.cutoff) * pair * within.astype(dt)  # [P,P]
     d_safe = jnp.where(within, d, 1.0)
-    unit = jnp.where(within[..., None], diff / d_safe[..., None], 0.0)
     A = jnp.concatenate(
         [bessel_basis(d_safe, cfg.cutoff, cfg.n_radial) * env[..., None],
          env[..., None]], -1)                            # [P,P,R+1]
-    # directional adjacency shared by every layer's edge-direction stream:
-    # Au[i,j,(r,k)] = A[i,j,r] * u[i,j,k]
-    Au = (A[:, :, :, None] * unit[:, :, None, :]).reshape(
-        P, P, A.shape[-1] * 3)
+    # A/d for the edge-direction stream: with u = (x_i - x_j)/d,
+    #   sum_j A u_k phi = x_ik * (Ad phi) - Ad (x_k phi),   Ad = A/d.
+    # This keeps every adjacency at [P,P,R+1]; the earlier Au layout
+    # ([P,P,3(R+1)]) held ~8 live backward copies and OOM'd the v5e at
+    # 12-image batches (40.7 GB HLO temps).
+    Ad = A / d_safe[..., None]
 
     z, s = _embed_nodes(system, params, cfg, atom_mask)
     v = jnp.zeros((P, 3, C), dt)
 
-    for lp in params["layers"]:
+    def layer(carry, lp):
+        s, v = carry
         W = jnp.concatenate([lp["w_radial"]["w"],
                              lp["w_radial"]["b"][None, :]], 0)  # [R+1,3C]
         W_s, W_vv, W_vs = jnp.split(W, 3, axis=-1)       # [R+1,C]
@@ -251,23 +253,33 @@ def energy_fn_dense(coords_ang, system, params, cfg) -> jnp.ndarray:
         ds = jnp.einsum("irc,rc->ic", T_s, W_s,
                         preferred_element_type=dt)
         # vector stream 1: neighbor vector features
-        phiv = phi_vv[:, None, :] * v                    # [P,3,C] gated at j
-        T_v = jnp.einsum("ijr,jkc->irkc", A,
-                         phiv, preferred_element_type=dt)
+        phiv = (phi_vv[:, None, :] * v).reshape(P, 3 * C)
+        T_v = jnp.einsum("ijr,jm->irm", A, phiv,
+                         preferred_element_type=dt).reshape(P, -1, 3, C)
         dv = jnp.einsum("irkc,rc->ikc", T_v, W_vv,
                         preferred_element_type=dt)
-        # vector stream 2: edge directions.
-        # dv2[i,k,c] = sum_r W_vs[r,c] sum_j A[i,j,r] u[i,j,k] phi_vs[j,c];
-        # contract j first against the precomputed directional adjacency
-        # Au (30 MB) so no [P,P,C] temp is ever formed.
-        M = jnp.einsum("ijm,jc->imc", Au, phi_vs,
-                       preferred_element_type=dt)        # [P,(R+1)*3,C]
-        M = M.reshape(P, A.shape[-1], 3, C)
-        dv2 = jnp.einsum("irkc,rc->ikc", M, W_vs,
+        # vector stream 2 via the A/d split (no directional adjacency)
+        featsB = jnp.concatenate(
+            [x[:, k:k + 1] * phi_vs for k in range(3)] + [phi_vs], -1)
+        Q = jnp.einsum("ijr,jm->irm", Ad, featsB,
+                       preferred_element_type=dt)        # [P,R+1,4C]
+        Q1 = Q[..., : 3 * C].reshape(P, -1, 3, C)
+        Q2 = Q[..., 3 * C:]
+        dv2 = jnp.einsum("irc,rc->ic", Q2, W_vs,
+                         preferred_element_type=dt)[:, None, :] \
+            * x[:, :, None] \
+            - jnp.einsum("irkc,rc->ikc", Q1, W_vs,
                          preferred_element_type=dt)
         s = s + ds * atom_mask[:, None]
         v = v + (dv + dv2) * atom_mask[:, None, None]
         s, v = _update_block(lp, s, v, atom_mask)
+        return (s, v)
+
+    # rematerialize each layer: backward recomputes layer temps instead of
+    # keeping T/Q alive across all layers
+    layer_ckpt = jax.checkpoint(layer)
+    for lp in params["layers"]:
+        s, v = layer_ckpt((s, v), lp)
 
     return _readout(params, s, z, atom_mask, coords_ang.dtype)
 
