@@ -119,9 +119,20 @@ def _reparam_equal_arc(images, img_mask):
     return newpos
 
 
+_STEP_CACHE: dict = {}
+
+
 def make_macro_step(eforce_batch_fn, free_mask, max_step: float,
                     scale_step: str):
-    """One jitted macro cycle: batched forces -> projected step."""
+    """One jitted macro cycle: batched forces -> projected step.
+
+    Cached per (force closure, step policy): repeated gsm_mep calls with the
+    same calculator (path-search runs many segments) reuse one compiled
+    program instead of re-tracing each segment."""
+    key = (eforce_batch_fn, float(max_step), scale_step)
+    hit = _STEP_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     fm = free_mask[None, :, None]
 
@@ -163,6 +174,7 @@ def make_macro_step(eforce_batch_fn, free_mask, max_step: float,
         hei_fmax = jnp.max(jnp.abs(climb_vec[hei_idx] * fm[0]))
         return new_images, E, perp_rms, rms_all, hei_fmax
 
+    _STEP_CACHE[key] = step_fn
     return step_fn
 
 

@@ -307,6 +307,12 @@ class Calculator:
         One sharded pass over the mesh 'data' axis — the image-parallel
         force evaluation GSM/NEB/DMF/FD-Hessian loops feed (the reference
         evaluates string images serially, SURVEY.md §2.2 items 2-4)."""
+        # stable closure per (calculator, params): string engines key their
+        # compile caches on this identity, so rebuilding it per call would
+        # force a re-trace of every macro-step program
+        cached = getattr(self, "_batch_closure", None)
+        if cached is not None and cached[0] is self.params:
+            return cached[1]
         batched_p = self._au_eforce_batch_p
         params = self.params
         if self.mesh is not None:
@@ -314,8 +320,11 @@ class Calculator:
 
             def fn(coords_batch):
                 return batched_p(shard_batch(coords_batch, mesh), params)
-            return fn
-        return lambda coords_batch: batched_p(coords_batch, params)
+        else:
+            def fn(coords_batch):
+                return batched_p(coords_batch, params)
+        self._batch_closure = (params, fn)
+        return fn
 
     def pad_bohr(self, coords_bohr) -> jnp.ndarray:
         """Host helper: [N,3]/[3N] Bohr -> padded [P,3] Bohr."""

@@ -48,7 +48,7 @@ def run_mep_between(
             print(f"[gsm] cycle {cyc}: grown {grown}, rms(F_perp) = "
                   f"{rms:.2e}, climb = {climb}")
 
-    return gsm_mep(
+    res = gsm_mep(
         eb,
         calc.pad_bohr(structA.coords_bohr),
         calc.pad_bohr(structB.coords_bohr),
@@ -64,6 +64,10 @@ def run_mep_between(
         callback=cb if verbose else None,
         print_every=skw.get("print_every", 10),
     )
+    # the string engine drives the raw batched closure; account its force
+    # calls on the calculator (bench contract, SURVEY.md §5.1)
+    calc.force_calls += int(res.force_calls)
+    return res
 
 
 def run_path_opt(
