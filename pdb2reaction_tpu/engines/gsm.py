@@ -178,6 +178,76 @@ def make_macro_step(eforce_batch_fn, free_mask, max_step: float,
     return step_fn
 
 
+def _hei_device(E):
+    """Device version of select_hei_index: prefer internal local maxima."""
+    M = E.shape[0]
+    interior = (jnp.arange(M) > 0) & (jnp.arange(M) < M - 1)
+    is_max = (E > jnp.roll(E, 1)) & (E > jnp.roll(E, -1)) & interior
+    any_max = jnp.any(is_max)
+    cand = jnp.where(is_max, E, -jnp.inf)
+    hei_lmax = jnp.argmax(cand)
+    hei_int = 1 + jnp.argmax(jnp.where(interior, E, -jnp.inf)[1:M - 1])
+    return jnp.where(any_max, hei_lmax, hei_int).astype(jnp.int32)
+
+
+_RELAX_CACHE: dict = {}
+
+
+def make_device_relax(eforce_batch_fn, free_mask, max_step: float,
+                      scale_step: str, climb: bool, climb_rms: float,
+                      conv_perp_rms: float):
+    """The fully-grown string relaxation as ONE on-device lax.while_loop.
+
+    TPU-first rationale: a host-synced macro loop pays the full host<->device
+    round trip every cycle — measured at ~7.3 s/call through the axon relay
+    (vs ~40 ms of compute), turning a 25-cycle GSM into minutes. Running the
+    whole loop on device syncs exactly once (same design as the L-BFGS
+    engine)."""
+    key = (eforce_batch_fn, float(max_step), scale_step, bool(climb),
+           float(climb_rms), float(conv_perp_rms))
+    hit = _RELAX_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    step_fn_inner = make_macro_step(eforce_batch_fn, free_mask, max_step,
+                                    scale_step)
+
+    @jax.jit
+    def relax(images, img_mask, n_max):
+        M = images.shape[0]
+
+        def cond(st):
+            images, cycle, climb_on, done, E = st
+            return (~done) & (cycle < n_max)
+
+        def body(st):
+            images, cycle, climb_on, done, E_prev = st
+            hei = _hei_device(E_prev)
+            imgs2, E, perp, rms_all, hei_fmax = step_fn_inner(
+                images, img_mask, climb_on, hei)
+            # reparametrize, preserving the climbing image
+            hei_pos = imgs2[hei]
+            reparamed = _reparam_equal_arc(imgs2, img_mask)
+            reparamed = jnp.where(climb_on,
+                                  reparamed.at[hei].set(hei_pos),
+                                  reparamed)
+            climb_on2 = climb_on | (jnp.asarray(climb) & (rms_all < climb_rms))
+            climb_ok = (~jnp.asarray(climb)) | (
+                climb_on & (hei_fmax < jnp.maximum(conv_perp_rms, climb_rms)))
+            done_new = (rms_all < conv_perp_rms) & climb_ok
+            return (reparamed, cycle + 1, climb_on2, done_new, E)
+
+        # seed energies for the first HEI pick
+        E0, _ = eforce_batch_fn(images)
+        st0 = (images, jnp.array(0), jnp.array(False), jnp.array(False), E0)
+        images, cycle, climb_on, done, E = jax.lax.while_loop(
+            cond, body, st0)
+        return images, E, cycle, done
+
+    _RELAX_CACHE[key] = relax
+    return relax
+
+
 def gsm_mep(
     eforce_batch_fn: Callable,     # [M,P,3] Bohr -> (E [M], F [M,P,3])
     x0_bohr_pad: jnp.ndarray,      # [P,3] endpoint A
@@ -240,72 +310,62 @@ def gsm_mep(
     stall = 0
     max_micro_cycles = int(_ignored.get("max_micro_cycles", 10))
 
+    # ---- growth phase (host loop: frontier bookkeeping is data-dependent;
+    # a handful of cycles at most_nodes growths) -----------------------------
+    g_steps = 0
     for cyc in range(1, max_cycles + 1):
+        fully_grown = (n_left + n_right) >= (M - 2)
+        if fully_grown:
+            break
         gm = grow_mask()
         images_new, E_j, perp_rms, rms_all, hei_fmax = step_fn(
             images, gm, jnp.asarray(climb_on), jnp.asarray(hei_idx))
         force_calls += M
+        g_steps += 1
         E = np.asarray(E_j)
         # only grown images move
         images = jnp.where(gm[:, None, None] > 0, images_new, images)
 
-        fully_grown = (n_left + n_right) >= (M - 2)
-        if not fully_grown:
-            # grow a frontier once its perpendicular force has relaxed
-            # below perp_thresh (pysisyphus growth criterion)
-            pr = np.asarray(perp_rms)
-            grew = False
-            if pr[n_left] < perp_thresh and (n_left + n_right) < (M - 2):
+        # grow a frontier once its perpendicular force has relaxed below
+        # perp_thresh (pysisyphus growth criterion)
+        pr = np.asarray(perp_rms)
+        grew = False
+        if pr[n_left] < perp_thresh and (n_left + n_right) < (M - 2):
+            n_left += 1
+            grew = True
+        if pr[M - 1 - n_right] < perp_thresh \
+                and (n_left + n_right) < (M - 2):
+            n_right += 1
+            grew = True
+        # stall guard: force growth after max_micro_cycles without it
+        stall = 0 if grew else stall + 1
+        if not grew and stall >= max_micro_cycles \
+                and (n_left + n_right) < (M - 2):
+            if n_left <= n_right:
                 n_left += 1
-                grew = True
-            if pr[M - 1 - n_right] < perp_thresh \
-                    and (n_left + n_right) < (M - 2):
-                n_right += 1
-                grew = True
-            # stall guard: force growth after max_micro_cycles without it
-            stall = 0 if grew else stall + 1
-            if not grew and stall >= max_micro_cycles \
-                    and (n_left + n_right) < (M - 2):
-                if n_left <= n_right:
-                    n_left += 1
-                else:
-                    n_right += 1
-                stall = 0
-            images = reinterp(images)
-        else:
-            cycles_since_full += 1
-
-        # reparametrize (the climbing image is excluded — reparametrization
-        # would drag it off the saddle every cycle)
-        every = reparam_every_full if fully_grown else reparam_every
-        if every and cyc % every == 0 and fully_grown:
-            if climb_on:
-                hei_pos = images[hei_idx]
-                images = _reparam_equal_arc(images, gm)
-                images = images.at[hei_idx].set(hei_pos)
             else:
-                images = _reparam_equal_arc(images, gm)
-
-        # climbing image activation
-        hei_idx = select_hei_index(E)
-        if climb and fully_grown and float(rms_all) < climb_rms:
-            climb_on = True
-
+                n_right += 1
+            stall = 0
+        images = reinterp(images)
         if callback and cyc % print_every == 0:
             callback(cyc, E, float(rms_all), n_left + n_right, climb_on)
 
-        climb_ok = (not climb) or (
-            climb_on and float(hei_fmax) < max(conv_perp_rms, climb_rms))
-        if fully_grown and float(rms_all) < conv_perp_rms and climb_ok:
-            conv = True
-            break
-        if fully_grown and cycles_since_full >= stop_in_when_full:
-            break
-
-    # final energies
-    E_j, _ = eforce_batch_fn(images)
-    force_calls += M
+    # ---- fully-grown relaxation: ONE on-device while_loop ------------------
+    # (a host-synced macro loop pays the host<->device round trip every
+    # cycle — ~7.3 s/call through the axon relay vs ~40 ms of compute)
+    gm = jnp.ones(M)
+    budget = min(max_cycles - g_steps, stop_in_when_full)
+    relax = make_device_relax(eforce_batch_fn, jnp.asarray(free_mask),
+                              max_step, scale_step, climb, climb_rms,
+                              conv_perp_rms)
+    images, E_j, cycles_dev, done = relax(images, gm, jnp.asarray(budget))
+    n_dev = int(cycles_dev)
+    force_calls += (n_dev + 1) * M     # +1: energy seed for the HEI pick
+    cyc = g_steps + n_dev
+    conv = bool(done)
     E = np.asarray(E_j)
+    if callback:
+        callback(cyc, E, -1.0, M - 2, True)
     return GsmResult(images=np.asarray(images), energies=E,
                      hei_idx=select_hei_index(E), converged=conv,
                      cycles=cyc, force_calls=force_calls)

@@ -60,4 +60,6 @@ def test_gsm_force_call_accounting():
                   calc.pad_bohr(xB * ANG2BOHR),
                   calc.system.free_mask,
                   max_nodes=4, max_cycles=50, conv_perp_rms=5e-4)
+    # growth cycles + device cycles + the device phase's energy seed,
+    # all at M=6 images per batched call
     assert res.force_calls == (res.cycles + 1) * 6
