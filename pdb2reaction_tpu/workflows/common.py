@@ -20,10 +20,17 @@ from pathlib import Path
 
 import jax
 
-# Optimizer math runs in float64 (unit conversions, thresholds at 1e-6
-# Ha/Bohr demand it); the MLIP stays float32/bfloat16 internally via
-# explicit casts, so the TPU hot path is unaffected.
-jax.config.update("jax_enable_x64", True)
+# Precision policy: on CPU, optimizer math runs in float64 (host-side
+# reference contract; vtight thresholds). On the TPU path x64 stays OFF —
+# measured on v5e: with the global x64 flag enabled, XLA stages ~8 live
+# broadcast copies of the per-layer message tensors even for all-f32
+# programs (40 GB HLO temps at 12 images / 300 atoms, 60x slowdown when it
+# fits); with the flag off the identical program runs in ~100 ms. The MLIP
+# is float32 regardless (as is the reference's UMA); Hartree/Bohr
+# conversions happen in float64 on the host either way.
+_plat = jax.config.jax_platforms or ""
+if _plat.startswith("cpu") or os.environ.get("PDB2R_TPU_X64") == "1":
+    jax.config.update("jax_enable_x64", True)
 
 # Honor JAX_PLATFORMS even when a site plugin (axon) force-registered a
 # platform list before we were imported.
