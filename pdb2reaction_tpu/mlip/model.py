@@ -59,6 +59,11 @@ class ModelConfig:
     # also exact: no max_neighbors truncation); "gather" is the [P,K]
     # neighbor-matrix variant for very large P where P^2 is prohibitive.
     mp_mode: str = "dense"
+    # rematerialize each message layer in the backward pass: trades ~40%
+    # throughput (244 -> 176 calls/s at batch 64 on v5e) for per-layer
+    # activation memory; off by default since the A/d layout + f32 policy
+    # already fit 64-image batches
+    remat_layers: bool = False
 
 
 # Registry of named configs. "uma-s-1p1" is the flagship surrogate matching
@@ -275,11 +280,11 @@ def energy_fn_dense(coords_ang, system, params, cfg) -> jnp.ndarray:
         s, v = _update_block(lp, s, v, atom_mask)
         return (s, v)
 
-    # rematerialize each layer: backward recomputes layer temps instead of
-    # keeping T/Q alive across all layers
-    layer_ckpt = jax.checkpoint(layer)
+    # optionally rematerialize each layer: backward recomputes layer temps
+    # instead of keeping T/Q alive across all layers
+    layer_fn = jax.checkpoint(layer) if cfg.remat_layers else layer
     for lp in params["layers"]:
-        s, v = layer_ckpt((s, v), lp)
+        s, v = layer_fn((s, v), lp)
 
     return _readout(params, s, z, atom_mask, coords_ang.dtype)
 
