@@ -190,6 +190,8 @@ def run_all(
     calc = ps["calculator"]
     pocket_struct = ps["structures"][0]
     results["path"] = segments_summary(segments)
+    from ..runtime.profiling import ForceCallMeter
+    meter = ForceCallMeter(calc)
 
     # ---- Stage 3: merged full-system mirrors (all.py:3758-3787) ----------
     if full_templates is not None:
@@ -223,6 +225,8 @@ def run_all(
         if tsopt:
             from ..engines.dimer import hessian_dimer
             try:
+                meter_ctx = meter.phase(f"tsopt_seg{si}")
+                meter_ctx.__enter__()
                 hei_path = seg_out / "hei_guess.xyz"
                 io_xyz.write_xyz(hei_path, pocket_struct.copy(
                     coords=hei_x * BOHR2ANG), energy=ts_e)
@@ -238,6 +242,8 @@ def run_all(
             except Exception as e:
                 print(f"[all] WARNING: tsopt failed on segment {si}: {e}")
                 entry["tsopt"] = {"error": str(e)}
+            finally:
+                meter_ctx.__exit__(None, None, None)
 
         # endpoint minimization (all.py:1228-1294)
         minima = []
@@ -325,6 +331,10 @@ def run_all(
         seg_results.append(entry)
 
     results["segments"] = seg_results
+    if seg_results and verbose:
+        print("[all] per-phase force-call accounting:")
+        print(meter.report())
+    results["force_call_phases"] = meter.phases
 
     # ---- aggregation: diagrams + summary (all.py:4387-4449) --------------
     summary = segments_summary(segments)
