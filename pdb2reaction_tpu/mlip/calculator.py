@@ -135,7 +135,19 @@ class Calculator:
                                coords_batch, batch_size=_chunk)
 
         self._eforce_batch_j = eforce_batch
-        self._hessian_j = jax.jit(jax.hessian(energy))
+
+        # analytic Hessian = batched HVPs (forward-over-reverse), chunked:
+        # jax.hessian would materialize all 3P tangent columns at once —
+        # 28 GB of per-column message temps at 300 atoms on v5e
+        @jax.jit
+        def hvp_batch(coords_pad, tangents, params):
+            def hvp(v):
+                return jax.jvp(lambda c: jax.grad(energy)(c, params),
+                               (coords_pad,),
+                               (v.astype(coords_pad.dtype),))[1]
+            return jax.lax.map(hvp, tangents, batch_size=_chunk)
+
+        self._hvp_batch_j = hvp_batch
 
         @jax.jit
         def fd_forces_batch(coords_batch, params):
@@ -240,12 +252,17 @@ class Calculator:
 
     def _analytic_hessian(self, coords_bohr) -> np.ndarray:
         c = self._to_pad_ang(coords_bohr)
-        H = np.asarray(self._hessian_j(c, self.params), dtype=np.float64)
-        H = H.reshape(self.n_pad * 3, self.n_pad * 3)
         n3 = self.n_atoms * 3
-        idx = np.arange(self.n_pad * 3).reshape(self.n_pad, 3)[: self.n_atoms].reshape(-1)
-        H = H[np.ix_(idx, idx)]
-        assert H.shape == (n3, n3)
+        # unit tangents for every real-atom DOF, evaluated as chunked HVPs
+        eye = np.zeros((n3, self.n_pad, 3), dtype=np.float32)
+        flat = eye.reshape(n3, -1)
+        atom = np.arange(n3) // 3
+        comp = np.arange(n3) % 3
+        flat[np.arange(n3), atom * 3 + comp] = 1.0
+        rows = np.asarray(self._hvp_batch_j(c, jnp.asarray(eye),
+                                            self.params), dtype=np.float64)
+        H = rows[:, : self.n_atoms].reshape(n3, n3)
+        H = 0.5 * (H + H.T)
         return H * H_EVAA_2_AU
 
     def _fd_hessian(self, coords_bohr) -> np.ndarray:
