@@ -177,6 +177,7 @@ def hessian_dimer(
 
     def eforce_flat(x_flat):
         e, f = eff(jnp.asarray(x_flat.reshape(P, 3)))
+        calc.force_calls += 1
         return float(e), np.asarray(f).reshape(-1)
 
     x = np.asarray(x0_bohr_pad).reshape(-1)

@@ -108,6 +108,7 @@ def eulerpc_irc(
         pad = np.zeros((P, 3))
         pad[:n] = x3n.reshape(n, 3)
         e, f = eff(jnp.asarray(pad))
+        calc.force_calls += 1
         return float(e), np.asarray(f)[:n].reshape(-1)
 
     x_ts = np.asarray(x_ts_bohr_pad)[:n].reshape(-1)
