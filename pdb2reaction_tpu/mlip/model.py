@@ -75,6 +75,13 @@ CONFIGS: Dict[str, ModelConfig] = {
                              cutoff=6.0, max_neighbors=48),
     "small": ModelConfig(hidden=64, n_layers=2, n_radial=8,
                          cutoff=5.0, max_neighbors=16),
+    # fast-inference variant: bfloat16 feature math (f32 accumulation via
+    # preferred_element_type), ~1.7x throughput on v5e; forces carry ~1e-3
+    # relative noise — fine for gau_loose pre-optimization and path
+    # exploration, use the f32 config for tight refinement
+    "uma-s-1p1-bf16": ModelConfig(hidden=256, n_layers=4, n_radial=24,
+                                  cutoff=6.0, max_neighbors=32,
+                                  dtype=jnp.bfloat16),
 }
 
 
