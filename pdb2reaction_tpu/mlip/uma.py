@@ -25,12 +25,24 @@ from .calculator import Calculator
 from .model import CONFIGS, make_model
 
 
-def load_checkpoint(path) -> Optional[dict]:
+def load_checkpoint(path, *, required: bool = False) -> Optional[dict]:
+    """Restore a params pytree.
+
+    ``required=True`` (an explicitly requested checkpoint) raises on any
+    restore failure — a corrupt/missing/incompatible checkpoint must never
+    silently degrade to surrogate weights (downstream opt/tsopt/IRC would
+    "converge" on a chemically meaningless surface)."""
+    path = Path(path).resolve()
+    import orbax.checkpoint as ocp
     try:
-        import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(Path(path).resolve())
-    except Exception:
+        return ckptr.restore(path)
+    except (FileNotFoundError, ValueError, KeyError, TypeError, OSError) as e:
+        if required:
+            raise RuntimeError(
+                f"Failed to restore requested checkpoint {path}: {e}") from e
+        print(f"[uma] WARNING: checkpoint {path} could not be restored "
+              f"({e}); falling back to surrogate weights")
         return None
 
 
@@ -71,7 +83,8 @@ def make_uma_calculator(
 
     ckpt_params = None
     if checkpoint:
-        ckpt_params = load_checkpoint(checkpoint)
+        # explicit request: failure is fatal, never a silent surrogate
+        ckpt_params = load_checkpoint(checkpoint, required=True)
     else:
         root = os.environ.get("PDB2R_TPU_CKPT_DIR")
         if root and (Path(root) / model).exists():

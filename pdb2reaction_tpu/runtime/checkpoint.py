@@ -27,7 +27,12 @@ import numpy as np
 def content_key(*arrays, extra: str = "") -> str:
     h = hashlib.sha256()
     for a in arrays:
-        h.update(np.ascontiguousarray(np.asarray(a, dtype=np.float64)))
+        a = np.asarray(a, dtype=np.float64)
+        # shape/dtype header + separator per array: same bytes under a
+        # different shape, or a different split across varargs, must not
+        # collide to the same key (the resume guard depends on it)
+        h.update(f"|{a.shape}:{a.dtype}|".encode())
+        h.update(np.ascontiguousarray(a))
     h.update(extra.encode())
     return h.hexdigest()[:16]
 

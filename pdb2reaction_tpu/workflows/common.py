@@ -20,18 +20,6 @@ from pathlib import Path
 
 import jax
 
-# Precision policy: on CPU, optimizer math runs in float64 (host-side
-# reference contract; vtight thresholds). On the TPU path x64 stays OFF —
-# measured on v5e: with the global x64 flag enabled, XLA stages ~8 live
-# broadcast copies of the per-layer message tensors even for all-f32
-# programs (40 GB HLO temps at 12 images / 300 atoms, 60x slowdown when it
-# fits); with the flag off the identical program runs in ~100 ms. The MLIP
-# is float32 regardless (as is the reference's UMA); Hartree/Bohr
-# conversions happen in float64 on the host either way.
-_plat = jax.config.jax_platforms or ""
-if _plat.startswith("cpu") or os.environ.get("PDB2R_TPU_X64") == "1":
-    jax.config.update("jax_enable_x64", True)
-
 # Honor JAX_PLATFORMS even when a site plugin (axon) force-registered a
 # platform list before we were imported.
 _env_platforms = os.environ.get("JAX_PLATFORMS")
@@ -41,13 +29,52 @@ if _env_platforms and jax.config.jax_platforms != _env_platforms:
     except Exception:
         pass
 
+
+def _resolved_platform() -> str:
+    """Best-effort platform name WITHOUT initializing a backend.
+
+    ``jax.config.jax_platforms`` is None unless JAX_PLATFORMS was set, and
+    ``jax.default_backend()`` would eagerly claim the TPU (expensive on
+    axon; wrong for host-only subcommands like ``extract``). Instead check
+    the registered backend factories: an accelerator plugin registers its
+    factory at import time, so "no accelerator factory" == CPU host."""
+    cfg = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS")
+    if cfg:
+        return cfg.split(",")[0].strip().lower()
+    try:
+        from jax._src import xla_bridge as _xb
+        factories = set(getattr(_xb, "_backend_factories", {}))
+    except Exception:
+        factories = set()
+    for p in ("axon", "tpu", "cuda", "rocm", "gpu"):
+        if p in factories:
+            return p
+    return "cpu"
+
+
+PLATFORM = _resolved_platform()
+
+# Precision policy: on CPU, optimizer math runs in float64 (host-side
+# reference contract; vtight thresholds). On the TPU path x64 stays OFF —
+# measured on v5e: with the global x64 flag enabled, XLA stages ~8 live
+# broadcast copies of the per-layer message tensors even for all-f32
+# programs (40 GB HLO temps at 12 images / 300 atoms, 60x slowdown when it
+# fits); with the flag off the identical program runs in ~100 ms. The MLIP
+# is float32 regardless (as is the reference's UMA); Hartree/Bohr
+# conversions happen in float64 on the host either way.
+if PLATFORM == "cpu" or os.environ.get("PDB2R_TPU_X64") == "1":
+    jax.config.update("jax_enable_x64", True)
+
 # Persistent compilation cache: workflows re-jit identical programs across
 # processes (CLI invocations); caching makes repeat runs start instantly.
 # Disable with PDB2R_TPU_NO_CACHE=1. NOT enabled on the axon remote-compile
 # platform: executable serialization hangs compiles there (verified with a
 # minimal reproducer — a trivial matmul stalls with the cache dir set).
-if not os.environ.get("PDB2R_TPU_NO_CACHE") \
-        and "axon" not in (jax.config.jax_platforms or ""):
+_axon_present = (
+    PLATFORM == "axon"
+    or "axon" in (jax.config.jax_platforms or "")
+    or "axon" in os.environ.get("JAX_PLATFORMS", ""))
+if not os.environ.get("PDB2R_TPU_NO_CACHE") and not _axon_present:
     try:
         _cache_dir = os.environ.get(
             "PDB2R_TPU_CACHE",

@@ -242,19 +242,37 @@ class PathSearch:
         return max(0, min(i, len(E) - 1))
 
     def _stitch(self, segments: List[SegmentReport]) -> List[SegmentReport]:
-        """RMSD-dedup at segment interfaces (:958-1108)."""
+        """Interface handling between adjacent segments (reference
+        _stitch_paths, path_search.py:958-1108):
+
+        - interface RMSD below ``rmsd_dedup_thresh`` -> drop the duplicated
+          boundary image from the later segment;
+        - interface gap above ``bridge_rmsd_thresh`` -> insert a bridge MEP
+          segment (full reactive segment if the interface itself shows a
+          covalent change, otherwise a kink-marked bridge)."""
         out: List[SegmentReport] = []
         for seg in segments:
             if out:
-                prev = out[-1]
-                if rmsd(prev.images_bohr[-1], seg.images_bohr[0]) \
-                        < self.kw["rmsd_dedup_thresh"]:
+                prev_end = out[-1].images_bohr[-1]
+                gap = rmsd(prev_end, seg.images_bohr[0])
+                if gap < self.kw["rmsd_dedup_thresh"] \
+                        and len(seg.images_bohr) > 1:
                     seg = SegmentReport(
-                        images_bohr=seg.images_bohr,
-                        energies=seg.energies, hei_idx=seg.hei_idx,
+                        images_bohr=seg.images_bohr[1:],
+                        energies=seg.energies[1:],
+                        hei_idx=max(seg.hei_idx - 1, 0),
                         is_reactive=seg.is_reactive, is_kink=seg.is_kink,
                         bond_summary=seg.bond_summary,
                         converged=seg.converged)
+                elif gap > self.kw["bridge_rmsd_thresh"]:
+                    bc = self._bond_change(prev_end, seg.images_bohr[0])
+                    self._log(f"stitch: interface gap RMSD {gap:.4f} Bohr -> "
+                              + ("reactive bridge MEP" if bc.any_change
+                                 else "bridge MEP"))
+                    imgs, es, h, cv = self._mep(prev_end, seg.images_bohr[0])
+                    bridge = self._segment(imgs, es, h, cv)
+                    bridge.is_kink = not bc.any_change
+                    out.append(bridge)
             out.append(seg)
         return out
 

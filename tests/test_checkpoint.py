@@ -48,3 +48,12 @@ def test_path_search_resume_uses_memo(tmp_path):
     r2 = CliRunner().invoke(cli, args)
     assert r2.exit_code == 0, r2.output
     assert "restored from checkpoint" in r2.output
+
+
+def test_content_key_shape_and_split_sensitivity():
+    import numpy as np
+    a = np.arange(12, dtype=float)
+    # same bytes, different shape -> different key
+    assert content_key(a) != content_key(a.reshape(3, 4))
+    # same concatenated bytes, different split across varargs -> different key
+    assert content_key(a[:6], a[6:]) != content_key(a[:4], a[4:])

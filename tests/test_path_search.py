@@ -54,3 +54,28 @@ def test_path_search_kink(tmp_path):
     # after preopt both conformers relax into the same well -> either a pure
     # kink segment or nothing reactive
     assert all(not s["reactive"] for s in summary["segments"])
+
+
+def test_stitch_drops_duplicate_boundary_image():
+    """_stitch must actually remove the duplicated interface image
+    (reference path_search.py:958-1108 interface dedup)."""
+    import numpy as np
+    from pdb2reaction_tpu.workflows.path_search import (PathSearch,
+                                                        SegmentReport)
+
+    c = [np.full((3, 3), float(k)) for k in range(4)]
+    seg_a = SegmentReport(images_bohr=[c[0], c[1], c[2]],
+                          energies=[0.0, 0.5, 0.1], hei_idx=1,
+                          is_reactive=True)
+    seg_b = SegmentReport(images_bohr=[c[2], c[3]],
+                          energies=[0.1, 0.0], hei_idx=0,
+                          is_reactive=True)
+    ps = PathSearch.__new__(PathSearch)
+    ps.kw = {"rmsd_dedup_thresh": 1e-3, "bridge_rmsd_thresh": 1e9}
+    ps.verbose = False
+    out = ps._stitch([seg_a, seg_b])
+    assert len(out) == 2
+    # boundary image dropped from the later segment, hei reindexed
+    assert len(out[1].images_bohr) == 1
+    assert out[1].energies == [0.0]
+    assert out[1].hei_idx == 0
