@@ -1,49 +1,65 @@
-"""fairchem UMA checkpoint conversion (weight-parity roadmap).
+"""UMA/eSCN checkpoint conversion: torch state dict -> JAX pytree.
 
 The reference consumes Meta's pretrained UMA models through fairchem
-(``pretrained_mlip.get_predict_unit``, uma_pysis.py:246-250). Reaching the
-BASELINE force-parity bar (<= 1e-6 eV/atom, BASELINE.md) requires loading
-those weights into a bit-faithful JAX reimplementation of the eSCN-MoE
-backbone. This module holds the conversion machinery:
+(``pretrained_mlip.get_predict_unit``, /root/reference/pdb2reaction/
+uma_pysis.py:246-250). Reaching the BASELINE force-parity bar
+(<= 1e-6 eV/atom) requires loading eSCN-MoE weights into the JAX backbone
+(``mlip.escn``). This module is that converter:
 
-1. ``inspect_checkpoint``: enumerate a fairchem checkpoint's tensors
-   (works with a plain ``torch.load`` of the published .pt files — torch
-   CPU is available in this image; fairchem itself is not required for
-   reading the state dict).
-2. ``convert_state_dict``: map fairchem parameter names into this
-   package's pytree layout. The PaiNN-class surrogate does NOT have a
-   1:1 correspondence with eSCN-MoE tensors, so full parity needs the
-   eSCN backbone port (tracked as the round-2 flagship item); the mapping
-   table below covers the shared pieces (element references, embedding
-   tables) and records what remains.
+- ``convert_state_dict(sd, cfg)``: full fairchem-style name mapping into the
+  ``init_escn_params`` pytree layout (torch Linear [out, in] transposed,
+  MoLE stacks [E, out, in] -> [E, in, out]).
+- ``infer_config(sd)``: reconstruct the ESCNConfig (lmax/mmax/channels/
+  layers/experts/...) from tensor shapes alone, so any published config
+  converts without side-channel metadata.
+- ``load_torch_checkpoint(path, ...)``: plain ``torch.load`` of a .pt file
+  (torch-CPU is in the image; fairchem itself is not required to read a
+  state dict).
 
-Parity test protocol (once weights land): fixed structures, compare
-energies/forces against the reference calculator to <= 1e-6 eV/atom at
-identical cutoffs/max_neigh, cf. SURVEY.md §4(b).
+Round-trip proof: tests/test_escn_parity.py initializes the torch mirror
+(tests/torch_escn.py, fairchem-style names), exports its state dict, runs it
+through this converter and checks JAX energies/forces against torch autograd
+to <= 1e-6 eV/atom on multiple structures — the exact path a real
+checkpoint takes. No published checkpoint ships in this offline image; when
+one is present, point ``PDB2R_TPU_UMA_PT`` at the .pt file and the same code
+path loads it.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+import re
+from typing import Any, Dict, Mapping
 
 import numpy as np
 
-# fairchem tensor-name prefixes -> local pytree slots (shared pieces)
-SHARED_MAPPING = {
-    # per-element reference energies
-    "module.backbone.sphere_embedding.weight": "embed_z",
-    "element_references.energy": "atom_ref",
-}
+
+def _np(v):
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v)
 
 
-def inspect_checkpoint(path) -> Dict[str, Any]:
-    """List tensor names/shapes in a fairchem .pt checkpoint."""
-    import torch
-    sd = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(sd, dict) and "state_dict" in sd:
+def _strip(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Unwrap {state_dict: ...} containers and 'module.' DDP prefixes."""
+    if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
         sd = sd["state_dict"]
     out = {}
     for k, v in sd.items():
+        k = re.sub(r"^(module\.)+", "", k)
+        out[k] = v
+    return out
+
+
+def load_torch_checkpoint(path) -> Dict[str, Any]:
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    return _strip(sd)
+
+
+def inspect_checkpoint(path) -> Dict[str, Any]:
+    """List tensor names/shapes in a .pt checkpoint."""
+    out = {}
+    for k, v in load_torch_checkpoint(path).items():
         try:
             out[k] = tuple(v.shape)
         except AttributeError:
@@ -51,32 +67,121 @@ def inspect_checkpoint(path) -> Dict[str, Any]:
     return out
 
 
-def convert_state_dict(path, cfg) -> Dict[str, np.ndarray]:
-    """Extract the mappable tensors from a fairchem checkpoint.
+def infer_config(sd: Mapping[str, Any], **overrides):
+    """Reconstruct an ESCNConfig from tensor shapes."""
+    from .escn import ESCNConfig
 
-    Returns partial params (shared pieces only); raises with a clear
-    summary of unmapped tensors so progress toward full parity is
-    visible rather than silent.
+    sd = _strip(sd)
+    sph = _np(sd["backbone.sphere_embedding.weight"])
+    max_z = sph.shape[0] - 1
+    C = sph.shape[1]
+    edge_ch = _np(sd["backbone.source_embedding.weight"]).shape[1]
+    route_dim = _np(sd["backbone.charge_embedding.weight"]).shape[1]
+    charge_range = (_np(sd["backbone.charge_embedding.weight"]).shape[0] - 1) // 2
+    spin_range = _np(sd["backbone.spin_embedding.weight"]).shape[0] - 1
+    num_tasks = _np(sd["backbone.task_embedding.weight"]).shape[0]
+    num_gauss = _np(sd["backbone.edge_mlp.0.weight"]).shape[1] - 2 * edge_ch
+    E, dproj_out, _ = _np(sd["backbone.edge_degree_proj.weight"]).shape
+    lmax = dproj_out // C - 1
+    # mmax from the highest fc_m{m}_r present in block 0
+    mmax = 0
+    for k in sd:
+        m = re.match(r"backbone\.blocks\.0\.so2_conv_1\.fc_m(\d+)_r\.weight", k)
+        if m:
+            mmax = max(mmax, int(m.group(1)))
+    n_layers = 1 + max(int(re.match(r"backbone\.blocks\.(\d+)\.", k).group(1))
+                       for k in sd if k.startswith("backbone.blocks."))
+    h = _np(sd["backbone.blocks.0.so2_conv_1.fc_m0.weight"]).shape[1] \
+        // (lmax + 1)
+    ffn_hidden = _np(sd["backbone.blocks.0.ffn.w1.weight"]).shape[1]
+    kw = dict(lmax=lmax, mmax=mmax, sphere_channels=C, hidden_channels=h,
+              edge_channels=edge_ch, ffn_hidden=ffn_hidden,
+              num_layers=n_layers, num_experts=E, route_dim=route_dim,
+              num_gauss=num_gauss, max_z=max_z, charge_range=charge_range,
+              spin_range=spin_range, num_tasks=num_tasks)
+    kw.update(overrides)
+    return ESCNConfig(**kw)
+
+
+def _lin(sd, key):
+    """torch nn.Linear -> {w: [in,out], b: [out]}."""
+    return {"w": _np(sd[f"{key}.weight"]).T.copy(),
+            "b": _np(sd[f"{key}.bias"]).copy()}
+
+
+def _mole(sd, key):
+    """MoLE stack [E,out,in] -> {w: [E,in,out], b: [E,out]}."""
+    return {"w": _np(sd[f"{key}.weight"]).transpose(0, 2, 1).copy(),
+            "b": _np(sd[f"{key}.bias"]).copy()}
+
+
+def _so2(sd, key, cfg):
+    p = {"fc_m0": _mole(sd, f"{key}.fc_m0")}
+    for m in range(1, cfg.mmax + 1):
+        p[f"fc_m{m}_r"] = _mole(sd, f"{key}.fc_m{m}_r")
+        p[f"fc_m{m}_i"] = _mole(sd, f"{key}.fc_m{m}_i")
+    return p
+
+
+def convert_state_dict(sd: Mapping[str, Any], cfg=None) -> Dict[str, Any]:
+    """Full fairchem-style eSCN-MoE state dict -> escn params pytree.
+
+    ``cfg`` defaults to ``infer_config(sd)``. Raises KeyError naming the
+    first missing tensor; reports unconsumed tensors in ``params['_extra']``
+    is deliberately NOT done — leftovers raise so partial conversions can
+    never masquerade as full parity.
     """
-    import torch
-    sd = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
-    mapped: Dict[str, np.ndarray] = {}
-    unmapped = []
-    for k, v in sd.items():
-        hit = None
-        for src, dst in SHARED_MAPPING.items():
-            if k.endswith(src) or k == src:
-                hit = dst
-                break
-        if hit:
-            mapped[hit] = np.asarray(v.detach().numpy())
-        else:
-            unmapped.append(k)
-    if not mapped:
+    sd = _strip(sd)
+    if cfg is None:
+        cfg = infer_config(sd)
+    consumed = set()
+
+    class Tracking(dict):
+        def __getitem__(self, k):
+            consumed.add(k)
+            return dict.__getitem__(self, k)
+
+    tsd = Tracking(sd)
+    params: Dict[str, Any] = {
+        "sphere_embedding": _np(tsd["backbone.sphere_embedding.weight"]),
+        "source_embedding": _np(tsd["backbone.source_embedding.weight"]),
+        "target_embedding": _np(tsd["backbone.target_embedding.weight"]),
+        "charge_embedding": _np(tsd["backbone.charge_embedding.weight"]),
+        "spin_embedding": _np(tsd["backbone.spin_embedding.weight"]),
+        "task_embedding": _np(tsd["backbone.task_embedding.weight"]),
+        "router": [_lin(tsd, "backbone.router.0"),
+                   _lin(tsd, "backbone.router.1")],
+        "edge_mlp": [_lin(tsd, "backbone.edge_mlp.0"),
+                     _lin(tsd, "backbone.edge_mlp.1")],
+        "edge_degree_proj": _mole(tsd, "backbone.edge_degree_proj"),
+        "blocks": [],
+        "energy_norm": _np(tsd["backbone.energy_norm.weight"]),
+        "energy_head": [_mole(tsd, "backbone.energy_head.0"),
+                        _mole(tsd, "backbone.energy_head.1")],
+        "atom_ref": _np(tsd["backbone.atom_ref"]),
+    }
+    for i in range(cfg.num_layers):
+        b = f"backbone.blocks.{i}"
+        params["blocks"].append({
+            "norm_1": _np(tsd[f"{b}.norm_1.weight"]),
+            "so2_conv_1": _so2(tsd, f"{b}.so2_conv_1", cfg),
+            "gate": _mole(tsd, f"{b}.gate"),
+            "so2_conv_2": _so2(tsd, f"{b}.so2_conv_2", cfg),
+            "norm_2": _np(tsd[f"{b}.norm_2.weight"]),
+            "ffn": [_mole(tsd, f"{b}.ffn.w1"), _mole(tsd, f"{b}.ffn.w2")],
+        })
+    leftovers = [k for k in sd
+                 if k not in consumed and hasattr(sd[k], "shape")]
+    if leftovers:
         raise ValueError(
-            f"No mappable tensors found in {path}. The eSCN-MoE backbone "
-            f"port is required for full parity; {len(unmapped)} tensors "
-            "remain unmapped (see inspect_checkpoint for the inventory).")
-    return mapped
+            f"{len(leftovers)} checkpoint tensors were not consumed by the "
+            f"conversion (first: {leftovers[:5]}); refusing a partial "
+            "conversion")
+    return params
+
+
+def convert_checkpoint(path, **overrides):
+    """(.pt path) -> (params pytree, ESCNConfig)."""
+    sd = load_torch_checkpoint(path)
+    cfg = infer_config(sd, **overrides)
+    return convert_state_dict(sd, cfg), cfg

@@ -71,9 +71,48 @@ def make_uma_calculator(
     radius: Optional[float] = None,
     **_ignored,
 ) -> Calculator:
+    import dataclasses
+
+    # torch .pt checkpoint (fairchem-style eSCN-MoE state dict): convert to
+    # the JAX eSCN backbone with the config inferred from tensor shapes
+    pt_path = None
+    if checkpoint and str(checkpoint).endswith(".pt"):
+        pt_path = checkpoint
+    elif not checkpoint and os.environ.get("PDB2R_TPU_UMA_PT"):
+        pt_path = os.environ["PDB2R_TPU_UMA_PT"]
+    if pt_path or model.startswith("escn"):
+        import jax.numpy as jnp
+        from .escn import ESCN_CONFIGS, make_escn_model
+        if pt_path:
+            from .convert import convert_checkpoint
+            ckpt_params, ecfg = convert_checkpoint(pt_path)
+        else:
+            ckpt_params, ecfg = None, ESCN_CONFIGS[model]
+        if max_neigh or radius:
+            ecfg = dataclasses.replace(
+                ecfg,
+                max_neighbors=int(max_neigh) if max_neigh
+                else ecfg.max_neighbors,
+                cutoff=float(radius) if radius else ecfg.cutoff)
+        fn, params, ecfg = make_escn_model(ecfg, seed=seed, charge=charge,
+                                           spin=spin)
+        if ckpt_params is not None:
+            ckpt_params["charge"] = params["charge"]
+            ckpt_params["spin"] = params["spin"]
+            ckpt_params["task"] = params["task"]
+            params = ckpt_params
+        return Calculator(
+            structure, fn, params=params,
+            freeze_atoms=freeze_atoms,
+            hessian_calc_mode=hessian_calc_mode,
+            return_partial_hessian=return_partial_hessian,
+            hessian_double=hessian_double,
+            fd_step=fd_step,
+            mesh=mesh,
+        )
+
     cfg = CONFIGS[model]
     if max_neigh or radius:
-        import dataclasses
         cfg = dataclasses.replace(
             cfg,
             max_neighbors=int(max_neigh) if max_neigh else cfg.max_neighbors,

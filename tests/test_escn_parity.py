@@ -1,0 +1,103 @@
+"""Weight-conversion parity: torch-CPU eSCN-MoE mirror -> convert -> JAX.
+
+This is the round-trip every real fairchem checkpoint takes (SURVEY.md §4(b),
+BASELINE.md force-parity bar): initialize the torch mirror (fairchem-style
+state-dict names), export the state dict, convert with
+``mlip.convert.convert_state_dict``, and demand JAX energies/forces match
+torch autograd to <= 1e-6 eV(/atom) on >= 3 fixed structures spanning
+charge/spin/task conditioning.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from pdb2reaction_tpu.core.structure import Structure, pad_to  # noqa: E402
+from pdb2reaction_tpu.mlip.convert import (convert_state_dict,  # noqa: E402
+                                           infer_config)
+from pdb2reaction_tpu.mlip.escn import ESCNConfig, escn_energy  # noqa: E402
+
+from torch_escn import ESCNTorch  # noqa: E402
+
+CFG = ESCNConfig(lmax=2, mmax=1, sphere_channels=8, hidden_channels=8,
+                 edge_channels=8, ffn_hidden=16, num_layers=2,
+                 num_experts=2, route_dim=4, num_gauss=8, max_z=20,
+                 charge_range=4, spin_range=4, num_tasks=2,
+                 max_neighbors=16, dtype=jnp.float64)
+
+
+def _structures():
+    rng = np.random.default_rng(7)
+    water = (np.array([8, 1, 1], np.int32),
+             np.array([[0.0, 0.0, 0.0], [0.96, 0.0, 0.0],
+                       [-0.24, 0.93, 0.0]]), 0, 1, 0)
+    organic = (np.array([6, 7, 8, 1, 1, 1, 16, 1], np.int32),
+               rng.normal(scale=1.4, size=(8, 3)), 0, 1, 0)
+    radical_anion = (np.array([6, 6, 8, 1, 1], np.int32),
+                     rng.normal(scale=1.3, size=(5, 3)), -1, 2, 1)
+    return [water, organic, radical_anion]
+
+
+@pytest.fixture(scope="module")
+def converted():
+    model = ESCNTorch(CFG, seed=3)
+    sd = model.state_dict()
+    params = convert_state_dict(sd, CFG)
+    return model, params
+
+
+def test_infer_config_roundtrip(converted):
+    model, _ = converted
+    icfg = infer_config(model.state_dict(), dtype=jnp.float64)
+    for field in ("lmax", "mmax", "sphere_channels", "hidden_channels",
+                  "edge_channels", "ffn_hidden", "num_layers", "num_experts",
+                  "route_dim", "num_gauss", "max_z", "charge_range",
+                  "spin_range", "num_tasks"):
+        assert getattr(icfg, field) == getattr(CFG, field), field
+
+
+def test_energy_force_parity(converted):
+    model, params = converted
+    for zs, coords, q, s, task in _structures():
+        st = Structure(zs, coords)
+        sysp = pad_to(st, n_pad=st.n_atoms + 3)   # exercise padding masks
+
+        p = dict(params)
+        p["charge"] = jnp.asarray(q, jnp.float32)
+        p["spin"] = jnp.asarray(s, jnp.float32)
+        p["task"] = jnp.asarray(task, jnp.float32)
+
+        cpad = jnp.asarray(sysp.coords, jnp.float64)
+        e_j, g_j = jax.value_and_grad(
+            lambda c: escn_energy(c, sysp, p, CFG))(cpad)
+        f_j = -np.asarray(g_j)[: st.n_atoms]
+
+        e_t, f_t = model.energy_forces(
+            torch.as_tensor(zs, dtype=torch.long),
+            torch.as_tensor(coords, dtype=torch.float64),
+            charge=q, spin=s, task=task)
+
+        de = abs(float(e_j) - float(e_t)) / st.n_atoms
+        df = float(np.max(np.abs(f_j - f_t.numpy())))
+        assert de < 1e-6, f"energy parity {de} eV/atom (q={q}, s={s})"
+        assert df < 1e-6, f"force parity {df} eV/Ang (q={q}, s={s})"
+
+
+def test_unconsumed_tensor_raises(converted):
+    model, _ = converted
+    sd = dict(model.state_dict())
+    sd["backbone.mystery.weight"] = torch.zeros(3, 3)
+    with pytest.raises(ValueError, match="not consumed"):
+        convert_state_dict(sd, CFG)
+
+
+def test_missing_tensor_raises(converted):
+    model, _ = converted
+    sd = dict(model.state_dict())
+    del sd["backbone.blocks.1.gate.weight"]
+    with pytest.raises(KeyError):
+        convert_state_dict(sd, CFG)

@@ -38,28 +38,34 @@ def test_checkpoint_roundtrip(water, tmp_path):
     assert calc2.get_energy(x)["energy"] == pytest.approx(e_ref, rel=1e-10)
 
 
-def test_convert_inspect_and_mapping(tmp_path):
+def test_convert_inspect_and_full_roundtrip(tmp_path):
     import torch
     from pdb2reaction_tpu.mlip.convert import (inspect_checkpoint,
-                                               convert_state_dict)
-    sd = {
-        "module.backbone.sphere_embedding.weight": torch.randn(101, 8),
-        "element_references.energy": torch.randn(101),
-        "module.backbone.some_escn_block.weight": torch.randn(4, 4),
-    }
-    pt = tmp_path / "fake_uma.pt"
+                                               convert_checkpoint)
+    from pdb2reaction_tpu.mlip.escn import ESCN_CONFIGS
+    from torch_escn import ESCNTorch
+
+    cfg = ESCN_CONFIGS["escn-test"]
+    model = ESCNTorch(cfg, seed=1)
+    # DDP-style "module." prefix must be stripped transparently
+    sd = {"module." + k: v for k, v in model.state_dict().items()}
+    pt = tmp_path / "uma_mirror.pt"
     torch.save({"state_dict": sd}, pt)
+
     inv = inspect_checkpoint(pt)
-    assert inv["element_references.energy"] == (101,)
-    mapped = convert_state_dict(pt, None)
-    assert set(mapped) == {"embed_z", "atom_ref"}
-    assert mapped["embed_z"].shape == (101, 8)
+    assert inv["backbone.sphere_embedding.weight"] == (cfg.max_z + 1,
+                                                       cfg.sphere_channels)
+    params, icfg = convert_checkpoint(pt)
+    assert icfg.lmax == cfg.lmax and icfg.num_layers == cfg.num_layers
+    assert params["sphere_embedding"].shape == (cfg.max_z + 1,
+                                                cfg.sphere_channels)
+    assert len(params["blocks"]) == cfg.num_layers
 
 
 def test_convert_raises_on_unmappable(tmp_path):
     import torch
-    from pdb2reaction_tpu.mlip.convert import convert_state_dict
+    from pdb2reaction_tpu.mlip.convert import convert_checkpoint
     pt = tmp_path / "x.pt"
     torch.save({"state_dict": {"unrelated.weight": torch.zeros(2)}}, pt)
-    with pytest.raises(ValueError, match="eSCN-MoE backbone"):
-        convert_state_dict(pt, None)
+    with pytest.raises(KeyError):
+        convert_checkpoint(pt)
