@@ -138,15 +138,19 @@ def cli():
               type=click.Path(path_type=Path, exists=True, dir_okay=False))
 @click.option("--opt-mode", default="light",
               help="light|lbfgs or heavy|rfo.")
+@click.option("--coord-type", default="cart",
+              type=click.Choice(["cart", "dlc"]),
+              help="Optimization coordinates (reference opt.py:43).")
 @click.option("--thresh", default="gau")
 @click.option("--max-cycles", type=int, default=10000)
 @click.option("--dist-freeze", default="",
               help="Pairs i,j;k,l restrained at current distances.")
 @common_options
-def opt_cmd(input_path, opt_mode, thresh, max_cycles, dist_freeze, **kw):
+def opt_cmd(input_path, opt_mode, coord_type, thresh, max_cycles,
+            dist_freeze, **kw):
     from .workflows.opt import run_opt
-    cfg = dict(opt_mode=normalize_choice(opt_mode), thresh=thresh,
-               max_cycles=max_cycles)
+    cfg = dict(opt_mode=normalize_choice(opt_mode), coord_type=coord_type,
+               thresh=thresh, max_cycles=max_cycles)
     yaml_overrides(kw.pop("args_yaml"), cfg, [("opt",), ("lbfgs",), ("rfo",)])
     df = _parse_pairs(dist_freeze)
     res = run_opt(

@@ -9,16 +9,18 @@ Capability match: the reference's ``HessianDimer``
    tight pass under a global cycle budget (tsopt.py:734-826);
 3. flatten loop: probe extra imaginary modes with +/- displacements and
    move downhill along them to escape higher-order saddles
-   (tsopt.py:829-961), separation gating off by default
-   (flatten_sep_cutoff = 0.0, tsopt.py:1216);
+   (tsopt.py:829-961), with optional Bofill active-block updates
+   (tsopt.py:514-580) and representative-atom separation gating
+   (tsopt.py:829-901);
 4. final Hessian, imaginary-mode count and animation frames.
 
 TPU-first redesign:
-- dimer rotations use the Fourier method (Heyden/Kastner) with the
-  endpoint force evaluated on device; the +/- flatten probes for ALL extra
-  imaginary modes are evaluated in ONE batched force call;
-- translation runs LBFGS on the projected dimer force (line search off —
-  the projected force is not a gradient);
+- each dimer pass (Fourier rotations + LBFGS translations, force calls
+  included) is ONE compiled ``lax.while_loop`` — a single host sync per
+  pass instead of per force call (a host-synced cycle costs ~7.3 s through
+  the axon relay vs ~40 ms of compute; same design as engines/lbfgs.py);
+- the +/- flatten probes for ALL extra imaginary modes are evaluated in ONE
+  batched force call;
 - Hessians come from the calculator's batched analytic/FD path, so a
   refresh costs one sharded pass instead of 6N serial calls.
 """
@@ -27,11 +29,14 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .lbfgs import _two_loop
+from .rfo import _bofill_update
+from .thresholds import Thresholds, converged, get_thresholds
 from .vib import frequencies_and_modes, count_imaginary
-from .thresholds import get_thresholds
 
 # Reference option surface (tsopt.py:1166-1199, 1211-1224)
 DIMER_KW: Dict[str, Any] = {
@@ -54,6 +59,7 @@ HESSIAN_DIMER_KW: Dict[str, Any] = {
     "flatten_amp_ang": 0.10,
     "flatten_max_iter": 50,
     "flatten_sep_cutoff": 0.0,
+    "flatten_bofill": False,
     "flatten_k": 10,
     "root": 0,
     "max_cycles_total": 10000,
@@ -94,59 +100,205 @@ def lowest_mode_direction(H_au, numbers, coords_bohr, freeze_idx,
     return mode / max(n, 1e-30)
 
 
-def _rotate_dimer(eforce, x_flat, F0, N, length, kw, free_mask_flat):
-    """Fourier rotation of the dimer orientation. Returns (N, curvature,
-    n_force_calls)."""
-    calls = 0
-    L = kw["length"]
-    for _ in range(kw["rotation_max_cycles"]):
-        _, F1 = eforce(x_flat + L * N)
-        calls += 1
-        dF = F1 - F0
-        C0 = -np.dot(dF, N) / L
-        F_rot = 2.0 * dF - 2.0 * np.dot(dF, N) * N
-        F_rot = F_rot * free_mask_flat
-        if kw["rotation_remove_trans"] and free_mask_flat.all():
-            # remove net translation (only meaningful without frozen atoms)
-            fr3 = F_rot.reshape(-1, 3)
-            F_rot = (fr3 - fr3.mean(axis=0)).reshape(-1) * free_mask_flat
-        frn = np.linalg.norm(F_rot)
-        if frn < kw["rotation_thresh"]:
-            return N, C0, calls
-        theta_dir = F_rot / frn
-        dC = -2.0 * np.dot(dF, theta_dir) / L
-        theta1 = -0.5 * np.arctan2(dC, 2.0 * abs(C0) + 1e-30)
-        if abs(theta1) < np.deg2rad(kw["rotation_tol"]):
-            return N, C0, calls
-        N_trial = N * np.cos(theta1) + theta_dir * np.sin(theta1)
-        N_trial /= np.linalg.norm(N_trial)
-        _, F1t = eforce(x_flat + L * N_trial)
-        calls += 1
-        C1 = -np.dot(F1t - F0, N_trial) / L
-        b1 = 0.5 * dC
-        denom = 1.0 - np.cos(2.0 * theta1)
-        a1 = (C0 - C1 + b1 * np.sin(2.0 * theta1)) / max(denom, 1e-12)
-        theta_min = 0.5 * np.arctan2(b1, a1)
-        # pick the minimum (not maximum) of the Fourier curve
-        C_min = (a1 * np.cos(2 * theta_min) + b1 * np.sin(2 * theta_min))
-        if C_min > 0:
-            theta_min += 0.5 * np.pi
-        N_new = N * np.cos(theta_min) + theta_dir * np.sin(theta_min)
-        N_new /= np.linalg.norm(N_new)
-        C_new = C0  # refined next iteration
-        prev_N = N
-        N = N_new
-        if kw["rotation_disable_pos_curv"] and C_new > 0 and C0 < 0:
-            N = prev_N
-            return N, C0, calls
-    return N, C0, calls
+class _DimerState(NamedTuple):
+    x: jnp.ndarray
+    N: jnp.ndarray
+    e: jnp.ndarray
+    s_hist: jnp.ndarray
+    y_hist: jnp.ndarray
+    rho: jnp.ndarray
+    n_hist: jnp.ndarray
+    gamma: jnp.ndarray
+    trust: jnp.ndarray
+    prev_step: jnp.ndarray
+    x_prev: jnp.ndarray
+    g_prev: jnp.ndarray
+    have_prev: jnp.ndarray
+    cycle: jnp.ndarray
+    done: jnp.ndarray
+    calls: jnp.ndarray
 
 
-def _projected_force(F, N, C, trans_force_f_perp: bool):
-    f_par = np.dot(F, N) * N
-    if C < 0:
-        return (F - 2.0 * f_par) if trans_force_f_perp else (-f_par + (F - f_par))
-    return -f_par
+_PASS_CACHE: dict = {}
+
+
+def make_dimer_pass(eforce_p, th: Thresholds, kw: Dict[str, Any],
+                    all_free: bool, max_step: float, keep_last: int = 7):
+    """One compiled dimer pass: rotations + LBFGS translations on device.
+
+    ``eforce_p``: stable-identity closure (coords_pad [P,3], params) ->
+    (E Ha, F [P,3] au). The returned runner has signature
+    ``run(x_flat, N_flat, fm_flat, params, budget) -> _DimerState``.
+    """
+    key = (eforce_p, th, bool(all_free), float(max_step), keep_last,
+           tuple(sorted((k, float(v) if isinstance(v, (int, float)) else v)
+                        for k, v in kw.items())))
+    hit = _PASS_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    L = float(kw["length"])
+    rot_max = int(kw["rotation_max_cycles"])
+    rot_thresh = float(kw["rotation_thresh"])
+    rot_tol = float(np.deg2rad(kw["rotation_tol"]))
+    rot_disable = bool(kw["rotation_disable"])
+    remove_trans = bool(kw["rotation_remove_trans"]) and all_free
+    f_perp = bool(kw["trans_force_f_perp"])
+
+    @jax.jit
+    def run(x0, N0, fm_flat, params, budget):
+        n_free = jnp.sum(fm_flat)
+
+        def eforce(x):
+            e, f = eforce_p(x.reshape(-1, 3), params)
+            return e, f.reshape(-1)
+
+        def rotate(x, F0, N):
+            """Fourier rotations (Heyden/Kastner); returns (N, C, calls)."""
+            def cond(c):
+                i, N, C, stop, calls = c
+                return (~stop) & (i < rot_max)
+
+            def body(c):
+                i, N, _, _, calls = c
+                _, F1 = eforce(x + L * N)
+                dF = F1 - F0
+                C0 = -jnp.dot(dF, N) / L
+                F_rot = (2.0 * dF - 2.0 * jnp.dot(dF, N) * N) * fm_flat
+                if remove_trans:
+                    fr3 = F_rot.reshape(-1, 3)
+                    F_rot = (fr3 - fr3.mean(axis=0)).reshape(-1) * fm_flat
+                frn = jnp.linalg.norm(F_rot)
+                theta_dir = F_rot / jnp.maximum(frn, 1e-30)
+                dC = -2.0 * jnp.dot(dF, theta_dir) / L
+                theta1 = -0.5 * jnp.arctan2(dC, 2.0 * jnp.abs(C0) + 1e-30)
+                stop = (frn < rot_thresh) | (jnp.abs(theta1) < rot_tol)
+
+                def refine(_):
+                    N_trial = N * jnp.cos(theta1) + theta_dir * jnp.sin(theta1)
+                    N_trial = N_trial / jnp.linalg.norm(N_trial)
+                    _, F1t = eforce(x + L * N_trial)
+                    C1 = -jnp.dot(F1t - F0, N_trial) / L
+                    b1 = 0.5 * dC
+                    denom = 1.0 - jnp.cos(2.0 * theta1)
+                    a1 = (C0 - C1 + b1 * jnp.sin(2.0 * theta1)) \
+                        / jnp.maximum(denom, 1e-12)
+                    theta_min = 0.5 * jnp.arctan2(b1, a1)
+                    c_min = a1 * jnp.cos(2 * theta_min) \
+                        + b1 * jnp.sin(2 * theta_min)
+                    theta_min = theta_min + jnp.where(c_min > 0,
+                                                      0.5 * jnp.pi, 0.0)
+                    N_new = N * jnp.cos(theta_min) \
+                        + theta_dir * jnp.sin(theta_min)
+                    return N_new / jnp.linalg.norm(N_new), jnp.array(2)
+
+                def keep(_):
+                    return N, jnp.array(1)
+
+                N_new, dc = jax.lax.cond(stop, keep, refine, None)
+                return (i + 1, N_new, C0, stop, calls + dc)
+
+            i, N2, C, stop, calls = jax.lax.while_loop(
+                cond, body, (jnp.array(0), N, jnp.array(0.0),
+                             jnp.array(False), jnp.array(0)))
+            return N2, C, calls
+
+        def curvature_only(x, F0, N):
+            _, F1 = eforce(x + L * N)
+            return N, -jnp.dot(F1 - F0, N) / L, jnp.array(1)
+
+        def body(st: _DimerState) -> _DimerState:
+            e, F = eforce(st.x)
+            F = F * fm_flat
+            if rot_disable:
+                N, C, rc = curvature_only(st.x, F, st.N)
+            else:
+                N, C, rc = rotate(st.x, F, st.N)
+            f_par = jnp.dot(F, N) * N
+            # below the curvature inflection use the full reversed-parallel
+            # force; above it only the reversed parallel part
+            # (trans_force_f_perp semantics, both reference forms are
+            # algebraically F - 2 f_par)
+            Fp = jnp.where(C < 0, F - 2.0 * f_par, -f_par) * fm_flat
+            g = -Fp
+
+            # curvature pair from the previous cycle (standard LBFGS pair on
+            # the projected-force field)
+            s_v = st.x - st.x_prev
+            y_v = g - st.g_prev
+            sy = jnp.dot(s_v, y_v)
+            store = st.have_prev & (sy > 1e-12)
+            M = keep_last
+            full = st.n_hist >= M
+            sh = jnp.where(full, jnp.roll(st.s_hist, -1, axis=0), st.s_hist)
+            yh = jnp.where(full, jnp.roll(st.y_hist, -1, axis=0), st.y_hist)
+            rh = jnp.where(full, jnp.roll(st.rho, -1), st.rho)
+            slot = jnp.minimum(st.n_hist, M - 1)
+            sh = jnp.where(store, sh.at[slot].set(s_v), st.s_hist)
+            yh = jnp.where(store, yh.at[slot].set(y_v), st.y_hist)
+            rh = jnp.where(store,
+                           rh.at[slot].set(1.0 / jnp.maximum(sy, 1e-30)),
+                           st.rho)
+            n_hist = jnp.where(store, jnp.minimum(st.n_hist + 1, M),
+                               st.n_hist)
+            gamma = jnp.where(
+                store,
+                jnp.clip(sy / jnp.maximum(jnp.dot(y_v, y_v), 1e-30),
+                         1e-2, 10.0),
+                st.gamma)
+
+            step = _two_loop(Fp, sh, yh, rh, n_hist, gamma, 1.0) * fm_flat
+            mx = jnp.max(jnp.abs(step))
+            step = step * jnp.minimum(1.0, st.trust / jnp.maximum(mx, 1e-30))
+            # oscillation guard: a reversal halves the trust, damps the step
+            # and resets the curvature history (prevents saddle ping-pong)
+            osc = st.have_prev & (jnp.dot(step, st.prev_step) < 0)
+            step = jnp.where(osc, step * 0.5, step)
+            trust = jnp.where(
+                osc, jnp.maximum(st.trust * 0.5, 1e-4),
+                jnp.where(jnp.max(jnp.abs(step)) >= 0.99 * st.trust,
+                          jnp.minimum(st.trust * 1.2, max_step), st.trust))
+            n_hist = jnp.where(osc, 0, n_hist)
+            gamma = jnp.where(osc, 1.0, gamma)
+
+            dE = jnp.where(st.have_prev, e - st.e, jnp.inf)
+            ok = converged(th, Fp, step, dE, n_free)
+            return _DimerState(
+                x=st.x + step, N=N, e=e, s_hist=sh, y_hist=yh, rho=rh,
+                n_hist=n_hist, gamma=gamma, trust=trust, prev_step=step,
+                x_prev=st.x, g_prev=g, have_prev=jnp.array(True),
+                cycle=st.cycle + 1, done=ok, calls=st.calls + rc + 1)
+
+        def cond(st):
+            return (~st.done) & (st.cycle < budget)
+
+        P3 = x0.shape[0]
+        st0 = _DimerState(
+            x=x0, N=N0, e=jnp.array(0.0, x0.dtype),
+            s_hist=jnp.zeros((keep_last, P3), x0.dtype),
+            y_hist=jnp.zeros((keep_last, P3), x0.dtype),
+            rho=jnp.zeros(keep_last, x0.dtype), n_hist=jnp.array(0),
+            gamma=jnp.array(1.0, x0.dtype),
+            trust=jnp.array(min(0.1, max_step), x0.dtype),
+            prev_step=jnp.zeros(P3, x0.dtype), x_prev=x0,
+            g_prev=jnp.zeros(P3, x0.dtype), have_prev=jnp.array(False),
+            cycle=jnp.array(0), done=jnp.array(False), calls=jnp.array(0))
+        return jax.lax.while_loop(cond, body, st0)
+
+    _PASS_CACHE[key] = run
+    return run
+
+
+def _representative_separation(mode_a, mode_b, coords, k: int) -> float:
+    """Min distance between the k most-displaced atoms of two modes
+    (reference representative-atom gating, tsopt.py:829-901)."""
+    wa = np.linalg.norm(mode_a, axis=1)
+    wb = np.linalg.norm(mode_b, axis=1)
+    ia = np.argsort(wa)[-k:]
+    ib = np.argsort(wb)[-k:]
+    d = np.linalg.norm(coords[ia][:, None, :] - coords[ib][None, :, :],
+                       axis=-1)
+    return float(d.min())
 
 
 def hessian_dimer(
@@ -160,6 +312,9 @@ def hessian_dimer(
     neg_freq_thresh_cm: float = 5.0,
     flatten_amp_ang: float = 0.10,
     flatten_max_iter: int = 50,
+    flatten_sep_cutoff: float = 0.0,
+    flatten_bofill: bool = False,
+    flatten_k: int = 10,
     root: int = 0,
     max_step: float = 0.3,
     max_cycles_total: int = 10000,
@@ -169,173 +324,119 @@ def hessian_dimer(
     kw = {**DIMER_KW, **(dimer_kw or {})}
     sysm = calc.system
     n = calc.n_atoms
-    free_flat_pad = np.repeat(np.asarray(sysm.free_mask) > 0, 3)
-    fm_flat = free_flat_pad.astype(float)
-    eff = calc.au_energy_force_fn()
+    fm_flat = jnp.asarray(
+        np.repeat(np.asarray(sysm.free_mask) > 0, 3).astype(float))
+    all_free = bool(np.asarray(sysm.free_mask)[:n].all()
+                    and n == calc.n_pad)
+    eforce_p = calc.au_energy_force_fn_p()
     ebatch = calc.au_energy_force_batch_fn()
     P = calc.n_pad
 
-    def eforce_flat(x_flat):
-        e, f = eff(jnp.asarray(x_flat.reshape(P, 3)))
-        calc.force_calls += 1
-        return float(e), np.asarray(f).reshape(-1)
-
-    x = np.asarray(x0_bohr_pad).reshape(-1)
+    x = jnp.asarray(np.asarray(x0_bohr_pad).reshape(-1))
     freeze = calc.structure.freeze
+    H_cache: Dict[str, Any] = {"H": None}
 
-    def fresh_mode(xc):
+    def fresh_mode(x_flat):
+        xc = np.asarray(x_flat)
         H = calc.get_hessian(xc.reshape(P, 3)[:n].reshape(-1))["hessian"]
+        H_cache["H"] = H
         d = lowest_mode_direction(H, calc.structure.numbers,
                                   xc.reshape(P, 3)[:n], freeze, root)
         out = np.zeros(3 * P)
         out[: 3 * n] = d
-        out *= fm_flat
+        out *= np.asarray(fm_flat)
         nn = np.linalg.norm(out)
-        return out / max(nn, 1e-30), H
+        return jnp.asarray(out / max(nn, 1e-30)), H
 
-    N, H0 = fresh_mode(x)
     total_cycles = 0
-    converged = False
+    total_calls = 0
 
     def dimer_pass(x, N, thresh_name, budget):
-        """LBFGS translation on the projected dimer force."""
-        nonlocal total_cycles
+        nonlocal total_cycles, total_calls
         th = get_thresholds(thresh_name)
-        e_prev = None
-        hist_s, hist_y = [], []
-        g_prev = None
-        gamma = 1.0     # Barzilai-Borwein H0 scale (clamped; accelerates
-                        # the SD-like start)
-        trust = min(0.1, max_step)   # adaptive per-pass step cap (Bohr)
-        prev_step = None
-        cycles = 0
-        while cycles < budget and total_cycles < max_cycles_total:
-            e, F = eforce_flat(x)
-            F = F * fm_flat
-            if not kw["rotation_disable"]:
-                N, C, _ = _rotate_dimer(eforce_flat, x, F, N,
-                                        kw["length"], kw, fm_flat)
-            else:
-                _, F1 = eforce_flat(x + kw["length"] * N)
-                C = -np.dot(F1 - F, N) / kw["length"]
-            Fp = _projected_force(F, N, C, kw["trans_force_f_perp"]) * fm_flat
-            g = -Fp
-            # two-loop LBFGS on projected force
-            q = g.copy()
-            alphas = []
-            for s, y in reversed(list(zip(hist_s, hist_y))):
-                rho = 1.0 / max(np.dot(y, s), 1e-30)
-                a = rho * np.dot(s, q)
-                q -= a * y
-                alphas.append((a, s, y))
-            r = q * gamma
-            for a, s, y in reversed(alphas):
-                rho = 1.0 / max(np.dot(y, s), 1e-30)
-                b = rho * np.dot(y, r)
-                r += (a - b) * s
-            step = -r
-            mx = np.abs(step).max()
-            if mx > trust:
-                step *= trust / mx
-            # oscillation guard: if this step reverses the previous one,
-            # shrink the trust and damp the step (prevents ping-pong over
-            # the saddle when the BB scale overshoots)
-            if prev_step is not None:
-                d = np.dot(step, prev_step)
-                if d < 0:
-                    trust = max(trust * 0.5, 1e-4)
-                    step *= 0.5
-                    hist_s.clear()
-                    hist_y.clear()
-                    gamma = 1.0
-                elif np.abs(step).max() >= 0.99 * trust:
-                    trust = min(trust * 1.2, max_step)
-            prev_step = step.copy()
-            x_new = x + step
-            dE = 0.0 if e_prev is None else (e - e_prev)
-            # convergence on the projected force
-            nfree = max(fm_flat.sum(), 1.0)
-            max_f = np.abs(Fp).max()
-            rms_f = np.sqrt((Fp ** 2).sum() / nfree)
-            max_s = np.abs(step).max()
-            rms_s = np.sqrt((step ** 2).sum() / nfree)
-            if th.baker:
-                ok = (max_f < th.max_force) and (
-                    (e_prev is not None and abs(dE) < 1e-6)
-                    or max_s < th.max_step)
-            elif th.never:
-                ok = False
-            else:
-                ok = (max_f < th.max_force and rms_f < th.rms_force
-                      and max_s < th.max_step and rms_s < th.rms_step)
-            if g_prev is not None:
-                s_v = x_new - x_prev_v
-                y_v = g - g_prev
-                if np.dot(s_v, y_v) > 1e-12:
-                    hist_s.append(s_v)
-                    hist_y.append(y_v)
-                    gamma = float(np.clip(
-                        np.dot(s_v, y_v) / max(np.dot(y_v, y_v), 1e-30),
-                        1e-2, 10.0))
-                    if len(hist_s) > 7:
-                        hist_s.pop(0)
-                        hist_y.pop(0)
-            x_prev_v = x.copy()
-            g_prev = g.copy()
-            e_prev = e
-            x = x_new
-            cycles += 1
-            total_cycles += 1
-            if callback and total_cycles % 50 == 0:
-                callback(total_cycles, e, Fp)
-            if ok:
-                return x, N, True
-        return x, N, False
+        run = make_dimer_pass(eforce_p, th, kw, all_free, max_step)
+        budget = min(budget, max_cycles_total - total_cycles)
+        if budget <= 0:
+            return x, N, False
+        st = run(x, N, fm_flat, calc.params, jnp.array(budget))
+        total_cycles += int(st.cycle)
+        total_calls += int(st.calls)
+        calc.force_calls += int(st.calls)
+        if callback:
+            callback(total_cycles, float(st.e), np.asarray(st.g_prev))
+        return st.x, st.N, bool(st.done)
 
-    # (2) loose pass, refresh, (3) tight pass (tsopt.py:775-826)
+    # (1)-(3): seed mode, loose pass, refresh, tight pass (tsopt.py:775-826)
+    N, H0 = fresh_mode(x)
     x, N, _ = dimer_pass(x, N, thresh_loose, update_interval_hessian)
     N, _ = fresh_mode(x)
-    x, N, converged = dimer_pass(x, N, thresh, update_interval_hessian)
-    while not converged and total_cycles < max_cycles_total:
+    x, N, converged_ = dimer_pass(x, N, thresh, update_interval_hessian)
+    while not converged_ and total_cycles < max_cycles_total:
         N, _ = fresh_mode(x)
-        x, N, converged = dimer_pass(x, N, thresh, update_interval_hessian)
+        x, N, converged_ = dimer_pass(x, N, thresh, update_interval_hessian)
 
     # (4) flatten loop over extra imaginary modes (tsopt.py:1036-1097)
+    xf = np.asarray(x)
     for _ in range(flatten_max_iter if flatten_max_iter else 0):
-        H = calc.get_hessian(x.reshape(P, 3)[:n].reshape(-1))["hessian"]
+        H = calc.get_hessian(xf.reshape(P, 3)[:n].reshape(-1))["hessian"]
         vib = frequencies_and_modes(H, calc.structure.numbers,
-                                    x.reshape(P, 3)[:n], freeze)
+                                    xf.reshape(P, 3)[:n], freeze)
         n_imag = count_imaginary(vib.freqs_cm, neg_freq_thresh_cm)
         if n_imag <= 1:
             break
         order = np.argsort(vib.freqs_cm)
-        extra = [k for k in order[1:n_imag]]
+        extra = list(order[1:n_imag])
+        # representative-atom separation gating (tsopt.py:829-901): only
+        # flatten extra modes spatially separated from the TS mode
+        if flatten_sep_cutoff and flatten_sep_cutoff > 0:
+            ts_mode = vib.modes_cart[order[0]]
+            coords3 = xf.reshape(P, 3)[:n]
+            extra = [k for k in extra
+                     if _representative_separation(
+                         ts_mode, vib.modes_cart[k], coords3, flatten_k)
+                     > flatten_sep_cutoff]
+            if not extra:
+                break
         # batched +/- probes along every extra mode in ONE force call
         amp = flatten_amp_ang * 1.8897259886   # Ang -> Bohr displacement
         probes = []
         for k in extra:
             mode = np.zeros((P, 3))
             mode[:n] = vib.modes_cart[k]
-            probes.append(x.reshape(P, 3) + amp * mode)
-            probes.append(x.reshape(P, 3) - amp * mode)
-        Eb, _ = ebatch(jnp.asarray(np.stack(probes)))
+            probes.append(xf.reshape(P, 3) + amp * mode)
+            probes.append(xf.reshape(P, 3) - amp * mode)
+        Eb, Fb = ebatch(jnp.asarray(np.stack(probes)))
+        calc.force_calls += len(probes)
         Eb = np.asarray(Eb)
-        # displace along the lowest-energy probe of the most imaginary extra
         best = int(np.argmin(Eb))
-        x = probes[best].reshape(-1)
+        if flatten_bofill:
+            # Bofill update of the Hessian from the probe data instead of a
+            # fresh exact Hessian before re-refining (tsopt.py:514-580)
+            s = (probes[best].reshape(-1) - xf)[: 3 * n]
+            g_new = -np.asarray(Fb)[best][:n].reshape(-1)
+            e0, f0 = ebatch(jnp.asarray(xf.reshape(P, 3))[None])
+            calc.force_calls += 1
+            g_old = -np.asarray(f0)[0][:n].reshape(-1)
+            H = np.asarray(_bofill_update(jnp.asarray(H),
+                                          jnp.asarray(s),
+                                          jnp.asarray(g_new - g_old)))
+            H_cache["H"] = H
+        xf = probes[best].reshape(-1)
         # re-refine with the dimer
-        N, _ = fresh_mode(x)
-        x, N, converged = dimer_pass(x, N, thresh, update_interval_hessian)
+        N, _ = fresh_mode(jnp.asarray(xf))
+        x, N, converged_ = dimer_pass(jnp.asarray(xf), N, thresh,
+                                      update_interval_hessian)
+        xf = np.asarray(x)
 
     # (5) final Hessian + mode export data (tsopt.py:1099-1147)
-    H = calc.get_hessian(x.reshape(P, 3)[:n].reshape(-1))["hessian"]
+    H = calc.get_hessian(xf.reshape(P, 3)[:n].reshape(-1))["hessian"]
     vib = frequencies_and_modes(H, calc.structure.numbers,
-                                x.reshape(P, 3)[:n], freeze)
+                                xf.reshape(P, 3)[:n], freeze)
     n_imag = count_imaginary(vib.freqs_cm, neg_freq_thresh_cm)
     imode = (vib.modes_cart[int(np.argmin(vib.freqs_cm))]
              if len(vib.freqs_cm) else None)
-    e_fin, _ = eforce_flat(x)
-    return DimerResult(x=jnp.asarray(x.reshape(P, 3)), e=e_fin,
+    e_fin = float(calc.get_forces(xf.reshape(P, 3)[:n].reshape(-1))["energy"])
+    return DimerResult(x=jnp.asarray(xf.reshape(P, 3)), e=e_fin,
                        freqs_cm=vib.freqs_cm, imag_mode_cart=imode,
-                       n_imag=n_imag, converged=converged,
+                       n_imag=n_imag, converged=converged_,
                        cycles=total_cycles)

@@ -1,0 +1,325 @@
+"""Delocalized internal coordinates (DLC) for geometry optimization.
+
+Capability match: the reference supports ``coord_type="dlc"`` through
+pysisyphus (/root/reference/pdb2reaction/opt.py:43, geom_loader); defaults
+are Cartesian everywhere (uma_pysis.py:133). SURVEY.md ranked DLC hard part
+#5. Components:
+
+- primitive internals: bonds from covalent-radius connectivity (fragments
+  joined through their closest contacts), angles for bonded triples,
+  proper dihedrals for bonded quadruples;
+- B matrix by autodiff of the primitive-value function (one jacobian of a
+  [n_prims] <- [3N] map — no hand-coded Wilson rows to get wrong);
+- delocalization: eigenvectors of G = B B^T with eigenvalue > 1e-6 form the
+  active set U (3N-6 non-redundant combinations, Baker-style);
+- iterative back-transformation from a DLC step to Cartesians (fixed-count
+  ``fori_loop`` — jit-stable), with dihedral differences wrapped to
+  [-pi, pi];
+- an L-BFGS minimizer stepping in DLC space, the whole loop (force calls,
+  transforms, back-iterations) ONE compiled ``lax.while_loop``.
+
+Frozen atoms fall back to Cartesian optimization at the driver level
+(documented: the reference's DLC default is also unfrozen small-molecule
+minimization; cluster workflows with link-atom freezes run Cartesian).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import elements
+from .lbfgs import _two_loop
+from .thresholds import get_thresholds
+
+
+# ---------------------------------------------------------------------------
+# primitive construction (host, static per run)
+# ---------------------------------------------------------------------------
+
+def build_primitives(numbers: np.ndarray, coords_ang: np.ndarray,
+                     bond_factor: float = 1.3):
+    """(bonds [nb,2], angles [na,3], dihedrals [nd,4]) index arrays."""
+    n = len(numbers)
+    radii = elements.covalent_radii_of(np.asarray(numbers, int))
+    d = np.linalg.norm(coords_ang[:, None] - coords_ang[None, :], axis=-1)
+    cut = bond_factor * (radii[:, None] + radii[None, :])
+    bonded = (d < cut) & ~np.eye(n, dtype=bool)
+
+    # join disconnected fragments through their closest contacts
+    comp = np.arange(n)
+    for _ in range(n):
+        changed = False
+        for i in range(n):
+            nbrs = np.nonzero(bonded[i])[0]
+            if nbrs.size and comp[nbrs].min() < comp[i]:
+                comp[i] = comp[nbrs].min()
+                changed = True
+        if not changed:
+            break
+    while len(set(comp)) > 1:
+        labels = sorted(set(comp))
+        a_set = np.nonzero(comp == labels[0])[0]
+        b_set = np.nonzero(comp != labels[0])[0]
+        sub = d[np.ix_(a_set, b_set)]
+        i, j = np.unravel_index(np.argmin(sub), sub.shape)
+        ai, bj = a_set[i], b_set[j]
+        bonded[ai, bj] = bonded[bj, ai] = True
+        comp[comp == comp[bj]] = comp[ai]
+
+    bonds = [(i, j) for i in range(n) for j in range(i + 1, n)
+             if bonded[i, j]]
+    nbrs = [np.nonzero(bonded[i])[0] for i in range(n)]
+    angles = []
+    for j in range(n):
+        for a in range(len(nbrs[j])):
+            for b in range(a + 1, len(nbrs[j])):
+                i, k = nbrs[j][a], nbrs[j][b]
+                # skip near-linear angles (ill-conditioned B rows)
+                v1 = coords_ang[i] - coords_ang[j]
+                v2 = coords_ang[k] - coords_ang[j]
+                c = np.dot(v1, v2) / (np.linalg.norm(v1)
+                                      * np.linalg.norm(v2))
+                if c > -0.995:
+                    angles.append((int(i), int(j), int(k)))
+    dihedrals = []
+    for (j, k) in bonds:
+        for i in nbrs[j]:
+            if i == k:
+                continue
+            for l in nbrs[k]:  # noqa: E741
+                if l == j or l == i:
+                    continue
+                # skip if either inner angle is near-linear
+                ok = True
+                for (a, b, c3) in ((i, j, k), (j, k, l)):
+                    v1 = coords_ang[a] - coords_ang[b]
+                    v2 = coords_ang[c3] - coords_ang[b]
+                    cv = np.dot(v1, v2) / (np.linalg.norm(v1)
+                                           * np.linalg.norm(v2))
+                    if abs(cv) > 0.99:
+                        ok = False
+                if ok:
+                    dihedrals.append((int(i), int(j), int(k), int(l)))
+    return (np.asarray(bonds, int).reshape(-1, 2),
+            np.asarray(angles, int).reshape(-1, 3),
+            np.asarray(dihedrals, int).reshape(-1, 4))
+
+
+def make_prim_fn(bonds, angles, dihedrals, n_atoms: int):
+    """Pure function coords_flat [3N] -> primitive values [n_prims].
+
+    Bond lengths, then angles, then dihedrals; dihedrals signed in
+    (-pi, pi]."""
+    nb, na, nd = len(bonds), len(angles), len(dihedrals)
+
+    def prims(x_flat):
+        x = x_flat.reshape(n_atoms, 3)
+        out = []
+        if nb:
+            v = x[bonds[:, 1]] - x[bonds[:, 0]]
+            out.append(jnp.sqrt(jnp.sum(v * v, -1) + 1e-30))
+        if na:
+            v1 = x[angles[:, 0]] - x[angles[:, 1]]
+            v2 = x[angles[:, 2]] - x[angles[:, 1]]
+            n1 = jnp.linalg.norm(v1, axis=-1)
+            n2 = jnp.linalg.norm(v2, axis=-1)
+            c = jnp.sum(v1 * v2, -1) / jnp.maximum(n1 * n2, 1e-30)
+            out.append(jnp.arccos(jnp.clip(c, -1 + 1e-10, 1 - 1e-10)))
+        if nd:
+            b0 = x[dihedrals[:, 0]] - x[dihedrals[:, 1]]
+            b1 = x[dihedrals[:, 2]] - x[dihedrals[:, 1]]
+            b2 = x[dihedrals[:, 3]] - x[dihedrals[:, 2]]
+            n1 = jnp.cross(b0, b1)
+            n2 = jnp.cross(b2, b1)
+            m1 = jnp.cross(n1, b1 / jnp.linalg.norm(b1, axis=-1,
+                                                    keepdims=True))
+            xx = jnp.sum(n1 * n2, -1)
+            yy = jnp.sum(m1 * n2, -1)
+            out.append(jnp.arctan2(yy, xx))
+        return jnp.concatenate(out)
+
+    return prims, (nb, na, nd)
+
+
+def wrap_dq(dq, nb: int, na: int):
+    """Wrap dihedral differences to (-pi, pi]."""
+    di = dq[nb + na:]
+    di = (di + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+    return jnp.concatenate([dq[: nb + na], di])
+
+
+# ---------------------------------------------------------------------------
+# DLC L-BFGS (device while_loop)
+# ---------------------------------------------------------------------------
+
+class DlcResult(NamedTuple):
+    x: jnp.ndarray           # [P,3] Bohr
+    e: float
+    f: jnp.ndarray
+    cycles: int
+    converged: bool
+
+
+_DLC_CACHE: dict = {}
+
+
+def dlc_lbfgs_minimize(
+    energy_force_fn: Callable,       # [P,3] Bohr -> (E, F [P,3] au)
+    x0_bohr_pad: jnp.ndarray,        # [P,3]
+    numbers: np.ndarray,
+    n_atoms: int,
+    *,
+    thresh: str = "gau",
+    max_cycles: int = 10000,
+    keep_last: int = 7,
+    max_step_s: float = 0.3,         # step cap in DLC space
+    max_step_cart: float = 0.30,     # Bohr cap on the resulting move
+    back_iters: int = 10,
+    **_ignored,
+) -> DlcResult:
+    """Minimize in delocalized internals; the whole loop is one device
+    program. Convergence is tested on Cartesian forces/steps with the same
+    presets as the Cartesian path (the comparability contract)."""
+    from ..constants import BOHR2ANG
+    th = get_thresholds(thresh)
+    P = x0_bohr_pad.shape[0]
+    n3 = 3 * n_atoms
+
+    x0_real = np.asarray(x0_bohr_pad)[:n_atoms]
+    bonds, angles, dihedrals = build_primitives(
+        np.asarray(numbers, int), x0_real * BOHR2ANG)
+    prim_fn, (nb, na, nd) = make_prim_fn(bonds, angles, dihedrals, n_atoms)
+
+    x0_flat = jnp.asarray(x0_real.reshape(-1))
+    B0 = jax.jacrev(prim_fn)(x0_flat)
+    G0 = B0 @ B0.T
+    w, V = jnp.linalg.eigh(G0)
+    keep = np.nonzero(np.asarray(w) > 1e-6)[0]
+    U = jnp.asarray(V[:, keep])                   # [n_prims, n_dlc]
+    n_dlc = len(keep)
+
+    key = (energy_force_fn, P, n_atoms, thresh, keep_last,
+           float(max_step_s), back_iters, nb, na, nd, n_dlc)
+    runner = _DLC_CACHE.get(key)
+    if runner is None:
+        @jax.jit
+        def run(x0_flat, U_in, n_max):
+            def grad_s(x_flat, f_flat):
+                Bm = jax.jacrev(prim_fn)(x_flat)          # [np, 3N]
+                Bs = U_in.T @ Bm                          # [n_dlc, 3N]
+                Gs = Bs @ Bs.T
+                g_x = -f_flat
+                g_s = jnp.linalg.solve(Gs, Bs @ g_x)
+                return g_s, Bs, Gs
+
+            def backtransform(x_flat, ds):
+                def body(_, carry):
+                    x, remaining = carry
+                    Bm = jax.jacrev(prim_fn)(x)
+                    Bs = U_in.T @ Bm
+                    Gs = Bs @ Bs.T
+                    dx = Bs.T @ jnp.linalg.solve(Gs, remaining)
+                    x_new = x + dx
+                    dq = wrap_dq(prim_fn(x_new) - prim_fn(x), nb, na)
+                    remaining = remaining - U_in.T @ dq
+                    return (x_new, remaining)
+
+                x_new, rem = jax.lax.fori_loop(
+                    0, back_iters, body, (x_flat, ds))
+                return x_new
+
+            def eforce_flat(x_flat):
+                pad = jnp.zeros((P, 3), x_flat.dtype)
+                pad = pad.at[:n_atoms].set(x_flat.reshape(n_atoms, 3))
+                e, f = energy_force_fn(pad)
+                return e, f[:n_atoms].reshape(-1)
+
+            def body(st):
+                (x, e, f, sh, yh, rho, n_hist, gamma, cycle, done) = st
+                g_s, Bs, Gs = grad_s(x, f)
+
+                # two-loop in DLC space
+                step_s = _two_loop(-g_s, sh, yh, rho, n_hist, gamma, 1.0)
+                mx = jnp.max(jnp.abs(step_s))
+                step_s = step_s * jnp.minimum(
+                    1.0, max_step_s / jnp.maximum(mx, 1e-30))
+                # component-wise Cartesian step control, like the Cartesian
+                # LBFGS (opt.py "control_step"): back-transform, measure the
+                # real-space move, rescale the DLC step and re-transform
+                x_try = backtransform(x, step_s)
+                mxc = jnp.max(jnp.abs(x_try - x))
+                scale = jnp.minimum(
+                    1.0, max_step_cart / jnp.maximum(mxc, 1e-30))
+                step_s = step_s * scale
+                x_new = jnp.where(scale < 1.0,
+                                  backtransform(x, step_s), x_try)
+                e_new, f_new = eforce_flat(x_new)
+                g_s_new, _, _ = grad_s(x_new, f_new)
+
+                s_v = step_s
+                y_v = g_s_new - g_s
+                sy = jnp.dot(s_v, y_v)
+                store = sy > 1e-12
+                M = keep_last
+                full = n_hist >= M
+                sh2 = jnp.where(full, jnp.roll(sh, -1, axis=0), sh)
+                yh2 = jnp.where(full, jnp.roll(yh, -1, axis=0), yh)
+                rho2 = jnp.where(full, jnp.roll(rho, -1), rho)
+                slot = jnp.minimum(n_hist, M - 1)
+                sh2 = jnp.where(store, sh2.at[slot].set(s_v), sh)
+                yh2 = jnp.where(store, yh2.at[slot].set(y_v), yh)
+                rho2 = jnp.where(
+                    store, rho2.at[slot].set(1.0 / jnp.maximum(sy, 1e-30)),
+                    rho)
+                n2 = jnp.where(store, jnp.minimum(n_hist + 1, M), n_hist)
+                gamma2 = jnp.where(
+                    store,
+                    jnp.clip(sy / jnp.maximum(jnp.dot(y_v, y_v), 1e-30),
+                             1e-2, 100.0),
+                    gamma)
+
+                dE = e_new - e
+                dx = x_new - x
+                n_free = jnp.asarray(float(n3))
+                max_f = jnp.max(jnp.abs(f_new))
+                rms_f = jnp.sqrt(jnp.sum(f_new * f_new) / n_free)
+                max_s = jnp.max(jnp.abs(dx))
+                rms_s = jnp.sqrt(jnp.sum(dx * dx) / n_free)
+                if th.baker:
+                    ok = (max_f < th.max_force) & (
+                        (jnp.abs(dE) < 1e-6) | (max_s < th.max_step))
+                elif th.never:
+                    ok = jnp.array(False)
+                else:
+                    ok = ((max_f < th.max_force) & (rms_f < th.rms_force)
+                          & (max_s < th.max_step) & (rms_s < th.rms_step))
+                return (x_new, e_new, f_new, sh2, yh2, rho2, n2, gamma2,
+                        cycle + 1, ok)
+
+            def cond(st):
+                return (~st[9]) & (st[8] < n_max)
+
+            e0, f0 = eforce_flat(x0_flat)
+            st0 = (x0_flat, e0, f0,
+                   jnp.zeros((keep_last, n_dlc)),
+                   jnp.zeros((keep_last, n_dlc)),
+                   jnp.zeros(keep_last), jnp.array(0), jnp.array(1.0),
+                   jnp.array(0), jnp.array(False))
+            return jax.lax.while_loop(cond, body, st0)
+
+        runner = run
+        _DLC_CACHE[key] = runner
+
+    st = runner(x0_flat, U, jnp.array(max_cycles))
+    x_fin, e_fin, f_fin, cycles, done = st[0], st[1], st[2], st[8], st[9]
+    x_pad = np.asarray(x0_bohr_pad).copy()
+    x_pad[:n_atoms] = np.asarray(x_fin).reshape(n_atoms, 3)
+    f_pad = np.zeros((P, 3))
+    f_pad[:n_atoms] = np.asarray(f_fin).reshape(n_atoms, 3)
+    return DlcResult(x=jnp.asarray(x_pad), e=float(e_fin),
+                     f=jnp.asarray(f_pad), cycles=int(cycles),
+                     converged=bool(done))

@@ -137,10 +137,13 @@ def make_macro_step(eforce_batch_fn, free_mask, max_step: float,
     fm = free_mask[None, :, None]
 
     @jax.jit
-    def step_fn(images, img_mask, climb_on, hei_idx):
+    def step_fn(images, img_mask, climb_on, hei_idx, tau_hei, use_tau_hei):
         E, F = eforce_batch_fn(images)
         F = F * fm
         tau = _tangents(images, E, img_mask)
+        # climb_lanczos: the HEI tangent may be overridden by the Lanczos
+        # lowest-curvature direction (reference path_opt.py:177)
+        tau = jnp.where(use_tau_hei, tau.at[hei_idx].set(tau_hei), tau)
         f_par = jnp.sum(F * tau, axis=(1, 2), keepdims=True) * tau
         f_perp = F - f_par
         M = images.shape[0]
@@ -190,12 +193,62 @@ def _hei_device(E):
     return jnp.where(any_max, hei_lmax, hei_int).astype(jnp.int32)
 
 
+def lanczos_lowest_mode(hvp, x_pad, v0_flat, free_mask_flat,
+                        iters: int = 10):
+    """Lowest-curvature direction at ``x_pad`` by Lanczos iteration on the
+    analytic Hessian-vector product (the climb_lanczos tangent,
+    reference path_opt.py:177 — pysisyphus probes the same operator with
+    finite-difference force calls; here each product is one jvp).
+
+    hvp: (x_pad [P,3], v_pad [P,3]) -> H v [P,3].
+    Returns a unit [D] flat direction restricted to free DOFs.
+    """
+    D = v0_flat.shape[0]
+    q0 = v0_flat * free_mask_flat
+    q0 = q0 / jnp.maximum(jnp.linalg.norm(q0), 1e-30)
+
+    BIG = 1e6   # padding eigenvalue after Krylov breakdown: never lowest
+
+    def body(carry, _):
+        Q, q, q_prev, beta, alphas, betas, k, alive = carry
+        Hq = hvp(x_pad, q.reshape(x_pad.shape)).reshape(-1) * free_mask_flat
+        alpha = jnp.dot(q, Hq)
+        r = Hq - alpha * q - beta * q_prev
+        # full reorthogonalization (small iters, numerically safe)
+        r = r - Q.T @ (Q @ r)
+        beta_new = jnp.linalg.norm(r)
+        # breakdown: the Krylov space is exhausted (free-DOF count < iters);
+        # decouple the remaining tridiagonal rows with huge diagonals
+        alive_next = alive & (beta_new > 1e-10)
+        q_new = jnp.where(alive_next, r / jnp.maximum(beta_new, 1e-30), 0.0)
+        Q = Q.at[k].set(jnp.where(alive, q, 0.0))
+        alphas = alphas.at[k].set(jnp.where(alive, alpha, BIG))
+        betas = betas.at[k].set(jnp.where(alive_next, beta_new, 0.0))
+        return (Q, q_new, q, beta_new, alphas, betas, k + 1,
+                alive_next), None
+
+    Q0 = jnp.zeros((iters, D), v0_flat.dtype)
+    init = (Q0, q0, jnp.zeros(D, v0_flat.dtype),
+            jnp.asarray(0.0, v0_flat.dtype),
+            jnp.zeros(iters, v0_flat.dtype),
+            jnp.zeros(iters, v0_flat.dtype), jnp.asarray(0),
+            jnp.asarray(True))
+    (Q, _, _, _, alphas, betas, _, _), _ = jax.lax.scan(
+        body, init, None, length=iters)
+    T = jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
+    w, U = jnp.linalg.eigh(T)
+    ritz = Q.T @ U[:, 0]
+    ritz = ritz * free_mask_flat
+    return ritz / jnp.maximum(jnp.linalg.norm(ritz), 1e-30)
+
+
 _RELAX_CACHE: dict = {}
 
 
 def make_device_relax(eforce_batch_fn, free_mask, max_step: float,
                       scale_step: str, climb: bool, climb_rms: float,
-                      conv_perp_rms: float):
+                      conv_perp_rms: float, hvp_fn=None,
+                      lanczos_iters: int = 10):
     """The fully-grown string relaxation as ONE on-device lax.while_loop.
 
     TPU-first rationale: a host-synced macro loop pays the full host<->device
@@ -204,17 +257,20 @@ def make_device_relax(eforce_batch_fn, free_mask, max_step: float,
     whole loop on device syncs exactly once (same design as the L-BFGS
     engine)."""
     key = (eforce_batch_fn, float(max_step), scale_step, bool(climb),
-           float(climb_rms), float(conv_perp_rms))
+           float(climb_rms), float(conv_perp_rms), hvp_fn,
+           int(lanczos_iters))
     hit = _RELAX_CACHE.get(key)
     if hit is not None:
         return hit
 
     step_fn_inner = make_macro_step(eforce_batch_fn, free_mask, max_step,
                                     scale_step)
+    fm_flat = jnp.repeat(free_mask, 3)
 
     @jax.jit
     def relax(images, img_mask, n_max):
         M = images.shape[0]
+        D = images.shape[1] * 3
 
         def cond(st):
             images, cycle, climb_on, done, E = st
@@ -223,8 +279,24 @@ def make_device_relax(eforce_batch_fn, free_mask, max_step: float,
         def body(st):
             images, cycle, climb_on, done, E_prev = st
             hei = _hei_device(E_prev)
+            if hvp_fn is not None:
+                def mk_tau(_):
+                    xh = images[hei]
+                    v0 = (images[jnp.minimum(hei + 1, M - 1)]
+                          - images[jnp.maximum(hei - 1, 0)]).reshape(-1)
+                    return lanczos_lowest_mode(hvp_fn, xh, v0, fm_flat,
+                                               lanczos_iters)
+
+                tau_l = jax.lax.cond(
+                    climb_on, mk_tau,
+                    lambda _: jnp.zeros(D, images.dtype), None)
+                use_l = climb_on
+            else:
+                tau_l = jnp.zeros(D, images.dtype)
+                use_l = jnp.array(False)
             imgs2, E, perp, rms_all, hei_fmax = step_fn_inner(
-                images, img_mask, climb_on, hei)
+                images, img_mask, climb_on, hei,
+                tau_l.reshape(images.shape[1], 3), use_l)
             # reparametrize, preserving the climbing image
             hei_pos = imgs2[hei]
             reparamed = _reparam_equal_arc(imgs2, img_mask)
@@ -262,6 +334,9 @@ def gsm_mep(
     scale_step: str = "global",
     climb: bool = True,
     climb_rms: float = 5e-4,
+    climb_lanczos: bool = True,
+    lanczos_iters: int = 10,
+    hvp_fn: Optional[Callable] = None,   # (x_pad, v_pad) -> H v
     reparam_every: int = 1,
     reparam_every_full: int = 1,
     conv_perp_rms: float = 1.0e-3, # converged when overall perp RMS below
@@ -319,7 +394,8 @@ def gsm_mep(
             break
         gm = grow_mask()
         images_new, E_j, perp_rms, rms_all, hei_fmax = step_fn(
-            images, gm, jnp.asarray(climb_on), jnp.asarray(hei_idx))
+            images, gm, jnp.asarray(climb_on), jnp.asarray(hei_idx),
+            jnp.zeros_like(images[0]), jnp.asarray(False))
         force_calls += M
         g_steps += 1
         E = np.asarray(E_j)
@@ -357,7 +433,9 @@ def gsm_mep(
     budget = min(max_cycles - g_steps, stop_in_when_full)
     relax = make_device_relax(eforce_batch_fn, jnp.asarray(free_mask),
                               max_step, scale_step, climb, climb_rms,
-                              conv_perp_rms)
+                              conv_perp_rms,
+                              hvp_fn=(hvp_fn if climb_lanczos else None),
+                              lanczos_iters=lanczos_iters)
     images, E_j, cycles_dev, done = relax(images, gm, jnp.asarray(budget))
     n_dev = int(cycles_dev)
     force_calls += (n_dev + 1) * M     # +1: energy seed for the HEI pick

@@ -195,6 +195,80 @@ def make_rfo_cycle(ts_roots: Optional[Sequence[int]], hessian_update: str,
     return jax.jit(cycle), jax.jit(upd)
 
 
+_RFO_RUN_CACHE: dict = {}
+
+
+def _make_rfo_runner(energy_force_fn, dmap: DofMap, ts_roots,
+                     hessian_update: str, small_eigval_thresh: float,
+                     th, mode: str, trust_update: bool, trust_min: float,
+                     trust_max: float, max_energy_incr):
+    """Device while_loop running RFO/RS-I-RFO cycles between Hessian
+    refreshes — one host sync per chunk instead of per cycle (same design
+    as engines/lbfgs.py; a host-synced cycle costs ~7.3 s through the axon
+    relay vs ms of compute)."""
+    key = (energy_force_fn, tuple(dmap.free_idx.tolist()), ts_roots,
+           hessian_update, float(small_eigval_thresh), th, mode,
+           bool(trust_update), float(trust_min), float(trust_max),
+           None if max_energy_incr is None else float(max_energy_incr))
+    hit = _RFO_RUN_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    cycle_j, update_j = make_rfo_cycle(ts_roots, hessian_update,
+                                       small_eigval_thresh)
+    n_free_dof = float(dmap.n_free)
+    is_min = mode == "min"
+
+    @jax.jit
+    def run(x0, H0, e0, f0, trust0, budget):
+        def body(st):
+            x, H, e, f, trust, cyc, done = st
+            g = -dmap.gather(f)
+            step, pred, lam = cycle_j(H, g, trust)
+            x_new = dmap.scatter(dmap.gather(x) + step, x)
+            e_new, f_new = energy_force_fn(x_new)
+            dE = e_new - e
+            g_new = -dmap.gather(f_new)
+            reject = jnp.array(False) if max_energy_incr is None \
+                else (dE > max_energy_incr)
+            slen = jnp.linalg.norm(step)
+            if trust_update:
+                ratio = jnp.where(jnp.abs(pred) > 1e-14, dE / pred, 1.0)
+                shrink = (ratio < 0.25) | (jnp.asarray(is_min) & (dE > 1e-12))
+                grow = (ratio > 0.75) & (slen >= 0.8 * trust)
+                trust_new = jnp.where(
+                    shrink, jnp.maximum(trust_min,
+                                        jnp.minimum(trust, slen) * 0.5),
+                    jnp.where(grow, jnp.minimum(trust_max, trust * 2.0),
+                              trust))
+                trust_new = jnp.maximum(trust_new, 1e-4)
+            else:
+                trust_new = trust
+            trust_new = jnp.where(
+                reject, jnp.maximum(trust_min, 0.25 * slen), trust_new)
+            H_new = update_j(H, step, g_new - g)
+            is_conv = _conv_check(th, f_new.reshape(-1),
+                                  (x_new - x).reshape(-1), dE,
+                                  jnp.asarray(n_free_dof))
+            # on reject: keep everything but the shrunken trust
+            x2 = jnp.where(reject, x, x_new)
+            H2 = jnp.where(reject, H, H_new)
+            e2 = jnp.where(reject, e, e_new)
+            f2 = jnp.where(reject, f, f_new)
+            return (x2, H2, e2, f2, trust_new, cyc + 1,
+                    is_conv & ~reject)
+
+        def cond(st):
+            return (~st[6]) & (st[5] < budget)
+
+        return jax.lax.while_loop(
+            cond, body,
+            (x0, H0, e0, f0, trust0, jnp.array(0), jnp.array(False)))
+
+    _RFO_RUN_CACHE[key] = run
+    return run
+
+
 def _gdiis_step(hist_x, hist_g, x_cur, g_cur, max_vecs: int = 5):
     """GDIIS extrapolation: least-squares combination of recent geometries
     minimizing the interpolated gradient (reference RFO gdiis=True,
@@ -261,6 +335,39 @@ def rfo_optimize(
     H = jnp.asarray(H)
 
     ts_roots = tuple(roots) if mode == "ts" else None
+
+    # Device while_loop path (single host sync per Hessian-refresh chunk)
+    # whenever GDIIS is inactive — which covers RS-I-RFO TS refinement, the
+    # hottest RFO use. The GDIIS endgame (min mode) keeps the host loop.
+    if mode == "ts" or not gdiis:
+        runner = _make_rfo_runner(energy_force_fn, dmap, ts_roots,
+                                  hessian_update, small_eigval_thresh, th,
+                                  mode, trust_update, trust_min, trust_max,
+                                  max_energy_incr)
+        eff0 = jax.jit(energy_force_fn)
+        x = jnp.asarray(x0_bohr_pad)
+        e_j, f = eff0(x)
+        H = jnp.asarray(H)
+        trust = jnp.asarray(float(trust_radius))
+        cyc_total = 0
+        conv = False
+        while cyc_total < max_cycles and not conv:
+            chunk = max_cycles - cyc_total
+            if hessian_fn is not None and hessian_recalc:
+                chunk = min(chunk, int(hessian_recalc))
+            x, H, e_j, f, trust, ncyc, done = runner(
+                x, H, e_j, f, trust, jnp.asarray(chunk))
+            cyc_total += int(ncyc)
+            conv = bool(done)
+            if callback:
+                callback(cyc_total, float(e_j), np.asarray(f))
+            if not conv and hessian_fn is not None and hessian_recalc \
+                    and cyc_total < max_cycles:
+                Hfull = hessian_fn(x)
+                H = jnp.asarray(dmap.compact_hessian(np.asarray(Hfull)))
+        return RfoResult(x=x, e=float(e_j), f=f, hessian=np.asarray(H),
+                         cycles=cyc_total, converged=conv)
+
     cycle_j, update_j = make_rfo_cycle(ts_roots, hessian_update,
                                        small_eigval_thresh)
     eff = jax.jit(energy_force_fn)

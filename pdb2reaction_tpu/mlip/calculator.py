@@ -170,6 +170,22 @@ class Calculator:
             return e_ev * _EV2AU, f_au
 
         self._au_eforce_p = au_eforce_p
+
+        # Hessian-vector product in Bohr coordinate space (direction-exact;
+        # used by the GSM Lanczos climbing tangent — analytic HVPs replace
+        # the reference's finite-difference Lanczos force probes)
+        @jax.jit
+        def au_hvp_p(coords_bohr_pad, v_pad, params):
+            coords_ang = coords_bohr_pad * _B2A
+
+            def grad(c):
+                return jax.grad(lambda cc: efn(cc, sys_, params))(c)
+
+            hv = jax.jvp(grad, (coords_ang,),
+                         (v_pad.astype(coords_ang.dtype),))[1]
+            return hv * sys_.free_mask[:, None]
+
+        self._au_hvp_p = au_hvp_p
         # Batched images run through lax.map with a bounded chunk instead of
         # a full vmap: XLA stages ~8 live copies of the per-layer [B,P,P,R]
         # temps under vmap, which OOMs v5e HBM at 300 atoms x 12 images
@@ -317,6 +333,27 @@ class Calculator:
         """Like ``au_energy_force_fn`` but with (coords, params) signature.
         Stable identity per calculator — safe as a compile-cache key."""
         return self._au_eforce_p
+
+    def au_hvp_fn_p(self):
+        """(coords_bohr_pad [P,3], v_pad [P,3], params) -> H v (direction-
+        exact Hessian-vector product, frozen/padding rows zeroed). Stable
+        identity per calculator."""
+        return self._au_hvp_p
+
+    def au_hvp_fn(self):
+        """Bound HVP closure (coords_pad, v_pad) -> H v; cached per
+        (calculator, params) so engines can key compile caches on it."""
+        cached = getattr(self, "_hvp_closure", None)
+        if cached is not None and cached[0] is self.params:
+            return cached[1]
+        hvp_p = self._au_hvp_p
+        params = self.params
+
+        def fn(coords_pad, v_pad):
+            return hvp_p(coords_pad, v_pad, params)
+
+        self._hvp_closure = (params, fn)
+        return fn
 
     def au_energy_force_batch_fn(self):
         """Batched closure: [B,P,3] Bohr -> (E [B] Ha, F [B,P,3] au).

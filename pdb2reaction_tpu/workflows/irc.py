@@ -72,6 +72,18 @@ def run_irc(
         paths += common.write_trajectory(out, "backward_irc", struct,
                                          res.backward.coords,
                                          res.backward.energies)
+    # irc_data dump (reference writes irc_data.h5, irc.py:58; npz here —
+    # same content: per-branch coords/energies/gradients + the TS)
+    import numpy as np
+    data = {"ts_coords": res.ts_coords, "ts_energy": res.ts_energy}
+    for name, br in (("forward", res.forward), ("backward", res.backward)):
+        if br:
+            data[f"{name}_coords"] = np.stack(br.coords)
+            data[f"{name}_energies"] = np.asarray(br.energies)
+            data[f"{name}_gradients"] = np.stack(br.gradients)
+            data[f"{name}_converged"] = np.asarray(br.converged)
+    np.savez_compressed(out / "irc_data.npz", **data)
+    paths.append(out / "irc_data.npz")
     if verbose:
         nf = len(res.forward.coords) if res.forward else 0
         nb = len(res.backward.coords) if res.backward else 0

@@ -32,6 +32,7 @@ def optimize_structure(
     calc: Calculator,
     *,
     opt_mode: str = "lbfgs",
+    coord_type: str = "cart",
     thresh: str = "gau",
     max_cycles: int = 10000,
     max_step_lbfgs: float = 0.30,
@@ -43,6 +44,20 @@ def optimize_structure(
     (coords_bohr [N,3], energy, converged, cycles)."""
     x0 = calc.pad_bohr(struct.coords_bohr)
     fn = calc.au_energy_force_fn()
+    if coord_type == "dlc":
+        # delocalized internals (reference opt.py:43 coord_type="dlc");
+        # frozen atoms fall back to Cartesian (engines/dlc.py docstring)
+        if struct.freeze:
+            print("[opt] WARNING: coord_type=dlc with frozen atoms is not "
+                  "supported; falling back to Cartesian")
+        else:
+            from ..engines.dlc import dlc_lbfgs_minimize
+            res = dlc_lbfgs_minimize(
+                fn, x0, struct.numbers, calc.n_atoms, thresh=thresh,
+                max_cycles=max_cycles, **engine_kw)
+            calc.force_calls += int(res.cycles) + 1
+            coords = calc.unpad(res.x)
+            return coords, float(res.e), bool(res.converged), int(res.cycles)
     if opt_mode == "rfo":
         H0 = calc.get_hessian(struct.coords_bohr.reshape(-1))["hessian"]
         res = rfo_optimize(fn, x0, calc.system.free_mask, calc.n_atoms,
@@ -65,6 +80,7 @@ def run_opt(
     charge: Optional[int] = None,
     spin: Optional[int] = None,
     opt_mode: str = "lbfgs",
+    coord_type: str = "cart",
     thresh: str = "gau",
     max_cycles: int = 10000,
     freeze_atoms: Sequence = (),
@@ -123,8 +139,9 @@ def run_opt(
                   f"max|F| = {np.abs(f).max():.2e}")
 
     coords, e, conv, cycles = optimize_structure(
-        struct, calc, opt_mode=opt_mode, thresh=thresh,
-        max_cycles=max_cycles, callback=cb if verbose else None)
+        struct, calc, opt_mode=opt_mode, coord_type=coord_type,
+        thresh=thresh, max_cycles=max_cycles,
+        callback=cb if verbose else None)
 
     out_dir = Path(out_dir)
     paths = common.write_outputs(out_dir, "final_geometry", struct,

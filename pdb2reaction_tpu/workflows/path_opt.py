@@ -58,6 +58,8 @@ def run_mep_between(
         stop_in_when_full=skw["stop_in_when_full"],
         scale_step=skw.get("scale_step", "global"),
         climb=kw["climb"], climb_rms=kw["climb_rms"],
+        climb_lanczos=kw.get("climb_lanczos", True),
+        hvp_fn=calc.au_hvp_fn(),
         reparam_every=kw["reparam_every"],
         reparam_every_full=kw["reparam_every_full"],
         max_micro_cycles=kw.get("max_micro_cycles", 10),

@@ -63,3 +63,35 @@ def test_gsm_force_call_accounting():
     # growth cycles + device cycles + the device phase's energy seed,
     # all at M=6 images per batched call
     assert res.force_calls == (res.cycles + 1) * 6
+
+
+def test_lanczos_lowest_mode_matches_exact():
+    """Lanczos on the analytic HVP must recover the exact lowest Hessian
+    eigenvector (the climb_lanczos tangent, reference path_opt.py:177)."""
+    import jax.numpy as jnp
+    from pdb2reaction_tpu.core.structure import Structure
+    from pdb2reaction_tpu.mlip.calculator import Calculator
+    from pdb2reaction_tpu.mlip import potentials
+    from pdb2reaction_tpu.engines.gsm import lanczos_lowest_mode
+
+    st = Structure.from_symbols(
+        ["H", "H", "H"], [[0, 0, 0], [1.2, 0, 0], [2.4, 0, 0]],
+        freeze=[0, 2])
+    calc = Calculator(st, potentials.make_morse())
+    x = calc.pad_bohr(st.coords_bohr)
+    fm_flat = jnp.repeat(jnp.asarray(calc.system.free_mask), 3)
+    rng = np.random.default_rng(0)
+    v0 = jnp.asarray(rng.normal(size=x.size))
+    d = np.asarray(lanczos_lowest_mode(calc.au_hvp_fn(), x, v0, fm_flat,
+                                       iters=10))
+    # exact reference: lowest eigenvector of the free-block Hessian
+    H = calc.get_hessian(st.coords_bohr.reshape(-1))["hessian"]
+    free = calc.free_dof_mask
+    Hf = H[np.ix_(free, free)]
+    w, V = np.linalg.eigh(Hf)
+    exact = np.zeros(3 * calc.n_atoms)
+    exact[free] = V[:, 0]
+    full = np.zeros(x.size)
+    full[: 3 * calc.n_atoms] = exact
+    overlap = abs(float(np.dot(d, full)))
+    assert overlap > 0.999, overlap
