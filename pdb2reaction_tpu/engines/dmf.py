@@ -12,10 +12,14 @@ TPU-native redesign (not a port):
   |x_{i+1} - x_i| is evaluated in log-space (logsumexp) over ALL images in
   one batched, mesh-sharded energy pass and differentiated with jax.grad —
   the entire path is one optimization variable [M, P, 3];
-- the Ipopt interior-point solve becomes an augmented objective (equal-
-  spacing penalty, the ``eps_vel`` stabilization analogue) minimized by the
-  on-device L-BFGS while-loop. A native C++ IPM backend can slot behind
-  the same objective later (SURVEY.md hard part #3 notes this fallback);
+- the Ipopt interior-point solve becomes an augmented-Lagrangian method:
+  the equal-spacing conditions are true EQUALITY constraints
+  c_k = |x_{k+1}-x_k| - mean = 0 with multiplier estimates updated in an
+  outer loop (lambda <- lambda + mu c, mu doubling) around an on-device
+  heavy-ball inner solve — the same constraint set Ipopt handled, enforced
+  to a reported feasibility instead of a fixed soft penalty. The native
+  C++ L-BFGS-B core (csrc/nlp_solver.cpp) drives the identical Lagrangian
+  host-side when solver="native";
 - FB-ENM interpolation is realized as a flat-bottom pairwise-distance
   objective: bonded-pair distances (bond_scale * covalent-radius test, as
   fbenm_options) interpolate linearly between the endpoint values, and each
@@ -57,6 +61,7 @@ class DmfResult(NamedTuple):
     converged: bool
     cycles: int
     force_calls: int
+    constraint_violation: float = 0.0   # max |seglen_k - mean| (Bohr)
 
 
 def _bond_pairs(numbers, xA, xB, atom_mask, bond_scale):
@@ -152,18 +157,28 @@ def dmf_mep(
 
     M = n_images
 
-    def objective(imgs, p):
+    def flux_J(imgs, p):
+        """Log-space discrete max-flux functional (the DMF objective)."""
         E, _ = eb_p(imgs, p)
         E = E - jnp.max(jax.lax.stop_gradient(E))      # logsumexp shift
         seg = imgs[1:] - imgs[:-1]
         seglen = jnp.sqrt(jnp.sum(seg * seg, axis=(1, 2)) + 1e-12)
-        # log of the trapezoid max-flux integral
         wflux = 0.5 * (jnp.exp(beta * E[1:]) + jnp.exp(beta * E[:-1]))
-        J = jnp.log(jnp.sum(wflux * seglen) + 1e-30) / beta
-        # equal-spacing stabilization (Ipopt constraint analogue)
-        mean_len = jnp.mean(seglen)
-        pen = spacing_weight * jnp.sum((seglen - mean_len) ** 2)
-        return J + pen
+        return jnp.log(jnp.sum(wflux * seglen) + 1e-30) / beta
+
+    def spacing_c(imgs):
+        """Equality constraints c_k = seglen_k - mean(seglen) (Ipopt's
+        equal-spacing constraint set)."""
+        seg = imgs[1:] - imgs[:-1]
+        seglen = jnp.sqrt(jnp.sum(seg * seg, axis=(1, 2)) + 1e-12)
+        return seglen - jnp.mean(seglen)
+
+    def lagrangian(imgs, p, lam, mu):
+        c = spacing_c(imgs)
+        return flux_J(imgs, p) + jnp.sum(lam * c) + 0.5 * mu * jnp.sum(c * c)
+
+    n_outer = 6
+    mu0 = float(spacing_weight)
 
     if solver == "native":
         from .. import native as native_mod
@@ -171,53 +186,85 @@ def dmf_mep(
         interior_shape = (M - 2,) + tuple(images.shape[1:])
 
         @jax.jit
-        def obj_grad(interior, p):
+        def obj_grad(interior, p, lam, mu):
             imgs = jnp.concatenate([images[:1], interior, images[-1:]], 0)
-            val, g = jax.value_and_grad(objective)(imgs, p)
+            val, g = jax.value_and_grad(lagrangian)(imgs, p, lam, mu)
             g = (g * free[None])[1:-1]
             return val, g
 
-        def fg(xflat):
-            v, g = obj_grad(jnp.asarray(xflat.reshape(interior_shape)),
-                            params)
-            return float(v), np.asarray(g).reshape(-1)
+        lam = np.zeros(M - 1)
+        mu = mu0
+        xs = np.asarray(images[1:-1]).reshape(-1)
+        iters_total = 0
+        conv = False
+        for _ in range(n_outer):
+            def fg(xflat, lam=lam, mu=mu):
+                v, g = obj_grad(jnp.asarray(xflat.reshape(interior_shape)),
+                                params, jnp.asarray(lam), jnp.asarray(mu))
+                return float(v), np.asarray(g).reshape(-1)
 
-        x0 = np.asarray(images[1:-1]).reshape(-1)
-        xs, fval, iters, conv = native_mod.lbfgsb_minimize(
-            fg, x0, max_iter=max_cycles, gtol=tol)
-        images = jnp.concatenate(
-            [images[:1], jnp.asarray(xs.reshape(interior_shape)),
-             images[-1:]], 0)
+            xs, fval, iters, conv = native_mod.lbfgsb_minimize(
+                fg, xs, max_iter=max_cycles // n_outer, gtol=tol)
+            iters_total += iters
+            imgs_now = jnp.concatenate(
+                [images[:1], jnp.asarray(xs.reshape(interior_shape)),
+                 images[-1:]], 0)
+            c = np.asarray(spacing_c(imgs_now))
+            lam = lam + mu * c                  # multiplier update
+            mu = min(mu * 2.0, 1e4)
+        images = imgs_now
+        cviol = float(np.abs(c).max())
         E, _ = eb_p(images, params)
         E = np.asarray(E, dtype=float)
-        calc.force_calls += (iters + 2) * M
+        calc.force_calls += (iters_total + 2) * M
         return DmfResult(images=np.asarray(images), energies=E,
                          hei_idx=select_hei_index(E), converged=conv,
-                         cycles=iters, force_calls=(iters + 2) * M)
+                         cycles=iters_total,
+                         force_calls=(iters_total + 2) * M,
+                         constraint_violation=cviol)
+
+    inner = max(max_cycles // n_outer, 1)
 
     @jax.jit
     def solve(imgs, p):
-        def body(carry, _):
-            imgs, m_prev = carry
-            g = jax.grad(objective)(imgs, p)
-            g = (g * free[None]).at[0].set(0.0).at[-1].set(0.0)
-            # momentum descent (heavy-ball) keeps it cheap and on-device
-            m = 0.9 * m_prev + g
-            imgs = imgs - lr * m
-            return (imgs, m), jnp.max(jnp.abs(g))
+        def outer(carry, _):
+            imgs, m_prev, lam, mu = carry
+            # penalty stiffness grows with mu: shrink the step to stay in
+            # the heavy-ball stability region (lr < 2/curvature)
+            lr_eff = lr / jnp.maximum(1.0, mu / mu0)
 
-        (imgs, _), gmax = jax.lax.scan(
-            body, (imgs, jnp.zeros_like(imgs)), None, length=max_cycles)
-        return imgs, gmax
+            def body(c2, _):
+                imgs, m_prev = c2
+                g = jax.grad(lagrangian)(imgs, p, lam, mu)
+                g = (g * free[None]).at[0].set(0.0).at[-1].set(0.0)
+                m = 0.9 * m_prev + g
+                return (imgs - lr_eff * m, m), jnp.max(jnp.abs(g))
 
-    images, gtrace = solve(images, params)
-    gfin = float(np.asarray(gtrace)[-1])
+            (imgs, m), gtrace = jax.lax.scan(body, (imgs, m_prev), None,
+                                             length=inner)
+            c = spacing_c(imgs)
+            lam = lam + mu * c
+            mu = jnp.minimum(mu * 2.0, 1e4)
+            return (imgs, m, lam, mu), (gtrace[-1], jnp.max(jnp.abs(c)))
+
+        init = (imgs, jnp.zeros_like(imgs),
+                jnp.zeros(M - 1, imgs.dtype), jnp.asarray(mu0, imgs.dtype))
+        (imgs, _, lam, mu), (gl, cl) = jax.lax.scan(outer, init, None,
+                                                    length=n_outer)
+        return imgs, gl[-1], cl[-1]
+
+    images, gfin_j, cfin_j = solve(images, params)
+    gfin = float(gfin_j)
+    cviol = float(cfin_j)
     E, _ = eb_p(images, params)
     E = np.asarray(E, dtype=float)
-    calc.force_calls += (max_cycles + 2) * M
+    n_cycles = inner * n_outer
+    calc.force_calls += (n_cycles + 2) * M
     hei = select_hei_index(E)
     if verbose:
-        print(f"[dmf] final max|grad| = {gfin:.2e}")
+        print(f"[dmf] final max|grad| = {gfin:.2e}, "
+              f"max|c| = {cviol:.2e} Bohr")
     return DmfResult(images=np.asarray(images), energies=E, hei_idx=hei,
-                     converged=gfin < tol * 10, cycles=max_cycles,
-                     force_calls=(max_cycles + 2) * M)
+                     converged=gfin < tol * 10, cycles=n_cycles,
+                     force_calls=(n_cycles + 2) * M,
+                     constraint_violation=cviol)

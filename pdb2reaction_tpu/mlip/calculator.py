@@ -229,20 +229,30 @@ class Calculator:
         f = np.asarray(f_evA, dtype=np.float64)[: self.n_atoms] * F_EVAA_2_AU
         return {"energy": float(e_ev) * EV2AU, "forces": f.reshape(-1)}
 
+    def _mesh_batch_multiple(self) -> int:
+        if self.mesh is None:
+            return 1
+        return int(self.mesh.shape.get("data", 1))
+
     def get_forces_batch(self, coords_bohr_batch) -> Dict[str, Any]:
         """Evaluate B images in one sharded pass: [B,3N] or [B,N,3] Bohr."""
         cb = np.asarray(coords_bohr_batch, dtype=np.float64).reshape(
             len(coords_bohr_batch), -1, 3) * BOHR2ANG
         B = cb.shape[0]
-        batch = np.zeros((B, self.n_pad, 3), dtype=np.float64)
-        batch[:, : self.n_atoms] = cb
+        # pad the batch to a multiple of the data axis for even shards
+        mult = self._mesh_batch_multiple()
+        Bp = ((B + mult - 1) // mult) * mult
+        batch = np.zeros((Bp, self.n_pad, 3), dtype=np.float64)
+        batch[:B, : self.n_atoms] = cb
+        if Bp > B:
+            batch[B:] = batch[B - 1]
         jb = jnp.asarray(batch)
         if self.mesh is not None:
             jb = shard_batch(jb, self.mesh)
         e_ev, f_evA = self._eforce_batch_j(jb, self.params)
         self.force_calls += B
-        e = np.asarray(e_ev, dtype=np.float64) * EV2AU
-        f = (np.asarray(f_evA, dtype=np.float64)[:, : self.n_atoms]
+        e = np.asarray(e_ev, dtype=np.float64)[:B] * EV2AU
+        f = (np.asarray(f_evA, dtype=np.float64)[:B, : self.n_atoms]
              * F_EVAA_2_AU).reshape(B, -1)
         return {"energy": e, "forces": f}
 
@@ -298,10 +308,16 @@ class Calculator:
         flat[np.arange(B), pad_flat] += eps
         flat[B + np.arange(B), pad_flat] -= eps
         batch = flat.reshape(2 * B, self.n_pad, 3)
+        mult = self._mesh_batch_multiple()
+        Bp = ((2 * B + mult - 1) // mult) * mult
+        if Bp > 2 * B:
+            batch = np.concatenate(
+                [batch, np.tile(batch[-1:], (Bp - 2 * B, 1, 1))])
         jb = jnp.asarray(batch)
         if self.mesh is not None:
             jb = shard_batch(jb, self.mesh)
-        f = np.asarray(self._fd_forces_batch_j(jb, self.params), dtype=np.float64)
+        f = np.asarray(self._fd_forces_batch_j(jb, self.params),
+                       dtype=np.float64)[: 2 * B]
         self.force_calls += 2 * B
         f = f[:, : self.n_atoms].reshape(2 * B, n3)
         fp, fm = f[:B], f[B:]
@@ -379,6 +395,18 @@ class Calculator:
                 return batched_p(coords_batch, params)
         self._batch_closure = (params, fn)
         return fn
+
+    def shard_params_model(self):
+        """Reshard ``self.params`` for tensor-parallel inference over the
+        mesh 'model' axis (feature-dimension sharding; identical results,
+        collectives inserted by GSPMD). No-op without a mesh."""
+        if self.mesh is None:
+            return self
+        from ..parallel.mesh import shard_params_model
+        self.params = shard_params_model(self.params, self.mesh)
+        self._batch_closure = None
+        self._hvp_closure = None
+        return self
 
     def pad_bohr(self, coords_bohr) -> jnp.ndarray:
         """Host helper: [N,3]/[3N] Bohr -> padded [P,3] Bohr."""

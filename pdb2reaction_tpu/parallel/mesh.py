@@ -44,3 +44,28 @@ def shard_batch(x, mesh: Mesh):
 
 def replicate(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def shard_params_model(params, mesh: Mesh):
+    """Tensor-parallel parameter layout: shard the trailing (feature)
+    dimension of every >=2-D weight over the 'model' axis where it divides
+    evenly; replicate the rest. GSPMD then partitions the feature dimension
+    of the dense contractions and inserts the ICI collectives — the
+    single-structure scale-out that replaces the reference's Ray fan-out
+    for one big system (uma_pysis.py:234-242). Sharding is layout-only:
+    results are identical to the replicated run (test_parallel.py)."""
+    import jax.numpy as jnp
+
+    m = mesh.shape.get("model", 1)
+    if m <= 1:
+        return jax.device_put(params, NamedSharding(mesh, P()))
+
+    def place(x):
+        x = jnp.asarray(x)
+        if x.ndim >= 2 and x.shape[-1] % m == 0:
+            spec = P(*([None] * (x.ndim - 1) + ["model"]))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, params)

@@ -183,6 +183,7 @@ def run_all(
     ps = run_path_search(
         work_inputs, charge=charge, spin=spin, calc_mode=calc_mode,
         model=model, mep_mode=mep_mode, out_dir=out / "stage2_path",
+        full_template=(full_templates[0] if full_templates else None),
         freeze_atoms=freeze_atoms, auto_freeze_links=auto_freeze_links,
         mesh=mesh, verbose=verbose, gs_kw=gs_kw,
         search_kw=skw2, **calc_kw)
@@ -193,25 +194,26 @@ def run_all(
     from ..runtime.profiling import ForceCallMeter
     meter = ForceCallMeter(calc)
 
-    # ---- Stage 3: merged full-system mirrors (all.py:3758-3787) ----------
+    # ---- Stage 3: mirror merged full-system products (all.py:3758-3787) --
     if full_templates is not None:
+        import shutil
         stage3 = out / "stage3_merged"
         stage3.mkdir(exist_ok=True)
-        full0 = io_pdb.read_pdb(full_templates[0])
-        try:
-            merged_frames = [
-                bio_merge.merge_pocket_into_full(
-                    full0, pocket_struct, f * BOHR2ANG).coords
-                for f in ps["mep_frames_bohr"]]
-            io_pdb.write_pdb_frames(stage3 / "mep_full.pdb", full0,
-                                    merged_frames,
-                                    energies=ps["mep_energies"])
-        except Exception as e:
-            print(f"[all] WARNING: full-system merge failed: {e}")
+        stage2 = out / "stage2_path"
+        mirrors = [stage2 / "mep_full.pdb"]
+        mirrors += sorted(stage2.glob("seg_*_mep/final_geometries_full.pdb"))
+        mirrors += sorted(stage2.glob("seg_*_mep/hei_full.pdb"))
+        for src in mirrors:
+            if not src.exists():
+                continue
+            name = (src.name if src.parent == stage2
+                    else f"{src.parent.name}_{src.name}")
+            shutil.copy2(src, stage3 / name)
 
     # ---- Stage 4: per reactive segment (all.py:3855+) --------------------
     seg_results = []
     freq_blocks: Dict[int, Any] = {}
+    irc_profiles: Dict[int, Any] = {}
     for si, seg in enumerate(segments):
         if not seg.is_reactive:
             continue
@@ -275,6 +277,13 @@ def run_all(
                     energies += ircres.forward.energies
                 common.write_trajectory(seg_out, "irc", pocket_struct,
                                         frames, energies)
+                irc_profiles[si] = list(map(float, energies))
+                try:
+                    from .trj2fig import plot_profile
+                    plot_profile(seg_out / "irc_plot.png", energies,
+                                 title=f"IRC segment {si}")
+                except Exception as e:
+                    print(f"[all] WARNING: IRC plot failed: {e}")
                 entry["irc"] = {
                     "endpoints_au": [float(energies[0]),
                                      float(energies[-1])],
@@ -328,6 +337,16 @@ def run_all(
                 entry["dft"] = {"skipped": str(e)}
             except Exception as e:
                 entry["dft"] = {"error": str(e)}
+
+        # per-segment refined energy diagram (all.py:1070-1226)
+        try:
+            from .summary import build_levels_diagram
+            build_levels_diagram(
+                seg_out / "energy_diagram.png", ["R", "TS", "P"],
+                [minima[0][2], ts_e, minima[1][2]],
+                title=f"segment {si} (UMA)")
+        except Exception as e:
+            print(f"[all] WARNING: segment diagram failed: {e}")
         seg_results.append(entry)
 
     results["segments"] = seg_results
@@ -347,6 +366,81 @@ def run_all(
         build_energy_diagram(out / "energy_diagram_all.png", segments)
     except Exception as e:
         print(f"[all] WARNING: diagram failed: {e}")
+
+    # aggregated UMA / Gibbs / DFT / DFT//UMA diagrams over the refined
+    # stationary points + merged IRC plot (all.py:1070-1226, 4387-4449)
+    def _chain(value_of):
+        """Build R -> TS1 -> IM1 -> ... -> P over reactive segments."""
+        names, levels = [], []
+        for k, entry in enumerate(seg_results):
+            vals = value_of(entry)
+            if vals is None:
+                return None, None
+            r, ts, p = vals
+            if k == 0:
+                names.append("R")
+                levels.append(r)
+            names.append(f"TS{k + 1}")
+            levels.append(ts)
+            names.append("P" if k == len(seg_results) - 1 else f"IM{k + 1}")
+            levels.append(p)
+        return names, levels
+
+    from .summary import build_levels_diagram, build_irc_overview
+    diagram_sets = {
+        "energy_diagram_refined_all.png": ("UMA (refined)", lambda e: (
+            (e["endpoints"]["reactant"], e["tsopt"]["energy_au"],
+             e["endpoints"]["product"])
+            if "endpoints" in e and isinstance(e.get("tsopt"), dict)
+            and "energy_au" in e.get("tsopt", {}) else None)),
+        "energy_diagram_gibbs_all.png": ("Gibbs (UMA + QRRHO)", lambda e: (
+            (e["thermo"]["reactant"]["G_au"], e["thermo"]["ts"]["G_au"],
+             e["thermo"]["product"]["G_au"])
+            if isinstance(e.get("thermo"), dict)
+            and "reactant" in e.get("thermo", {}) else None)),
+        "energy_diagram_dft_all.png": ("DFT//UMA", lambda e: (
+            (e["dft"]["reactant"], e["dft"]["ts"], e["dft"]["product"])
+            if isinstance(e.get("dft"), dict)
+            and "reactant" in e.get("dft", {}) else None)),
+    }
+    if seg_results:
+        for fname, (title, value_of) in diagram_sets.items():
+            try:
+                names, levels = _chain(value_of)
+                if names:
+                    build_levels_diagram(out / fname, names, levels,
+                                         title=title)
+            except Exception as e:
+                print(f"[all] WARNING: {fname} failed: {e}")
+        # DFT//UMA Gibbs: DFT electronic + UMA thermal correction (G - E)
+        try:
+            def dft_gibbs(e):
+                if not (isinstance(e.get("dft"), dict)
+                        and "reactant" in e.get("dft", {})
+                        and isinstance(e.get("thermo"), dict)
+                        and "reactant" in e.get("thermo", {})):
+                    return None
+                corr = {t: e["thermo"][t]["G_au"]
+                        - {"reactant": e["endpoints"]["reactant"],
+                           "ts": e["tsopt"]["energy_au"],
+                           "product": e["endpoints"]["product"]}[t]
+                        for t in ("reactant", "ts", "product")}
+                return (e["dft"]["reactant"] + corr["reactant"],
+                        e["dft"]["ts"] + corr["ts"],
+                        e["dft"]["product"] + corr["product"])
+
+            names, levels = _chain(dft_gibbs)
+            if names:
+                build_levels_diagram(
+                    out / "energy_diagram_dft_gibbs_all.png", names,
+                    levels, title="DFT//UMA + UMA thermal")
+        except Exception as e:
+            print(f"[all] WARNING: dft-gibbs diagram failed: {e}")
+    if irc_profiles:
+        try:
+            build_irc_overview(out / "irc_all.png", irc_profiles)
+        except Exception as e:
+            print(f"[all] WARNING: merged IRC plot failed: {e}")
 
     if verbose:
         print(f"[all] pipeline complete: {len(seg_results)} reactive "

@@ -42,6 +42,7 @@ class ScfNotConverged(RuntimeError):
 
 def _require_pyscf():
     try:
+        import pyscf  # noqa: F401
         return True
     except ImportError as e:
         raise ImportError(
@@ -122,6 +123,42 @@ def run_dft(
                                  enumerate(mol.ao_labels(fmt=None))
                                  if lab[0] == ia]].sum())
                     for ia in range(mol.natm)]
+            # IAO populations (reference fast_iao_mullikan_spin_pop,
+            # dft.py:269-422): intrinsic atomic orbitals from the occupied
+            # space, symmetrically orthogonalized, Mulliken-style partition
+            try:
+                from pyscf.lo import iao
+                from scipy.linalg import fractional_matrix_power
+                mo = mf.mo_coeff
+                occ = mf.mo_occ
+                if s == 1:
+                    cocc = mo[:, occ > 0]
+                    a = iao.iao(mol, cocc)
+                    a = a @ fractional_matrix_power(a.T @ S @ a, -0.5)
+                    piao = a.T @ S @ dm_ao @ S @ a
+                    diag = np.diag(piao)
+                    spin_diag = None
+                else:
+                    cocc = mo[0][:, occ[0] > 0]
+                    a = iao.iao(mol, cocc)
+                    a = a @ fractional_matrix_power(a.T @ S @ a, -0.5)
+                    diag = np.diag(a.T @ S @ dm_ao @ S @ a)
+                    spin_diag = np.diag(a.T @ S @ (dm[0] - dm[1]) @ S @ a)
+                # IAOs carry the minimal-basis labels of reference atoms
+                ref_labels = iao.reference_mol(mol).ao_labels(fmt=None)
+                iao_q, iao_s = [], []
+                for ia in range(mol.natm):
+                    idx = [k for k, lab in enumerate(ref_labels)
+                           if lab[0] == ia]
+                    iao_q.append(float(mol.atom_charge(ia)
+                                       - diag[idx].sum()))
+                    if spin_diag is not None:
+                        iao_s.append(float(spin_diag[idx].sum()))
+                result["iao_charges"] = iao_q
+                if iao_s:
+                    result["iao_spin"] = iao_s
+            except Exception as e:
+                result["iao_error"] = str(e)
         except Exception as e:
             result["population_error"] = str(e)
 

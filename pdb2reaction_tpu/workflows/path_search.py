@@ -288,6 +288,7 @@ def run_path_search(
     calc_mode: str = "uma",
     model: str = "uma-s-1p1",
     out_dir="./result_path_search/",
+    full_template=None,        # full-system PDB for merged mirrors
     mesh=None,
     verbose: bool = True,
     gs_kw: Optional[Dict[str, Any]] = None,
@@ -340,6 +341,21 @@ def run_path_search(
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     paths = []
+
+    # full-system merge machinery (reference path_search.py:1483-1877):
+    # pocket trajectories written back into the full protein template
+    merge_full = None
+    full_struct = None
+    if full_template is not None:
+        from ..core import io_pdb
+        from ..bio import merge as bio_merge
+        full_struct = io_pdb.read_pdb(full_template)
+
+        def merge_full(frames_bohr):
+            return [bio_merge.merge_pocket_into_full(
+                full_struct, structs[0], np.asarray(f) * BOHR2ANG).coords
+                for f in frames_bohr]
+
     mep_frames: List[np.ndarray] = []
     mep_energies: List[float] = []
     for si, seg in enumerate(all_segments):
@@ -351,6 +367,23 @@ def run_path_search(
             paths += common.write_outputs(seg_dir, "hei", structs[0],
                                           seg.images_bohr[seg.hei_idx],
                                           energy=seg.energies[seg.hei_idx])
+        if merge_full is not None:
+            # per-segment merged full-system MEP + HEI PDBs (:1801-1876)
+            try:
+                from ..core import io_pdb
+                io_pdb.write_pdb_frames(
+                    seg_dir / "final_geometries_full.pdb", full_struct,
+                    merge_full(seg.images_bohr), energies=seg.energies)
+                paths.append(seg_dir / "final_geometries_full.pdb")
+                if seg.is_reactive:
+                    io_pdb.write_pdb_frames(
+                        seg_dir / "hei_full.pdb", full_struct,
+                        merge_full([seg.images_bohr[seg.hei_idx]]),
+                        energies=[seg.energies[seg.hei_idx]])
+                    paths.append(seg_dir / "hei_full.pdb")
+            except Exception as e:
+                print(f"[path-search] WARNING: full merge of segment {si} "
+                      f"failed: {e}")
         start = 1 if (mep_frames and rmsd(mep_frames[-1],
                                           seg.images_bohr[0]) < 1e-3) else 0
         mep_frames.extend(seg.images_bohr[start:])
@@ -358,6 +391,15 @@ def run_path_search(
 
     paths += common.write_trajectory(out, "mep", structs[0], mep_frames,
                                      mep_energies)
+    if merge_full is not None:
+        try:
+            from ..core import io_pdb
+            io_pdb.write_pdb_frames(out / "mep_full.pdb", full_struct,
+                                    merge_full(mep_frames),
+                                    energies=mep_energies)
+            paths.append(out / "mep_full.pdb")
+        except Exception as e:
+            print(f"[path-search] WARNING: full MEP merge failed: {e}")
 
     # summary + diagram (:2575-2839)
     from .summary import (write_summary_yaml, write_summary_log,

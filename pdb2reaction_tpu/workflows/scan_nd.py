@@ -14,7 +14,6 @@ restraint targets are dynamic params (zero recompilation across the grid).
 
 from __future__ import annotations
 
-import itertools
 import time
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -101,8 +100,9 @@ def run_scan_nd(
     coords_store: Dict[Tuple[int, ...], np.ndarray] = {}
     x_init = np.asarray(struct.coords_bohr)
 
-    def relax(coords_bohr, targets):
-        p = bias_params(list(targets), bias_k, base_calc.params)
+    def relax(coords_bohr, targets, ks):
+        """Biased relaxation; axes with k = 0 are unconstrained."""
+        p = bias_params(list(targets), list(ks), base_calc.params)
         res = lbfgs_minimize(eff_p, calc.pad_bohr(coords_bohr),
                              calc.system.free_mask, params=p,
                              thresh=relax_thresh,
@@ -110,29 +110,37 @@ def run_scan_nd(
         calc.force_calls += int(res.cycles) + 1
         return calc.unpad(res.x)
 
-    # nested iteration with nearest-converged warm start
-    # (scan2d.py:48-58, scan3d.py:70-80)
-    done: List[Tuple[int, ...]] = []
+    # Reference nesting (scan2d.py:1-100, scan3d.py:1-95): when an OUTER
+    # axis advances, the structure is first relaxed with only the axes up
+    # to that level biased (inner distances free), then the inner sweep
+    # runs with all levels up to it biased — warm-started from the
+    # previous point at the same level.
     rows = []
-    for idx in itertools.product(*[range(n) for n in shape]):
-        targets = [values[k][idx[k]] for k in range(ndim)]
-        if done:
-            nearest = min(done, key=lambda d: sum((a - b) ** 2
-                                                  for a, b in zip(d, idx)))
-            start = coords_store[nearest]
-        else:
-            start = x_init
-        coords = relax(start, targets)
-        coords_store[idx] = coords
-        done.append(idx)
-        # unbiased energy at the relaxed point (scan2d.py:357)
-        e = float(base_calc.get_energy(coords.reshape(-1))["energy"])
-        energies[idx] = e
-        rows.append(list(targets) + [e])
-        if verbose:
-            print(f"[scan{ndim}d] {idx}: d = "
-                  + ", ".join(f"{t:.3f}" for t in targets)
-                  + f" -> E = {e:.6f} Ha")
+
+    def sweep(level: int, idx_prefix: Tuple[int, ...],
+              fixed_targets: List[float], start: np.ndarray):
+        coords_here = start
+        for ii, val in enumerate(values[level]):
+            targets = fixed_targets + [val]
+            full_t = targets + [0.0] * (ndim - level - 1)
+            ks = [bias_k] * (level + 1) + [0.0] * (ndim - level - 1)
+            coords_here = relax(coords_here, full_t, ks)
+            idx = idx_prefix + (ii,)
+            if level == ndim - 1:
+                coords_store[idx] = coords_here
+                # unbiased energy at the relaxed point (scan2d.py:357)
+                e = float(base_calc.get_energy(
+                    coords_here.reshape(-1))["energy"])
+                energies[idx] = e
+                rows.append(list(targets) + [e])
+                if verbose:
+                    print(f"[scan{ndim}d] {idx}: d = "
+                          + ", ".join(f"{t:.3f}" for t in targets)
+                          + f" -> E = {e:.6f} Ha")
+            else:
+                sweep(level + 1, idx, targets, coords_here)
+
+    sweep(0, (), [], x_init)
 
     header = ",".join(f"d{k + 1}_ang" for k in range(ndim)) + ",energy_au"
     table = np.asarray(rows)
@@ -186,4 +194,30 @@ def _plot_surface(out: Path, table: np.ndarray, ndim: int) -> Path:
     fig.tight_layout()
     fig.savefig(path, dpi=150)
     plt.close(fig)
+    _maybe_plotly_html(out, table, ndim)
+    return path
+
+
+def _maybe_plotly_html(out: Path, table: np.ndarray, ndim: int):
+    """Interactive HTML surface/isosurface like the reference (scan2d.py
+    heatmap/3D HTML, scan3d.py isosurface HTML) — emitted when plotly is
+    importable (absent from this image; the PNG path always runs)."""
+    try:
+        import plotly.graph_objects as go
+    except ImportError:
+        return None
+    from ..constants import AU2KCALPERMOL
+    E = (table[:, ndim] - np.nanmin(table[:, ndim])) * AU2KCALPERMOL
+    if ndim == 2:
+        fig = go.Figure(data=go.Mesh3d(
+            x=table[:, 0], y=table[:, 1], z=E, intensity=E,
+            colorscale="Viridis"))
+        path = out / "surface_2d.html"
+    else:
+        fig = go.Figure(data=go.Isosurface(
+            x=table[:, 0], y=table[:, 1], z=table[:, 2], value=E,
+            isomin=float(np.nanmin(E)), isomax=float(np.nanmax(E)),
+            surface_count=6, colorscale="Viridis", opacity=0.5))
+        path = out / "surface_3d.html"
+    fig.write_html(path)
     return path

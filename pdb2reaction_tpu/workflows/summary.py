@@ -93,32 +93,18 @@ def write_summary_log(path, summary: Dict[str, Any], *,
     return path
 
 
-def build_energy_diagram(path, segments, *, unit: str = "kcal",
-                         labels: Optional[List[str]] = None,
-                         extra_series: Optional[Dict[str, List[float]]] = None):
-    """Compressed stationary-point diagram R -> TS1 -> IM1 -> ... -> P
-    (path_search.py:2575-2759). Levels drawn as horizontal bars joined by
-    dashed connectors; reactive segments contribute TS levels."""
+def build_levels_diagram(path, names: List[str], levels_au: List[float],
+                         *, unit: str = "kcal", title: str = ""):
+    """Stationary-point level diagram from explicit (name, energy_au)
+    pairs, relative to the first level — the drawing primitive behind the
+    UMA/Gibbs/DFT aggregated diagrams (reference all.py:1070-1226)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     conv = AU2KCALPERMOL if unit == "kcal" else 1.0
-    levels: List[float] = []
-    names: List[str] = []
-    e0 = segments[0].energies[0]
-    levels.append(0.0)
-    names.append("R")
-    n_ts = 0
-    for seg in segments:
-        if seg.is_reactive:
-            n_ts += 1
-            levels.append((seg.energies[seg.hei_idx] - e0) * conv)
-            names.append(f"TS{n_ts}")
-        levels.append((seg.energies[-1] - e0) * conv)
-        names.append(f"IM{n_ts}" if seg is not segments[-1] else "P")
-    if labels:
-        names = labels[: len(names)] + names[len(labels):]
+    e0 = levels_au[0]
+    levels = [(e - e0) * conv for e in levels_au]
 
     fig, ax = plt.subplots(figsize=(1.2 * len(levels) + 2, 4.5))
     w = 0.36
@@ -130,13 +116,63 @@ def build_energy_diagram(path, segments, *, unit: str = "kcal",
         if i:
             ax.plot([i - 1 + w, i - w], [levels[i - 1], lv], ls="--",
                     lw=1, color="#7F8C8D")
-    if extra_series:
-        for label, vals in extra_series.items():
-            ax.plot(range(len(vals)), vals, "o--", ms=4, label=label)
-        ax.legend()
     ax.set_ylabel(f"dE ({'kcal/mol' if unit == 'kcal' else 'au'})")
+    if title:
+        ax.set_title(title)
     ax.set_xticks([])
     ax.spines[["top", "right", "bottom"]].set_visible(False)
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return Path(path)
+
+
+def segment_levels(segments) -> (List[str], List[float]):
+    """Compressed R -> TS1 -> IM1 -> ... -> P level list from segments
+    (path_search.py:2575-2759)."""
+    levels: List[float] = [segments[0].energies[0]]
+    names: List[str] = ["R"]
+    n_ts = 0
+    for seg in segments:
+        if seg.is_reactive:
+            n_ts += 1
+            levels.append(seg.energies[seg.hei_idx])
+            names.append(f"TS{n_ts}")
+        levels.append(seg.energies[-1])
+        names.append(f"IM{n_ts}" if seg is not segments[-1] else "P")
+    return names, levels
+
+
+def build_energy_diagram(path, segments, *, unit: str = "kcal",
+                         labels: Optional[List[str]] = None,
+                         extra_series: Optional[Dict[str, List[float]]] = None):
+    """Compressed stationary-point diagram R -> TS1 -> IM1 -> ... -> P
+    (path_search.py:2575-2759)."""
+    names, levels = segment_levels(segments)
+    if labels:
+        names = labels[: len(names)] + names[len(labels):]
+    return build_levels_diagram(path, names, levels, unit=unit)
+
+
+def build_irc_overview(path, seg_profiles: Dict[int, List[float]],
+                       *, unit: str = "kcal"):
+    """Merged IRC plot: every segment's finished-IRC energy profile on one
+    axes (reference all.py:4387-4449)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    conv = AU2KCALPERMOL if unit == "kcal" else 1.0
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    for si, energies in sorted(seg_profiles.items()):
+        if not energies:
+            continue
+        e = [(x - energies[0]) * conv for x in energies]
+        ax.plot(range(len(e)), e, "-o", ms=3, label=f"segment {si}")
+    ax.set_xlabel("IRC frame")
+    ax.set_ylabel(f"dE ({'kcal/mol' if unit == 'kcal' else 'au'})")
+    ax.legend()
+    ax.spines[["top", "right"]].set_visible(False)
     fig.tight_layout()
     fig.savefig(path, dpi=150)
     plt.close(fig)

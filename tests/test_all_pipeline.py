@@ -68,3 +68,69 @@ def test_scan2d_small(tmp_path):
     table = np.loadtxt(out / "surface.csv", delimiter=",", skiprows=1)
     assert table.shape[1] == 3
     assert len(table) >= 4
+
+
+def test_all_pdb_full_output_tree(tmp_path):
+    """VERDICT #6 'done' criterion: `all` on a 2-model PDB input emits the
+    full reference-equivalent output tree — per-segment merged full-system
+    MEP/HEI PDBs (reference path_search.py:1801-1876), stage-3 mirrors
+    (all.py:3758-3787), per-segment + aggregated UMA/Gibbs diagrams and the
+    merged IRC plot (all.py:1070-1226, 4387-4449) — plus a golden check on
+    the summary structure."""
+    from test_extract import build_complex_pdb
+    from pdb2reaction_tpu.core import io_pdb
+
+    r_pdb = tmp_path / "R.pdb"
+    build_complex_pdb(r_pdb)
+    # product: break the C1-O1 ligand bond (1.2 -> 2.3 A)
+    text = r_pdb.read_text()
+    p_pdb = tmp_path / "P.pdb"
+    p_pdb.write_text(text.replace(
+        "1.200   0.000   0.000", "2.300   0.000   0.000"))
+
+    out = tmp_path / "all"
+    res = CliRunner().invoke(cli, [
+        "all", "-i", str(r_pdb), "-i", str(p_pdb),
+        "--center", "LIG", "--ligand-charge", "0",
+        "--calc-mode", "morse", "--max-nodes", "6",
+        "--out-dir", str(out)])
+    assert res.exit_code == 0, res.output
+
+    # stage 1: pockets extracted
+    assert list((out / "stage1_extract").glob("pocket_*.pdb"))
+    # stage 2: per-segment merged full-system products
+    stage2 = out / "stage2_path"
+    assert (stage2 / "mep_full.pdb").exists()
+    seg_fulls = list(stage2.glob("seg_*_mep/final_geometries_full.pdb"))
+    assert seg_fulls
+    # merged frames carry the FULL atom count, not the pocket's
+    n_full = len(io_pdb.parse_pdb_atoms(r_pdb))
+    merged = io_pdb.read_pdb(seg_fulls[0])
+    assert merged.n_atoms == n_full
+    # stage 3: mirrors of every merged product
+    stage3 = out / "stage3_merged"
+    assert (stage3 / "mep_full.pdb").exists()
+    assert list(stage3.glob("seg_*_final_geometries_full.pdb"))
+    # stage 4 per-segment products
+    seg_dirs = sorted(out.glob("stage4_seg_*"))
+    assert seg_dirs
+    for d in seg_dirs:
+        assert (d / "ts_final.xyz").exists()
+        assert (d / "reactant_opt.xyz").exists()
+        assert (d / "product_opt.xyz").exists()
+        assert (d / "energy_diagram.png").exists()
+        assert (d / "irc_plot.png").exists()
+    # aggregated diagrams + merged IRC plot
+    assert (out / "energy_diagram_all.png").exists()
+    assert (out / "energy_diagram_refined_all.png").exists()
+    assert (out / "energy_diagram_gibbs_all.png").exists()
+    assert (out / "irc_all.png").exists()
+    # golden summary structure
+    summary = yaml.safe_load((out / "summary.yaml").read_text())
+    assert summary["n_segments"] >= 1
+    assert any(s["reactive"] for s in summary["segments"])
+    s4 = summary["stage4"]
+    assert s4 and {"segment", "tsopt", "endpoints", "irc",
+                   "thermo"} <= set(s4[0])
+    log = (out / "summary.log").read_text()
+    assert "reactive" in log

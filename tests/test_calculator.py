@@ -100,3 +100,33 @@ def test_batched_forces_sharded():
     assert res["energy"][3] == pytest.approx(single["energy"], rel=1e-12)
     np.testing.assert_allclose(res["forces"][3], single["forces"], atol=1e-12)
     assert calc.force_calls == B + 1
+
+
+def test_tensor_parallel_inference_identical():
+    """model=2 tensor-parallel inference must reproduce the replicated
+    results exactly (VERDICT #10 'done' criterion) — the single-structure
+    scale-out replacing the reference's Ray fan-out (uma_pysis.py:234-242)."""
+    from pdb2reaction_tpu.core.structure import Structure
+    from pdb2reaction_tpu.mlip.uma import make_uma_calculator
+
+    rng = np.random.default_rng(9)
+    zs = np.array([6, 1, 1, 8, 1, 7, 1, 1], np.int32)
+    st = Structure(zs, rng.normal(scale=1.3, size=(8, 3)))
+
+    ref = make_uma_calculator(st, model="small", charge=0, spin=1, seed=2)
+    base = st.coords_bohr.reshape(-1)
+    r0 = ref.get_forces(base)
+
+    mesh = make_mesh(data=4, model=2)
+    tp = make_uma_calculator(st, model="small", charge=0, spin=1, seed=2,
+                             mesh=mesh)
+    tp.shard_params_model()
+    r1 = tp.get_forces(base)
+    # f32 model params: partitioned reductions reorder float sums, so
+    # identity holds to f32 epsilon
+    assert r1["energy"] == pytest.approx(r0["energy"], rel=1e-6)
+    np.testing.assert_allclose(r1["forces"], r0["forces"], atol=1e-8)
+    # batched path through the same sharded params
+    batch = np.stack([base, base + 0.01])
+    rb = tp.get_forces_batch(batch)
+    assert rb["energy"][0] == pytest.approx(r0["energy"], rel=1e-6)
