@@ -251,6 +251,11 @@ class Calculator:
             jb = shard_batch(jb, self.mesh)
         e_ev, f_evA = self._eforce_batch_j(jb, self.params)
         self.force_calls += B
+        if jax.process_count() > 1:
+            # multi-host mesh: assemble the full result on every process
+            from ..parallel.distributed import gather_global
+            e_ev = gather_global(e_ev)
+            f_evA = gather_global(f_evA)
         e = np.asarray(e_ev, dtype=np.float64)[:B] * EV2AU
         f = (np.asarray(f_evA, dtype=np.float64)[:B, : self.n_atoms]
              * F_EVAA_2_AU).reshape(B, -1)

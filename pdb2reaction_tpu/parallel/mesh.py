@@ -35,10 +35,15 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
 def shard_batch(x, mesh: Mesh):
     """Shard the leading (batch/image) axis over the 'data' mesh axis.
 
-    Pads implicitly via device_put with a NamedSharding; callers should pad
-    the batch to a multiple of the data-axis size for even shards.
+    Callers should pad the batch to a multiple of the data-axis size for
+    even shards (Calculator does). Works across processes: on a multi-host
+    mesh the global array is assembled from the host-replicated input.
     """
     sharding = NamedSharding(mesh, P("data"))
+    if any(d.process_index != jax.process_index()
+           for d in np.asarray(mesh.devices).ravel()):
+        from .distributed import put_global
+        return put_global(x, sharding)
     return jax.device_put(x, sharding)
 
 
