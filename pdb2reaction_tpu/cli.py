@@ -110,6 +110,25 @@ def parse_freeze(spec: str) -> List:
 
 
 def make_mesh_or_none(workers: int):
+    """--workers N -> device mesh (the reference's Ray fan-out analogue).
+
+    PDB2R_TPU_DISTRIBUTED=1 additionally joins a multi-host job
+    (jax.distributed; auto-detected coordinator on TPU pods, or
+    PDB2R_TPU_COORDINATOR=host:port / PDB2R_TPU_NUM_PROCS /
+    PDB2R_TPU_PROC_ID for explicit launches) and builds a DCN-aware
+    hybrid mesh over every process."""
+    import os
+    if os.environ.get("PDB2R_TPU_DISTRIBUTED") == "1":
+        from .parallel.distributed import (initialize_distributed,
+                                           make_hybrid_mesh)
+        coord = os.environ.get("PDB2R_TPU_COORDINATOR")
+        if coord:
+            initialize_distributed(
+                coord, int(os.environ["PDB2R_TPU_NUM_PROCS"]),
+                int(os.environ["PDB2R_TPU_PROC_ID"]))
+        else:
+            initialize_distributed()
+        return make_hybrid_mesh()
     if workers and workers > 1:
         import jax
         from .parallel.mesh import make_mesh

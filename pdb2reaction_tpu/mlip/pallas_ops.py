@@ -12,6 +12,26 @@ in VMEM on the fly from coordinates and contracts it immediately on the
 MXU, so HBM only ever sees [P,3] coordinates, [P,F] features and the
 [P,R,F] result.
 
+Flop-dense retiling (round 2): instead of R+1 serial [TI,TJ]x[TJ,F] dots
+per tile (the round-1 kernel — ~17x slower than XLA's einsum schedule),
+the radial axis is FUSED into the MXU contraction: the radial tile
+[R+1, TI, TJ] is built by a coupled sin/cos rotation recurrence (ONE
+sin + ONE cos per pair, the ladder is FMAs; the env and its derivative
+reuse the same pair) and contracted in ONE [(R+1)*TI, TJ] x [TJ, F]
+matmul per (i, j) tile, with Pallas double-buffering the sequential grid
+blocks. The backward kernels use the same fusion. Set
+``PDB2R_TPU_PALLAS_BF16=1`` to run the tile contractions in bfloat16
+(f32 accumulation via preferred_element_type).
+
+Measured (v5e, R = 24, F = 384, fwd+bwd through a scalar loss; 2026-08):
+vs round 1 the kernel is ~115x faster (P=1024: 1.3 s -> 11.4 ms). It
+reaches 0.6x XLA-dense at P = 1024 and 0.5x at P = 2048 — XLA's einsum
+schedule still wins where its O(P^2 R) adjacency fits — and runs
+P = 4096 in 108 ms where the dense path's ~1.6 GB-per-stream A tensors
+do not fit: ``mp_mode="pallas"`` is the large-system path, dense stays
+the default below ~2048 atoms. The recurrence-built basis deviates from
+XLA's sin by <~1e-4 relative (f32), grads verified to the same level.
+
 The ``div_d`` variant uses A/d, which is exactly what the edge-direction
 message stream needs after the split
     u_k = (x_j - x_i)_k / d  =>  A*u_k = (A/d)*x_jk - x_ik*(A/d),
@@ -22,21 +42,14 @@ transposed contraction (A is symmetric in i,j), and the coordinate
 gradient contracts dT against feats tile-wise with the analytic radial
 derivative — again without materializing anything O(P^2) in HBM.
 
-Status (v5e measurements, 2026-08): numerically verified on hardware
-(forward + both gradients match the jnp reference to f32 precision;
-includes a workaround for a Mosaic miscompile of K=3 ``jnp.dot``), and
-memory is O(P) as designed — but the serial per-tile R-loop of small dots
-currently runs ~17x slower than XLA's batched einsum schedule at
-P=1024-2048 (1.3 s vs 77 ms per 4-image batch). ``mp_mode="dense"``
-therefore stays the default; this kernel is the foundation for the
-flop-dense retiling (fuse the R axis into one [TI, TJ*R] x [TJ*R, F]
-MXU contraction per tile, bf16 tiles, double-buffered feats DMA) tracked
-for the next round.
+NOTE: K=3 ``jnp.dot`` miscompiles on the axon Mosaic backend (minimal
+reproducer: dot d2 err 0.54); pairwise d^2 is expanded manually everywhere.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,24 +58,52 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _radial_tile(di, dj, mi, mj, gi, gj, cutoff, n_radial, div_d):
-    """A tile of the radial adjacency: [TI, TJ, R] plus the env channel.
+def _compute_dtype():
+    return jnp.bfloat16 if os.environ.get("PDB2R_TPU_PALLAS_BF16") == "1" \
+        else jnp.float32
 
-    di/dj: [TI,3]/[TJ,3] coords; mi/mj masks; gi/gj global indices.
-    Returns (a_list, d, within): R+1 tiles [TI,TJ] each.
-    """
-    # NOTE: K=3 jnp.dot miscompiles on the axon Mosaic backend
-    # (minimal reproducer: dot d2 err 0.54); expand manually.
-    d2 = ((di[:, 0][:, None] - dj[:, 0][None, :]) ** 2
-          + (di[:, 1][:, None] - dj[:, 1][None, :]) ** 2
-          + (di[:, 2][:, None] - dj[:, 2][None, :]) ** 2)
+
+def _pair_geometry(ci, cj, mi, mj, gi, gj, cutoff):
+    """Pair geometry for one [TI, TJ] tile (manual d^2 expansion).
+
+    Returns (d_safe, within, env, denv, s1, c1) where s1 = sin(pi d/rc),
+    c1 = cos(pi d/rc) — the ONLY transcendentals of the whole radial
+    build: the Bessel ladder sin(r pi d/rc) follows by the coupled
+    rotation recurrence (pure FMAs on the VPU), and env = 0.5 (c1 + 1),
+    denv = -0.5 pi/rc s1 reuse the same pair."""
+    d2 = ((ci[:, 0][:, None] - cj[:, 0][None, :]) ** 2
+          + (ci[:, 1][:, None] - cj[:, 1][None, :]) ** 2
+          + (ci[:, 2][:, None] - cj[:, 2][None, :]) ** 2)
     d = jnp.sqrt(jnp.maximum(d2, 1e-12))
     not_self = gi[:, None] != gj[None, :]
     within = ((d <= cutoff) & not_self
               & (mi[:, None] > 0) & (mj[None, :] > 0))
-    x = jnp.clip(d / cutoff, 0.0, 1.0)
-    env = jnp.where(within, 0.5 * (jnp.cos(jnp.pi * x) + 1.0), 0.0)
     d_safe = jnp.where(within, d, 1.0)
+    theta = (np.pi / cutoff) * d_safe          # <= pi inside the cutoff
+    s1 = jnp.sin(theta)
+    c1 = jnp.cos(theta)
+    env = jnp.where(within, 0.5 * (c1 + 1.0), 0.0)
+    denv = jnp.where(within, -0.5 * (np.pi / cutoff) * s1, 0.0)
+    return d_safe, within, env, denv, s1, c1
+
+
+def _sincos_ladder(s1, c1, n_radial):
+    """([sin(r t)], [cos(r t)]) for r = 1..R by the coupled rotation
+    recurrence s' = s c1 + c s1, c' = c c1 - s s1 — each step is a plane
+    rotation, so f32 error grows linearly in r (the Chebyshev three-term
+    form grows ~r^2 and cost 8e-5 relative error at R = 24)."""
+    sins, coss = [s1], [c1]
+    for _ in range(n_radial - 1):
+        s, c = sins[-1], coss[-1]
+        sins.append(s * c1 + c * s1)
+        coss.append(c * c1 - s * s1)
+    return sins, coss
+
+
+def _a_stack(d_safe, env, s1, c1, cutoff, n_radial, div_d,
+             row_major_ti=True):
+    """Radial tile stack: [(R+1), TI, TJ] (or [TJ, R+1, TI] layout when
+    ``row_major_ti`` is False, for the transposed contraction)."""
     inv_d = 1.0 / d_safe
     scale = env * inv_d * np.sqrt(2.0 / cutoff)
     if div_d:
@@ -70,12 +111,10 @@ def _radial_tile(di, dj, mi, mj, gi, gj, cutoff, n_radial, div_d):
         env_ch = env * inv_d
     else:
         env_ch = env
-    a_list = []
-    for r in range(n_radial):
-        freq = (r + 1) * np.pi / cutoff
-        a_list.append(jnp.sin(freq * d_safe) * scale)
-    a_list.append(env_ch)
-    return a_list, d_safe, within
+    sins, _ = _sincos_ladder(s1, c1, n_radial)
+    if row_major_ti:
+        return jnp.stack([s * scale for s in sins] + [env_ch], axis=0)
+    return jnp.stack([s * scale for s in sins] + [env_ch], axis=1)
 
 
 def _fwd_kernel(ci_ref, mi_ref, cj_ref, mj_ref, feats_ref, out_ref, *,
@@ -84,18 +123,21 @@ def _fwd_kernel(ci_ref, mi_ref, cj_ref, mj_ref, feats_ref, out_ref, *,
     j_blk = pl.program_id(2)
     gi = i_blk * ti + jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)[:, 0]
     gj = j_blk * tj + jax.lax.broadcasted_iota(jnp.int32, (tj, 1), 0)[:, 0]
-    a_list, _, _ = _radial_tile(ci_ref[:], cj_ref[:], mi_ref[:, 0],
-                                mj_ref[:, 0], gi, gj, cutoff, n_radial,
-                                div_d)
+    d, within, env, _, s1, c1 = _pair_geometry(
+        ci_ref[:], cj_ref[:], mi_ref[:, 0], mj_ref[:, 0], gi, gj, cutoff)
+    R1 = n_radial + 1
+    a = _a_stack(d, env, s1, c1, cutoff, n_radial, div_d)  # [R1, TI, TJ]
+    cd = _compute_dtype()
+    # ONE MXU contraction per tile: [(R1*TI), TJ] x [TJ, FT]
+    res = jnp.dot(a.reshape(R1 * ti, tj).astype(cd),
+                  feats_ref[:].astype(cd),
+                  preferred_element_type=jnp.float32)
 
     @pl.when(j_blk == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    feats = feats_ref[:]
-    for r, a in enumerate(a_list):
-        out_ref[:, r, :] += jnp.dot(a, feats,
-                                    preferred_element_type=jnp.float32)
+    out_ref[:] += res.reshape(R1, ti, -1)
 
 
 def _pad_to(x, n, axis=0):
@@ -126,12 +168,12 @@ def radial_contract(coords, mask, feats, cutoff, n_radial, div_d=False):
                                      n_radial, div_d)
 
 
-def _radial_contract_impl(coords, mask, feats, cutoff, n_radial, div_d,
-                          transpose_ij=False):
+def _radial_contract_impl(coords, mask, feats, cutoff, n_radial, div_d):
     P, F = feats.shape
     TI = min(128, P)
     TJ = min(128, P)
-    FT = min(256, F)
+    FT = min(512, F)   # one F block up to 512 channels: the radial tile
+                       # is built once instead of once per F block
     Pp = -(-P // TI) * TI
     Fp = -(-F // FT) * FT
     R1 = n_radial + 1
@@ -144,7 +186,7 @@ def _radial_contract_impl(coords, mask, feats, cutoff, n_radial, div_d,
                              ti=TI, tj=TJ)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((Pp, R1, Fp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R1, Pp, Fp), jnp.float32),
         grid=(Pp // TI, Fp // FT, Pp // TJ),
         in_specs=[
             pl.BlockSpec((TI, 3), lambda i, fb, j: (i, 0),
@@ -158,102 +200,136 @@ def _radial_contract_impl(coords, mask, feats, cutoff, n_radial, div_d,
             pl.BlockSpec((TJ, FT), lambda i, fb, j: (j, fb),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TI, R1, FT), lambda i, fb, j: (i, 0, fb),
+        out_specs=pl.BlockSpec((R1, TI, FT), lambda i, fb, j: (0, i, fb),
                                memory_space=pltpu.VMEM),
     )(c, m, c, m, f)
-    return out[:P, :, :F]
+    # [R1, P, F] -> API layout [P, R1, F] (XLA-level transpose, fused)
+    return jnp.transpose(out[:, :P, :F], (1, 0, 2))
+
+
+def _g_dot_feats(g_ref, feats_ref, r1, ti):
+    """S[(r,i), j] = sum_f g[r,i,f] feats[j,f] as ONE MXU dot.
+
+    g block layout [R1, TI, F]; returns [R1, TI, TJ]."""
+    cd = _compute_dtype()
+    g2 = g_ref[:].reshape(r1 * ti, -1).astype(cd)
+    S = jnp.dot(g2, feats_ref[:].astype(cd).T,
+                preferred_element_type=jnp.float32)
+    return S.reshape(r1, ti, -1)
+
+
+def _accum_G(d_safe, env, denv, s1, c1, S, cutoff, n_radial, div_d):
+    """G = sum_r dA_r/dd * S_r with ROLLING Chebyshev ladders: only two
+    ladder tiles live at a time (the stacked-dA variant blew the 16 MB
+    VMEM scoped-stack limit)."""
+    inv_d = 1.0 / d_safe
+    norm = np.sqrt(2.0 / cutoff)
+    p = 2.0 if div_d else 1.0
+    base = norm * inv_d ** p
+    s_cur, c_cur = s1, c1
+    G = jnp.zeros_like(d_safe)
+    for r in range(n_radial):
+        freq = (r + 1) * np.pi / cutoff
+        dA = base * (freq * c_cur * env + s_cur * denv
+                     - p * s_cur * env * inv_d)
+        G += dA * S[r]
+        # coupled rotation recurrence (linear f32 error growth)
+        s_cur, c_cur = (s_cur * c1 + c_cur * s1,
+                        c_cur * c1 - s_cur * s1)
+    # env-only channel: A_R = env / d^(p-1)
+    pe = p - 1.0
+    G += (inv_d ** pe) * (denv - pe * env * inv_d) * S[n_radial]
+    return G
 
 
 def _grad_coords_kernel(ci_ref, mi_ref, cj_ref, mj_ref, g_ref, feats_ref,
-                        out_ref, *, cutoff, n_radial, div_d, ti, tj):
-    """dL/dx_i accumulation for one (i, j) tile pair.
+                        out_ref, *, cutoff, n_radial, div_d, ti, tj,
+                        sender_side):
+    """Coordinate gradient for one (i, j) tile pair.
 
     G[i,j] = sum_r dA_r/dd * (sum_f g[i,r,f] feats[j,f]);
-    dx_i += sum_j G[i,j] * (x_i - x_j)/d.
+    receiver side: dx_i += sum_j G[i,j] (x_i - x_j)/d;
+    sender side:   dx_j -= sum_i G[i,j] (x_i - x_j)/d.
     """
-    i_blk = pl.program_id(0)
-    j_blk = pl.program_id(1)
+    blk_out = pl.program_id(0)
+    blk_in = pl.program_id(1)
+    if sender_side:
+        j_blk, i_blk = blk_out, blk_in
+    else:
+        i_blk, j_blk = blk_out, blk_in
     gi = i_blk * ti + jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)[:, 0]
     gj = j_blk * tj + jax.lax.broadcasted_iota(jnp.int32, (tj, 1), 0)[:, 0]
     ci = ci_ref[:]
     cj = cj_ref[:]
-    # NOTE: K=3 jnp.dot miscompiles on the axon Mosaic backend
-    # (minimal reproducer: dot d2 err 0.54); expand manually.
-    d2 = ((ci[:, 0][:, None] - cj[:, 0][None, :]) ** 2
-          + (ci[:, 1][:, None] - cj[:, 1][None, :]) ** 2
-          + (ci[:, 2][:, None] - cj[:, 2][None, :]) ** 2)
-    d = jnp.sqrt(jnp.maximum(d2, 1e-12))
-    not_self = gi[:, None] != gj[None, :]
-    within = ((d <= cutoff) & not_self
-              & (mi_ref[:, 0][:, None] > 0) & (mj_ref[:, 0][None, :] > 0))
-    d_safe = jnp.where(within, d, 1.0)
-    inv_d = 1.0 / d_safe
-    x = jnp.clip(d / cutoff, 0.0, 1.0)
-    env = jnp.where(within, 0.5 * (jnp.cos(jnp.pi * x) + 1.0), 0.0)
-    denv = jnp.where(within,
-                     -0.5 * jnp.pi / cutoff * jnp.sin(jnp.pi * x), 0.0)
-    norm = np.sqrt(2.0 / cutoff)
-    p = 2.0 if div_d else 1.0    # extra 1/d power for the div_d variant
+    d, within, env, denv, s1, c1 = _pair_geometry(
+        ci, cj, mi_ref[:, 0], mj_ref[:, 0], gi, gj, cutoff)
+    R1 = n_radial + 1
+    S = _g_dot_feats(g_ref, feats_ref, R1, ti)              # [R1,TI,TJ]
+    G = _accum_G(d, env, denv, s1, c1, S, cutoff, n_radial,
+                 div_d)                                     # [TI,TJ]
 
-    feats = feats_ref[:]
-    G = jnp.zeros_like(d)
-    for r in range(n_radial):
-        freq = (r + 1) * np.pi / cutoff
-        s = jnp.sin(freq * d_safe)
-        ds_dd = freq * jnp.cos(freq * d_safe)
-        # A_r = norm * s * env / d^p
-        base = norm * inv_d ** p
-        dA = base * (ds_dd * env + s * denv - p * s * env * inv_d)
-        Sr = jnp.dot(g_ref[:, r, :], feats.T,
-                     preferred_element_type=jnp.float32)
-        G += dA * Sr
-    # env-only channel: A_R = env / d^(p-1)
-    pe = p - 1.0
-    base = inv_d ** pe
-    dAe = base * (denv - pe * env * inv_d)
-    Se = jnp.dot(g_ref[:, n_radial, :], feats.T,
-                 preferred_element_type=jnp.float32)
-    G += dAe * Se
-
+    inv_d = 1.0 / d
     unit = (ci[:, None, :] - cj[None, :, :]) * inv_d[:, :, None]
-    contrib = jnp.sum(G[:, :, None] * unit, axis=1)      # [TI,3]
+    if sender_side:
+        contrib = -jnp.sum(G[:, :, None] * unit, axis=0)    # [TJ,3]
+    else:
+        contrib = jnp.sum(G[:, :, None] * unit, axis=1)     # [TI,3]
 
-    @pl.when(j_blk == 0)
+    @pl.when(blk_in == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     out_ref[:] += contrib
 
 
-def _grad_coords(coords, mask, feats, g, cutoff, n_radial, div_d):
-    # F-chunk to keep the [TI, R+1, F] gradient block inside VMEM
+def _grad_coords(coords, mask, feats, g_r1pf, cutoff, n_radial, div_d,
+                 sender_side):
+    """g_r1pf: [R1, P, F] gradient (kernel-friendly layout)."""
     P, F = feats.shape
-    FT = 128
+    FT = 192
     if F > FT:
         out = None
         for f0 in range(0, F, FT):
             part = _grad_coords(coords, mask, feats[:, f0:f0 + FT],
-                                g[:, :, f0:f0 + FT], cutoff, n_radial,
-                                div_d)
+                                g_r1pf[:, :, f0:f0 + FT], cutoff,
+                                n_radial, div_d, sender_side)
             out = part if out is None else out + part
         return out
     TI = min(128, P)
-    TJ = min(128, P)
-    Pp = -(-P // TI) * TI
+    TJ = min(64, P)    # smaller j tiles: the grad kernel's per-tile stack
+                       # (S + dA ladder + g block) must fit the 16 MB
+                       # scoped VMEM limit
+    Pp = -(-P // max(TI, TJ)) * max(TI, TJ)
     R1 = n_radial + 1
     c = _pad_to(coords.astype(jnp.float32), Pp)
     m = _pad_to(mask.astype(jnp.float32).reshape(-1, 1), Pp)
     f = _pad_to(feats.astype(jnp.float32), Pp)
-    gg = _pad_to(g.astype(jnp.float32), Pp)
+    gg = _pad_to(g_r1pf.astype(jnp.float32), Pp, axis=1)
 
     kern = functools.partial(_grad_coords_kernel, cutoff=float(cutoff),
                              n_radial=int(n_radial), div_d=bool(div_d),
-                             ti=TI, tj=TJ)
-    out = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((Pp, 3), jnp.float32),
-        grid=(Pp // TI, Pp // TJ),
-        in_specs=[
+                             ti=TI, tj=TJ, sender_side=bool(sender_side))
+    if sender_side:
+        # grid (j, i): output blocked over j (senders), accumulate over i
+        specs = [
+            pl.BlockSpec((TI, 3), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, 3), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, 1), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R1, TI, F), lambda j, i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, F), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_spec = pl.BlockSpec((TJ, 3), lambda j, i: (j, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        # grid (i, j): output blocked over i (receivers), accumulate over j
+        specs = [
             pl.BlockSpec((TI, 3), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TI, 1), lambda i, j: (i, 0),
@@ -262,13 +338,20 @@ def _grad_coords(coords, mask, feats, g, cutoff, n_radial, div_d):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TJ, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, R1, F), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((R1, TI, F), lambda i, j: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TJ, F), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TI, 3), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
+        ]
+        out_spec = pl.BlockSpec((TI, 3), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Pp, 3), jnp.float32),
+        grid=(Pp // (TJ if sender_side else TI),
+              Pp // (TI if sender_side else TJ)),
+        in_specs=specs,
+        out_specs=out_spec,
     )(c, m, c, m, gg, f)
     return out[:P]
 
@@ -277,30 +360,36 @@ def _transpose_kernel(ci_ref, mi_ref, cj_ref, mj_ref, g_ref, out_ref, *,
                       cutoff, n_radial, div_d, ti, tj):
     """dfeats[j,f] = sum_i sum_r A[j,i,r] g[i,r,f]; A symmetric in (i,j).
 
-    Grid (j, i): the j-blocked output accumulates over the inner i axis.
+    Grid (j, i): j-blocked output accumulates over the inner i axis. The
+    (r, i) axes fuse into ONE [TJ, R1*TI] x [R1*TI, F] MXU dot.
     """
     j_blk = pl.program_id(0)
     i_blk = pl.program_id(1)
     gi = i_blk * ti + jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)[:, 0]
     gj = j_blk * tj + jax.lax.broadcasted_iota(jnp.int32, (tj, 1), 0)[:, 0]
-    a_list, _, _ = _radial_tile(cj_ref[:], ci_ref[:], mj_ref[:, 0],
-                                mi_ref[:, 0], gj, gi, cutoff, n_radial,
-                                div_d)
+    # geometry with j as rows: d [TJ, TI]
+    d, within, env, _, s1, c1 = _pair_geometry(
+        cj_ref[:], ci_ref[:], mj_ref[:, 0], mi_ref[:, 0], gj, gi, cutoff)
+    R1 = n_radial + 1
+    a = _a_stack(d, env, s1, c1, cutoff, n_radial, div_d,
+                 row_major_ti=False)                 # [TJ, R1, TI]
+    cd = _compute_dtype()
+    g2 = g_ref[:].reshape(R1 * ti, -1).astype(cd)    # [(R1*TI), F]
+    res = jnp.dot(a.reshape(tj, R1 * ti).astype(cd), g2,
+                  preferred_element_type=jnp.float32)
 
     @pl.when(i_blk == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    for r, a in enumerate(a_list):       # a: [TJ, TI]
-        out_ref[:] += jnp.dot(a, g_ref[:, r, :],
-                              preferred_element_type=jnp.float32)
+    out_ref[:] += res
 
 
-def _grad_feats(coords, mask, g, cutoff, n_radial, div_d, F):
-    FT = 128
+def _grad_feats(coords, mask, g_r1pf, cutoff, n_radial, div_d, F):
+    FT = 192
     if F > FT:
-        parts = [_grad_feats(coords, mask, g[:, :, f0:f0 + FT], cutoff,
-                             n_radial, div_d, min(FT, F - f0))
+        parts = [_grad_feats(coords, mask, g_r1pf[:, :, f0:f0 + FT],
+                             cutoff, n_radial, div_d, min(FT, F - f0))
                  for f0 in range(0, F, FT)]
         return jnp.concatenate(parts, axis=1)
     P = coords.shape[0]
@@ -310,7 +399,7 @@ def _grad_feats(coords, mask, g, cutoff, n_radial, div_d, F):
     R1 = n_radial + 1
     c = _pad_to(coords.astype(jnp.float32), Pp)
     m = _pad_to(mask.astype(jnp.float32).reshape(-1, 1), Pp)
-    gg = _pad_to(g.astype(jnp.float32), Pp)
+    gg = _pad_to(g_r1pf.astype(jnp.float32), Pp, axis=1)
 
     kern = functools.partial(_transpose_kernel, cutoff=float(cutoff),
                              n_radial=int(n_radial), div_d=bool(div_d),
@@ -328,7 +417,7 @@ def _grad_feats(coords, mask, g, cutoff, n_radial, div_d, F):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TJ, 1), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, R1, F), lambda j, i: (i, 0, 0),
+            pl.BlockSpec((R1, TI, F), lambda j, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TJ, F), lambda j, i: (j, 0),
@@ -344,119 +433,16 @@ def _rc_fwd(coords, mask, feats, cutoff, n_radial, div_d):
 
 def _rc_bwd(cutoff, n_radial, div_d, res, g):
     coords, mask, feats = res
-    dfeats = _grad_feats(coords, mask, g, cutoff, n_radial, div_d,
+    # kernel-friendly gradient layout [R1, P, F]
+    g_r1pf = jnp.transpose(g, (1, 0, 2))
+    dfeats = _grad_feats(coords, mask, g_r1pf, cutoff, n_radial, div_d,
                          feats.shape[1]).astype(feats.dtype)
-    # dx_i term (i as receiver) ...
-    dci = _grad_coords(coords, mask, feats, g, cutoff, n_radial, div_d)
-    # ... and the j-side term: by symmetry of A (and d), the gradient of
-    # d_ij w.r.t. x_j is the negative unit vector; swapping roles gives
-    # dx_j = -sum_i G[i,j] u[i,j]. Compute with the same kernel on the
-    # transposed contraction: swap (g<->feats-role) via the symmetric G:
-    # G_T[j,i] = G[i,j], so dx_j = _grad_coords with (g', feats') where
-    # the product sum_f g[i,r,f] feats[j,f] must keep i fixed. We obtain
-    # it by rerunning with the roles of the two point sets swapped:
-    dcj = _grad_coords_swapped(coords, mask, feats, g, cutoff, n_radial,
-                               div_d)
+    dci = _grad_coords(coords, mask, feats, g_r1pf, cutoff, n_radial,
+                       div_d, sender_side=False)
+    dcj = _grad_coords(coords, mask, feats, g_r1pf, cutoff, n_radial,
+                       div_d, sender_side=True)
     dcoords = (dci + dcj).astype(coords.dtype)
     return dcoords, None, dfeats
-
-
-def _grad_coords_swapped(coords, mask, feats, g, cutoff, n_radial, div_d):
-    """dx_j = -sum_i G[i,j] * (x_i - x_j)/d — the sender-side gradient."""
-    P, F = feats.shape
-    FT = 128
-    if F > FT:
-        out = None
-        for f0 in range(0, F, FT):
-            part = _grad_coords_swapped(coords, mask,
-                                        feats[:, f0:f0 + FT],
-                                        g[:, :, f0:f0 + FT], cutoff,
-                                        n_radial, div_d)
-            out = part if out is None else out + part
-        return out
-    TI = min(128, P)
-    TJ = min(128, P)
-    Pp = -(-P // TI) * TI
-    R1 = n_radial + 1
-    c = _pad_to(coords.astype(jnp.float32), Pp)
-    m = _pad_to(mask.astype(jnp.float32).reshape(-1, 1), Pp)
-    f = _pad_to(feats.astype(jnp.float32), Pp)
-    gg = _pad_to(g.astype(jnp.float32), Pp)
-
-    def kern(cj_ref, mj_ref, ci_ref, mi_ref, g_ref, feats_ref, out_ref):
-        # grid (j, i): output blocked over j (sender side), accumulate i
-        j_blk = pl.program_id(0)
-        i_blk = pl.program_id(1)
-        gi = i_blk * TI + jax.lax.broadcasted_iota(jnp.int32, (TI, 1), 0)[:, 0]
-        gj = j_blk * TJ + jax.lax.broadcasted_iota(jnp.int32, (TJ, 1), 0)[:, 0]
-        ci = ci_ref[:]
-        cj = cj_ref[:]
-        # NOTE: K=3 jnp.dot miscompiles on the axon Mosaic backend
-        # (minimal reproducer: dot d2 err 0.54); expand manually.
-        d2 = ((ci[:, 0][:, None] - cj[:, 0][None, :]) ** 2
-              + (ci[:, 1][:, None] - cj[:, 1][None, :]) ** 2
-              + (ci[:, 2][:, None] - cj[:, 2][None, :]) ** 2)
-        d = jnp.sqrt(jnp.maximum(d2, 1e-12))
-        not_self = gi[:, None] != gj[None, :]
-        within = ((d <= cutoff) & not_self
-                  & (mi_ref[:, 0][:, None] > 0)
-                  & (mj_ref[:, 0][None, :] > 0))
-        d_safe = jnp.where(within, d, 1.0)
-        inv_d = 1.0 / d_safe
-        x = jnp.clip(d / cutoff, 0.0, 1.0)
-        env = jnp.where(within, 0.5 * (jnp.cos(jnp.pi * x) + 1.0), 0.0)
-        denv = jnp.where(within,
-                         -0.5 * jnp.pi / cutoff * jnp.sin(jnp.pi * x), 0.0)
-        norm = np.sqrt(2.0 / cutoff)
-        p = 2.0 if div_d else 1.0
-        feats_t = feats_ref[:]
-        G = jnp.zeros_like(d)
-        for r in range(n_radial):
-            freq = (r + 1) * np.pi / cutoff
-            s = jnp.sin(freq * d_safe)
-            ds_dd = freq * jnp.cos(freq * d_safe)
-            base = norm * inv_d ** p
-            dA = base * (ds_dd * env + s * denv - p * s * env * inv_d)
-            Sr = jnp.dot(g_ref[:, r, :], feats_t.T,
-                         preferred_element_type=jnp.float32)
-            G += dA * Sr
-        pe = p - 1.0
-        base = inv_d ** pe
-        dAe = base * (denv - pe * env * inv_d)
-        Se = jnp.dot(g_ref[:, n_radial, :], feats_t.T,
-                     preferred_element_type=jnp.float32)
-        G += dAe * Se
-        unit = (ci[:, None, :] - cj[None, :, :]) * inv_d[:, :, None]
-        contrib = -jnp.sum(G[:, :, None] * unit, axis=0)   # [TJ,3]
-
-        @pl.when(i_blk == 0)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
-
-        out_ref[:] += contrib
-
-    out = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((Pp, 3), jnp.float32),
-        grid=(Pp // TJ, Pp // TI),
-        in_specs=[
-            pl.BlockSpec((TJ, 3), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TJ, 1), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, 3), lambda j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, 1), lambda j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, n_radial + 1, F), lambda j, i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TJ, F), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TJ, 3), lambda j, i: (j, 0),
-                               memory_space=pltpu.VMEM),
-    )(c, m, c, m, gg, f)
-    return out[:P]
 
 
 radial_contract_tpu.defvjp(_rc_fwd, _rc_bwd)
