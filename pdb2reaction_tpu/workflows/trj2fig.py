@@ -61,6 +61,17 @@ def plot_profile(out_path, energies_au: Sequence[float], *,
         np.savetxt(csv_path, np.column_stack([np.arange(len(E)), E, rel]),
                    delimiter=",", header="image,energy_au,rel_" + unit,
                    comments="")
+    # interactive HTML companion like the reference's plotly export
+    # (trj2fig.py:224-307) — emitted when plotly is importable
+    try:
+        import plotly.graph_objects as go
+        pfig = go.Figure(go.Scatter(x=list(range(len(rel))), y=list(rel),
+                                    mode="lines+markers"))
+        pfig.update_layout(xaxis_title="image",
+                           yaxis_title=f"dE ({unit})", title=title)
+        pfig.write_html(Path(out_path).with_suffix(".html"))
+    except ImportError:
+        pass
     return Path(out_path)
 
 

@@ -134,3 +134,33 @@ def test_all_pdb_full_output_tree(tmp_path):
                    "thermo"} <= set(s4[0])
     log = (out / "summary.log").read_text()
     assert "reactive" in log
+
+
+def test_scan3d_small(tmp_path):
+    """3-D grid with the reference nesting (d1 relaxed alone, then d1+d2,
+    then all three) + plot-only reload."""
+    a = tmp_path / "A.xyz"
+    a.write_text("4\n\nH 0.0 0.0 0.0\nH 0.9 0.0 0.0\n"
+                 "H 1.8 0.0 0.0\nH 2.7 0.0 0.0\n")
+    out = tmp_path / "s3"
+    res = CliRunner().invoke(cli, [
+        "scan3d", "-i", str(a), "-q", "0", "--calc-mode", "morse",
+        "--freeze-atoms", "0,3",
+        "--scan", "0,1,0.8,0.1", "--scan", "1,2,0.85,0.1",
+        "--scan", "2,3,0.85,0.1",
+        "--out-dir", str(out)])
+    assert res.exit_code == 0, res.output
+    assert (out / "surface.csv").exists()
+    assert (out / "surface_3d.png").exists()
+    table = np.loadtxt(out / "surface.csv", delimiter=",", skiprows=1)
+    assert table.shape[1] == 4
+    assert len(table) == 8          # 2 x 2 x 2 grid
+    # plot-only mode re-renders from the CSV
+    out2 = tmp_path / "s3b"
+    res2 = CliRunner().invoke(cli, [
+        "scan3d", "-i", str(a), "-q", "0", "--calc-mode", "morse",
+        "--scan", "0,1,0.8,0.1", "--scan", "1,2,0.85,0.1",
+        "--scan", "2,3,0.85,0.1",
+        "--plot-only", str(out / "surface.csv"), "--out-dir", str(out2)])
+    assert res2.exit_code == 0, res2.output
+    assert (out2 / "surface_3d.png").exists()
