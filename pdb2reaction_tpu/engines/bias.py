@@ -19,13 +19,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_BIAS_CACHE: Dict[Any, Callable] = {}
+
+
 def make_biased_energy_fn(base_energy_fn: Callable,
                           pairs_ij: Sequence[Tuple[int, int]]):
     """Wrap ``energy_fn`` with M harmonic distance wells.
 
     The wrapped params pytree is ``{"base": <base params>,
     "targets": [M] Ang, "k": [M] eV/Ang^2}``. Pair indices are static.
+    The wrapper is cached per (base function, pairs) so repeated runs
+    share compiled programs.
     """
+    key = None
+    try:
+        key = (base_energy_fn, tuple((int(i), int(j)) for i, j in pairs_ij))
+        hit = _BIAS_CACHE.get(key)
+        if hit is not None:
+            return hit
+    except TypeError:
+        pass
     idx_i = jnp.asarray([int(i) for i, _ in pairs_ij], dtype=jnp.int32)
     idx_j = jnp.asarray([int(j) for _, j in pairs_ij], dtype=jnp.int32)
 
@@ -39,6 +52,9 @@ def make_biased_energy_fn(base_energy_fn: Callable,
         e_bias = 0.5 * jnp.sum(params["k"] * dev * dev)
         return e + e_bias
 
+    fn.takes_params = True
+    if key is not None:
+        _BIAS_CACHE[key] = fn
     return fn
 
 

@@ -358,7 +358,7 @@ def hessian_dimer(
         budget = min(budget, max_cycles_total - total_cycles)
         if budget <= 0:
             return x, N, False
-        st = run(x, N, fm_flat, calc.params, jnp.array(budget))
+        st = run(x, N, fm_flat, calc.pack(), jnp.array(budget))
         total_cycles += int(st.cycle)
         total_calls += int(st.calls)
         calc.force_calls += int(st.calls)

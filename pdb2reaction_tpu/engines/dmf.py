@@ -147,7 +147,7 @@ def dmf_mep(
     sys_ = calc.system
     free = sys_.free_mask[:, None]
     eb_p = calc._au_eforce_batch_p
-    params = calc.params
+    params = calc.pack()
     beta = beta_ev / AU2EV                      # 1/Hartree
 
     x0 = jnp.asarray(x0_bohr_pad)

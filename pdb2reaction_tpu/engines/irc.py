@@ -313,7 +313,7 @@ def eulerpc_irc(
         q0 = np.asarray(q_ts) + sign * dq * np.asarray(mode_mw)
         q0 = np.where(np.asarray(free_flat) > 0, q0, np.asarray(q_ts))
         st = runner(jnp.asarray(q0), q_ts, jnp.asarray(e_ts), g_ts_mw,
-                    jnp.asarray(Hmw), sqm, free_flat, calc.params,
+                    jnp.asarray(Hmw), sqm, free_flat, calc.pack(),
                     jnp.asarray(float(step_length)),
                     jnp.asarray(float(rms_grad_thresh)),
                     jnp.asarray(float(energy_thresh)))

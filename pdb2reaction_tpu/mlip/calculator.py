@@ -58,11 +58,18 @@ CALC_KW: Dict[str, Any] = {
 }
 
 
+_SENTINEL = object()
+
+_NORM_CACHE: Dict[Any, Callable] = {}
+
+
 def _normalize_energy_fn(energy_fn: Callable) -> Callable:
     """Accept both (coords, system) and (coords, system, params) signatures.
 
     A function opts into dynamic params by naming its third positional
     parameter ``params`` (or setting ``takes_params = True`` on itself).
+    Wrappers are cached so repeated Calculators over the same function
+    share one identity (and therefore one set of compiled programs).
     """
     if getattr(energy_fn, "takes_params", False):
         return energy_fn
@@ -72,7 +79,112 @@ def _normalize_energy_fn(energy_fn: Callable) -> Callable:
         names = []
     if len(names) >= 3 and names[2] == "params":
         return energy_fn
-    return lambda coords, system, params: energy_fn(coords, system)
+    try:
+        hit = _NORM_CACHE.get(energy_fn)
+    except TypeError:
+        hit = None
+    if hit is None:
+        def hit(coords, system, params, _f=energy_fn):
+            return _f(coords, system)
+        try:
+            _NORM_CACHE[energy_fn] = hit
+        except TypeError:
+            pass
+    return hit
+
+
+# ---------------------------------------------------------------------------
+# module-level compiled kernels, shared across ALL calculators with the
+# same energy function: the padded system is a pytree ARGUMENT, not a
+# closure constant, so two calculators over different structures (same
+# padded size) reuse one XLA program — the axon remote-compile cost
+# (~minutes per program at 300 atoms) is paid once per (function, shape)
+# instead of once per Calculator instance.
+# ---------------------------------------------------------------------------
+
+_KERNELS: Dict[Any, Dict[str, Callable]] = {}
+
+
+def _get_kernels(efn: Callable, chunk: int) -> Dict[str, Callable]:
+    key = (efn, chunk)
+    hit = _KERNELS.get(key)
+    if hit is not None:
+        return hit
+
+    def _eforce(coords_pad, system, params):
+        e, g = jax.value_and_grad(efn)(coords_pad, system, params)
+        # zero forces on frozen + padding atoms (uma_pysis.py:700-706)
+        return e, -g * system.free_mask[:, None]
+
+    @jax.jit
+    def energy(coords_pad, system, params):
+        return efn(coords_pad, system, params)
+
+    eforce = jax.jit(_eforce)
+
+    @jax.jit
+    def eforce_batch(coords_batch, system, params):
+        return jax.lax.map(lambda c: _eforce(c, system, params),
+                           coords_batch, batch_size=chunk)
+
+    # analytic Hessian = batched HVPs (forward-over-reverse), chunked:
+    # jax.hessian would materialize all 3P tangent columns at once —
+    # 28 GB of per-column message temps at 300 atoms on v5e
+    @jax.jit
+    def hvp_batch(coords_pad, tangents, system, params):
+        def hvp(v):
+            return jax.jvp(
+                lambda c: jax.grad(efn)(c, system, params),
+                (coords_pad,), (v.astype(coords_pad.dtype),))[1]
+        return jax.lax.map(hvp, tangents, batch_size=chunk)
+
+    @jax.jit
+    def fd_forces_batch(coords_batch, system, params):
+        return jax.lax.map(lambda c: -jax.grad(efn)(c, system, params),
+                           coords_batch, batch_size=chunk)
+
+    def _au_eforce(coords_bohr_pad, packed):
+        system, params = packed
+        coords_ang = coords_bohr_pad * BOHR2ANG
+        e_ev, g_ev = jax.value_and_grad(efn)(coords_ang, system, params)
+        f_au = -g_ev * F_EVAA_2_AU * system.free_mask[:, None]
+        return e_ev * EV2AU, f_au
+
+    au_eforce_p = jax.jit(_au_eforce)
+
+    # Batched images run through lax.map with a bounded chunk instead of
+    # a full vmap: XLA stages ~8 live copies of the per-layer [B,P,P,R]
+    # temps under vmap, which OOMs v5e HBM at 300 atoms x 12 images
+    # (40.7 GB observed); chunking caps the live-batch footprint while
+    # keeping per-chunk MXU utilization.
+    @jax.jit
+    def au_eforce_batch_p(coords_batch, packed):
+        return jax.lax.map(lambda c: _au_eforce(c, packed),
+                           coords_batch, batch_size=chunk)
+
+    # Hessian-vector product in Bohr coordinate space (direction-exact;
+    # used by the GSM Lanczos climbing tangent — analytic HVPs replace
+    # the reference's finite-difference Lanczos force probes)
+    @jax.jit
+    def au_hvp_p(coords_bohr_pad, v_pad, packed):
+        system, params = packed
+        coords_ang = coords_bohr_pad * BOHR2ANG
+
+        def grad(c):
+            return jax.grad(efn)(c, system, params)
+
+        hv = jax.jvp(grad, (coords_ang,),
+                     (v_pad.astype(coords_ang.dtype),))[1]
+        return hv * system.free_mask[:, None]
+
+    hit = {"energy": energy, "eforce": eforce,
+           "eforce_batch": eforce_batch, "hvp_batch": hvp_batch,
+           "fd_forces_batch": fd_forces_batch,
+           "au_eforce_p": au_eforce_p,
+           "au_eforce_batch_p": au_eforce_batch_p,
+           "au_hvp_p": au_hvp_p}
+    _KERNELS[key] = hit
+    return hit
 
 
 class Calculator:
@@ -112,94 +224,23 @@ class Calculator:
 
     # -- compiled kernels ---------------------------------------------------
     def _build(self):
-        sys_ = self.system
-        efn = self.energy_fn
-
-        def energy(coords_pad, params):
-            return efn(coords_pad, sys_, params)
-
-        def energy_force(coords_pad, params):
-            e, g = jax.value_and_grad(energy)(coords_pad, params)
-            # zero forces on frozen + padding atoms (uma_pysis.py:700-706)
-            f = -g * sys_.free_mask[:, None]
-            return e, f
-
-        _chunk = int(os.environ.get("PDB2R_TPU_BATCH_CHUNK", "4"))
-
-        self._energy_j = jax.jit(energy)
-        self._eforce_j = jax.jit(energy_force)
-
-        @jax.jit
-        def eforce_batch(coords_batch, params):
-            return jax.lax.map(lambda c: energy_force(c, params),
-                               coords_batch, batch_size=_chunk)
-
-        self._eforce_batch_j = eforce_batch
-
-        # analytic Hessian = batched HVPs (forward-over-reverse), chunked:
-        # jax.hessian would materialize all 3P tangent columns at once —
-        # 28 GB of per-column message temps at 300 atoms on v5e
-        @jax.jit
-        def hvp_batch(coords_pad, tangents, params):
-            def hvp(v):
-                return jax.jvp(lambda c: jax.grad(energy)(c, params),
-                               (coords_pad,),
-                               (v.astype(coords_pad.dtype),))[1]
-            return jax.lax.map(hvp, tangents, batch_size=_chunk)
-
-        self._hvp_batch_j = hvp_batch
-
-        @jax.jit
-        def fd_forces_batch(coords_batch, params):
-            return jax.lax.map(lambda c: -jax.grad(energy)(c, params),
-                               coords_batch, batch_size=_chunk)
-
-        self._fd_forces_batch_j = fd_forces_batch
-
-        # stable-identity au-unit closures (engines key compile caches on
-        # these, so they must be built once per calculator)
-        from ..constants import BOHR2ANG as _B2A, EV2AU as _EV2AU, \
-            F_EVAA_2_AU as _F2AU
-
-        @jax.jit
-        def au_eforce_p(coords_bohr_pad, params):
-            coords_ang = coords_bohr_pad * _B2A
-            e_ev, g_ev = jax.value_and_grad(
-                lambda c: efn(c, sys_, params))(coords_ang)
-            f_au = -g_ev * _F2AU * sys_.free_mask[:, None]
-            return e_ev * _EV2AU, f_au
-
-        self._au_eforce_p = au_eforce_p
-
-        # Hessian-vector product in Bohr coordinate space (direction-exact;
-        # used by the GSM Lanczos climbing tangent — analytic HVPs replace
-        # the reference's finite-difference Lanczos force probes)
-        @jax.jit
-        def au_hvp_p(coords_bohr_pad, v_pad, params):
-            coords_ang = coords_bohr_pad * _B2A
-
-            def grad(c):
-                return jax.grad(lambda cc: efn(cc, sys_, params))(c)
-
-            hv = jax.jvp(grad, (coords_ang,),
-                         (v_pad.astype(coords_ang.dtype),))[1]
-            return hv * sys_.free_mask[:, None]
-
-        self._au_hvp_p = au_hvp_p
-        # Batched images run through lax.map with a bounded chunk instead of
-        # a full vmap: XLA stages ~8 live copies of the per-layer [B,P,P,R]
-        # temps under vmap, which OOMs v5e HBM at 300 atoms x 12 images
-        # (40.7 GB observed); chunking caps the live-batch footprint while
-        # keeping per-chunk MXU utilization.
         chunk = int(os.environ.get("PDB2R_TPU_BATCH_CHUNK", "4"))
+        k = _get_kernels(self.energy_fn, chunk)
+        self._energy_j = k["energy"]
+        self._eforce_j = k["eforce"]
+        self._eforce_batch_j = k["eforce_batch"]
+        self._hvp_batch_j = k["hvp_batch"]
+        self._fd_forces_batch_j = k["fd_forces_batch"]
+        self._au_eforce_p = k["au_eforce_p"]
+        self._au_eforce_batch_p = k["au_eforce_batch_p"]
+        self._au_hvp_p = k["au_hvp_p"]
 
-        @jax.jit
-        def au_eforce_batch(coords_batch, params):
-            def one(c):
-                return au_eforce_p(c, params)
-            return jax.lax.map(one, coords_batch, batch_size=chunk)
-
-        self._au_eforce_batch_p = au_eforce_batch
+    def pack(self, params=_SENTINEL):
+        """(system, params) pytree for the packed-signature au kernels —
+        what engines thread through their device loops alongside
+        ``au_energy_force_fn_p()``."""
+        return (self.system,
+                self.params if params is _SENTINEL else params)
 
     # -- helpers ------------------------------------------------------------
     def _to_pad_ang(self, coords_bohr) -> jnp.ndarray:
@@ -218,13 +259,13 @@ class Calculator:
     # -- public API (pysisyphus-style, Bohr/Hartree) ------------------------
     def get_energy(self, coords_bohr) -> Dict[str, Any]:
         c = self._to_pad_ang(coords_bohr)
-        e_ev = self._energy_j(c, self.params)
+        e_ev = self._energy_j(c, self.system, self.params)
         self.energy_calls += 1
         return {"energy": float(e_ev) * EV2AU}
 
     def get_forces(self, coords_bohr) -> Dict[str, Any]:
         c = self._to_pad_ang(coords_bohr)
-        e_ev, f_evA = self._eforce_j(c, self.params)
+        e_ev, f_evA = self._eforce_j(c, self.system, self.params)
         self.force_calls += 1
         f = np.asarray(f_evA, dtype=np.float64)[: self.n_atoms] * F_EVAA_2_AU
         return {"energy": float(e_ev) * EV2AU, "forces": f.reshape(-1)}
@@ -249,7 +290,7 @@ class Calculator:
         jb = jnp.asarray(batch)
         if self.mesh is not None:
             jb = shard_batch(jb, self.mesh)
-        e_ev, f_evA = self._eforce_batch_j(jb, self.params)
+        e_ev, f_evA = self._eforce_batch_j(jb, self.system, self.params)
         self.force_calls += B
         if jax.process_count() > 1:
             # multi-host mesh: assemble the full result on every process
@@ -291,7 +332,8 @@ class Calculator:
         comp = np.arange(n3) % 3
         flat[np.arange(n3), atom * 3 + comp] = 1.0
         rows = np.asarray(self._hvp_batch_j(c, jnp.asarray(eye),
-                                            self.params), dtype=np.float64)
+                                            self.system, self.params),
+                          dtype=np.float64)
         H = rows[:, : self.n_atoms].reshape(n3, n3)
         H = 0.5 * (H + H.T)
         return H * H_EVAA_2_AU
@@ -321,7 +363,8 @@ class Calculator:
         jb = jnp.asarray(batch)
         if self.mesh is not None:
             jb = shard_batch(jb, self.mesh)
-        f = np.asarray(self._fd_forces_batch_j(jb, self.params),
+        f = np.asarray(self._fd_forces_batch_j(jb, self.system,
+                                               self.params),
                        dtype=np.float64)[: 2 * B]
         self.force_calls += 2 * B
         f = f[:, : self.n_atoms].reshape(2 * B, n3)
@@ -334,7 +377,7 @@ class Calculator:
 
     # -- Angstrom-side conveniences used by engines -------------------------
     def energy_ev(self, coords_ang_pad: jnp.ndarray) -> jnp.ndarray:
-        return self._energy_j(coords_ang_pad, self.params)
+        return self._energy_j(coords_ang_pad, self.system, self.params)
 
     def au_energy_force_fn(self):
         """Pure closure for jit engines: coords_bohr_pad [P,3] ->
@@ -345,20 +388,23 @@ class Calculator:
         step (unlike the reference's per-cycle host<->GPU boundary,
         SURVEY.md §3.2). Captures ``self.params`` at closure-build time;
         rebuild after changing params, or use ``au_energy_force_fn_p`` to
-        thread params explicitly."""
+        thread the packed (system, params) explicitly."""
         fn_p = self.au_energy_force_fn_p()
-        params = self.params
-        return lambda coords_bohr_pad: fn_p(coords_bohr_pad, params)
+        packed = self.pack()
+        return lambda coords_bohr_pad: fn_p(coords_bohr_pad, packed)
 
     def au_energy_force_fn_p(self):
-        """Like ``au_energy_force_fn`` but with (coords, params) signature.
-        Stable identity per calculator — safe as a compile-cache key."""
+        """Like ``au_energy_force_fn`` but with (coords, packed) signature
+        where ``packed = calc.pack()`` (or ``calc.pack(other_params)``).
+        MODULE-LEVEL identity shared by every calculator over the same
+        energy function — engine compile caches keyed on it are shared
+        across calculators and structures."""
         return self._au_eforce_p
 
     def au_hvp_fn_p(self):
-        """(coords_bohr_pad [P,3], v_pad [P,3], params) -> H v (direction-
-        exact Hessian-vector product, frozen/padding rows zeroed). Stable
-        identity per calculator."""
+        """(coords_bohr_pad [P,3], v_pad [P,3], packed) -> H v (direction-
+        exact Hessian-vector product, frozen/padding rows zeroed).
+        Module-level shared identity."""
         return self._au_hvp_p
 
     def au_hvp_fn(self):
@@ -368,12 +414,12 @@ class Calculator:
         if cached is not None and cached[0] is self.params:
             return cached[1]
         hvp_p = self._au_hvp_p
-        params = self.params
+        packed = self.pack()
 
         def fn(coords_pad, v_pad):
-            return hvp_p(coords_pad, v_pad, params)
+            return hvp_p(coords_pad, v_pad, packed)
 
-        self._hvp_closure = (params, fn)
+        self._hvp_closure = (self.params, fn)
         return fn
 
     def au_energy_force_batch_fn(self):
@@ -389,16 +435,16 @@ class Calculator:
         if cached is not None and cached[0] is self.params:
             return cached[1]
         batched_p = self._au_eforce_batch_p
-        params = self.params
+        packed = self.pack()
         if self.mesh is not None:
             mesh = self.mesh
 
             def fn(coords_batch):
-                return batched_p(shard_batch(coords_batch, mesh), params)
+                return batched_p(shard_batch(coords_batch, mesh), packed)
         else:
             def fn(coords_batch):
-                return batched_p(coords_batch, params)
-        self._batch_closure = (params, fn)
+                return batched_p(coords_batch, packed)
+        self._batch_closure = (self.params, fn)
         return fn
 
     def shard_params_model(self):

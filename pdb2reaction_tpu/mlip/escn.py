@@ -390,9 +390,13 @@ ESCN_CONFIGS: Dict[str, ESCNConfig] = {
 }
 
 
+_ESCN_FN_CACHE: Dict[ESCNConfig, Any] = {}
+
+
 def make_escn_model(name_or_cfg, *, seed: int = 0, charge: int = 0,
                     spin: int = 1, task: int = 0):
-    """(energy_fn, params, cfg) conforming to the Calculator protocol."""
+    """(energy_fn, params, cfg) conforming to the Calculator protocol.
+    The closure is cached per config (shared engine compile caches)."""
     cfg = (ESCN_CONFIGS[name_or_cfg] if isinstance(name_or_cfg, str)
            else name_or_cfg)
     params = init_escn_params(jax.random.PRNGKey(seed), cfg)
@@ -400,8 +404,11 @@ def make_escn_model(name_or_cfg, *, seed: int = 0, charge: int = 0,
     params["spin"] = jnp.asarray(spin, jnp.float32)
     params["task"] = jnp.asarray(task, jnp.float32)
 
-    def fn(coords, system, params):
-        return escn_energy(coords, system, params, cfg)
+    fn = _ESCN_FN_CACHE.get(cfg)
+    if fn is None:
+        def fn(coords, system, params):
+            return escn_energy(coords, system, params, cfg)
 
-    fn.takes_params = True
+        fn.takes_params = True
+        _ESCN_FN_CACHE[cfg] = fn
     return fn, params, cfg

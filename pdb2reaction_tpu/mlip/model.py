@@ -362,12 +362,17 @@ def energy_fn(coords_ang: jnp.ndarray, system: PaddedSystem,
     return energy_fn_gather(coords_ang, system, params, cfg)
 
 
+_FN_CACHE: Dict[Any, Any] = {}
+
+
 def make_model(name_or_cfg, *, seed: int = 0, charge: int = 0, spin: int = 1):
     """Build (energy_fn, params) for the registry entry.
 
     Returns a closure matching the Calculator protocol
     ``fn(coords, system, params)`` plus an initial params pytree that
-    includes the charge/spin conditioning scalars.
+    includes the charge/spin conditioning scalars. The closure is CACHED
+    per config: calculators built from the same config share one function
+    identity, so every engine compile cache keyed on it is shared too.
     """
     cfg = (CONFIGS[name_or_cfg] if isinstance(name_or_cfg, str)
            else name_or_cfg)
@@ -376,8 +381,11 @@ def make_model(name_or_cfg, *, seed: int = 0, charge: int = 0, spin: int = 1):
     weights["charge"] = jnp.asarray(charge, jnp.float32)
     weights["spin"] = jnp.asarray(spin, jnp.float32)
 
-    def fn(coords, system, params):
-        return energy_fn(coords, system, params, cfg)
+    fn = _FN_CACHE.get(cfg)
+    if fn is None:
+        def fn(coords, system, params):
+            return energy_fn(coords, system, params, cfg)
 
-    fn.takes_params = True
+        fn.takes_params = True
+        _FN_CACHE[cfg] = fn
     return fn, weights, cfg

@@ -102,7 +102,8 @@ def run_scan(
                         base_calc.params)
         calc.params = p
         res = lbfgs_minimize(eff_p, calc.pad_bohr(coords_bohr),
-                             calc.system.free_mask, params=p, thresh=thresh,
+                             calc.system.free_mask, params=calc.pack(p),
+                             thresh=thresh,
                              max_cycles=relax_max_cycles, max_step=max_step)
         calc.force_calls += int(res.cycles) + 1
         return calc.unpad(res.x), float(res.e)

@@ -104,7 +104,7 @@ def run_scan_nd(
         """Biased relaxation; axes with k = 0 are unconstrained."""
         p = bias_params(list(targets), list(ks), base_calc.params)
         res = lbfgs_minimize(eff_p, calc.pad_bohr(coords_bohr),
-                             calc.system.free_mask, params=p,
+                             calc.system.free_mask, params=calc.pack(p),
                              thresh=relax_thresh,
                              max_cycles=relax_max_cycles, max_step=0.1)
         calc.force_calls += int(res.cycles) + 1
