@@ -101,3 +101,30 @@ def test_missing_tensor_raises(converted):
     del sd["backbone.blocks.1.gate.weight"]
     with pytest.raises(KeyError):
         convert_state_dict(sd, CFG)
+
+
+def test_pt_checkpoint_through_calculator(tmp_path, converted):
+    """The user-facing path: --checkpoint model.pt -> make_uma_calculator
+    converts the fairchem-style state dict and serves forces matching the
+    torch mirror."""
+    from pdb2reaction_tpu.core.structure import Structure
+    from pdb2reaction_tpu.mlip.uma import make_uma_calculator
+
+    model, _ = converted
+    pt = tmp_path / "uma_mirror.pt"
+    torch.save({"state_dict": model.state_dict()}, pt)
+
+    zs, coords, q, s, task = _structures()[0]
+    st = Structure(zs, coords)
+    calc = make_uma_calculator(st, charge=q, spin=s, checkpoint=str(pt))
+    res = calc.get_forces(st.coords_bohr.reshape(-1))
+
+    e_t, f_t = model.energy_forces(
+        torch.as_tensor(zs, dtype=torch.long),
+        torch.as_tensor(coords, dtype=torch.float64),
+        charge=q, spin=s, task=0)
+    from pdb2reaction_tpu.constants import EV2AU, F_EVAA_2_AU
+    assert abs(res["energy"] - float(e_t) * EV2AU) < 1e-6
+    np.testing.assert_allclose(
+        res["forces"].reshape(-1, 3),
+        f_t.numpy() * F_EVAA_2_AU, atol=1e-6)
