@@ -76,6 +76,10 @@ class ESCNConfig:
     # non-exact symmetry in the architecture) at negligible matmul cost.
     grid_ntheta: int = 0
     grid_nphi: int = 0
+    # rematerialize each message block in the backward pass: the [P,K,M,2C]
+    # edge tensors otherwise hold one live copy per layer through autodiff
+    # (escn-md at 300 atoms: ~262 MB each -> HBM OOM without remat)
+    remat_blocks: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -336,7 +340,7 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig):
     x = x * atom_mask[:, None, None]
 
     # ---- message-passing blocks --------------------------------------------
-    for blk in params["blocks"]:
+    def block_fn(x, blk):
         xn = _equi_rms_norm(x, blk["norm_1"], cfg)
         x_t = jnp.broadcast_to(xn[:, None], (P, cfg.max_neighbors, M, C))
         x_s = xn[idx]                                     # [P,K,M,C]
@@ -361,7 +365,11 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig):
         grid = jax.nn.silu(grid)
         grid = _mole(blk["ffn"][1], alpha, grid)
         x = x + jnp.einsum("mg,pgc->pmc", fg, grid)
-        x = x * atom_mask[:, None, None]
+        return x * atom_mask[:, None, None]
+
+    run_block = jax.checkpoint(block_fn) if cfg.remat_blocks else block_fn
+    for blk in params["blocks"]:
+        x = run_block(x, blk)
 
     # ---- energy head --------------------------------------------------------
     xn = _equi_rms_norm(x, params["energy_norm"], cfg)
@@ -381,7 +389,8 @@ ESCN_CONFIGS: Dict[str, ESCNConfig] = {
     "escn-s": ESCNConfig(),
     "escn-md": ESCNConfig(lmax=4, mmax=2, sphere_channels=128,
                           hidden_channels=128, edge_channels=64,
-                          ffn_hidden=256, num_layers=4, num_experts=8),
+                          ffn_hidden=256, num_layers=4, num_experts=8,
+                          remat_blocks=True),
     # minimal config for tests/CI (single-core CPU jit budget)
     "escn-test": ESCNConfig(lmax=2, mmax=1, sphere_channels=8,
                             hidden_channels=8, edge_channels=8,

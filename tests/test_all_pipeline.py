@@ -164,3 +164,41 @@ def test_scan3d_small(tmp_path):
         "--plot-only", str(out / "surface.csv"), "--out-dir", str(out2)])
     assert res2.exit_code == 0, res2.output
     assert (out2 / "surface_3d.png").exists()
+
+
+def test_all_single_pdb_scan_lists_remap(tmp_path):
+    """Stage 1b: one PDB input + --scan-lists with FULL-structure atom
+    indices; `all` must remap them to pocket indices by atom identity
+    (reference all.py:458-698), drive the staged scan on the pocket, and
+    run stage 2 between the input and the scan product."""
+    from test_extract import build_complex_pdb
+    from pdb2reaction_tpu.core import io_pdb
+
+    r_pdb = tmp_path / "R.pdb"
+    build_complex_pdb(r_pdb)
+    # full-structure 0-based indices of LIG C1 / O1 (serials 21/22)
+    out = tmp_path / "all"
+    res = CliRunner().invoke(cli, [
+        "all", "-i", str(r_pdb),
+        "--center", "LIG", "--ligand-charge", "0",
+        "--scan-lists", "20,21,1.9",
+        "--calc-mode", "morse", "--max-nodes", "6",
+        "--refine-path", "False", "--tsopt", "False",
+        "--irc", "False", "--freq", "False",
+        "--out-dir", str(out)])
+    assert res.exit_code == 0, res.output
+
+    # the scan must have driven the POCKET indices of (LIG C1, LIG O1)
+    patoms = io_pdb.parse_pdb_atoms(
+        next((out / "stage1_extract").glob("pocket_*.pdb")))
+    li = [k for k, a in enumerate(patoms)
+          if a["resname"] == "LIG" and a["name"] == "C1"][0]
+    lj = [k for k, a in enumerate(patoms)
+          if a["resname"] == "LIG" and a["name"] == "O1"][0]
+    assert (li, lj) != (20, 21)           # remap really changed indices
+    assert f"({li}, {lj})" in res.output  # scan log shows the pocket pair
+    # scan reached the target distance during the staged drive
+    assert ":1.900" in res.output
+    # product written and stage 2 ran between input and product
+    assert (out / "stage1b_scan" / "scan_product.xyz").exists()
+    assert (out / "stage2_path" / "mep.trj").exists()
