@@ -117,11 +117,13 @@ def main():
         return eforce_batch(params, coords_b)
 
     rng = np.random.default_rng(1)
-    disp = rng.normal(scale=0.02, size=np.asarray(coords).shape) \
+    # endpoint B: a genuine displacement (~0.26 Ang RMSD) so the string
+    # spans two distinct geometries, not numerical noise
+    disp = rng.normal(scale=0.15, size=np.asarray(coords).shape) \
         .astype(np.float32)
     disp[:, :] *= np.asarray(sys_.free_mask)[:, None]
     xA = coords * 1.8897259886     # Ang -> Bohr endpoint A
-    xB = (coords + 0.05 * disp) * 1.8897259886
+    xB = (coords + disp) * 1.8897259886
     t0 = time.perf_counter()
     res = gsm_mep(eb_fn, xA, xB, jnp.asarray(sys_.free_mask),
                   max_nodes=10, max_cycles=600, stop_in_when_full=600,

@@ -334,12 +334,10 @@ def hessian_dimer(
 
     x = jnp.asarray(np.asarray(x0_bohr_pad).reshape(-1))
     freeze = calc.structure.freeze
-    H_cache: Dict[str, Any] = {"H": None}
 
     def fresh_mode(x_flat):
         xc = np.asarray(x_flat)
         H = calc.get_hessian(xc.reshape(P, 3)[:n].reshape(-1))["hessian"]
-        H_cache["H"] = H
         d = lowest_mode_direction(H, calc.structure.numbers,
                                   xc.reshape(P, 3)[:n], freeze, root)
         out = np.zeros(3 * P)
@@ -363,7 +361,9 @@ def hessian_dimer(
         total_calls += int(st.calls)
         calc.force_calls += int(st.calls)
         if callback:
-            callback(total_cycles, float(st.e), np.asarray(st.g_prev))
+            # st.g_prev is the negated projected force at the last
+            # evaluated geometry; callbacks get Fp like the host loop did
+            callback(total_cycles, float(st.e), -np.asarray(st.g_prev))
         return st.x, st.N, bool(st.done)
 
     # (1)-(3): seed mode, loose pass, refresh, tight pass (tsopt.py:775-826)
@@ -410,8 +410,10 @@ def hessian_dimer(
         Eb = np.asarray(Eb)
         best = int(np.argmin(Eb))
         if flatten_bofill:
-            # Bofill update of the Hessian from the probe data instead of a
-            # fresh exact Hessian before re-refining (tsopt.py:514-580)
+            # Bofill update of the Hessian from the probe data; the new
+            # orientation comes from the UPDATED Hessian instead of a fresh
+            # exact one (tsopt.py:514-580 semantics — saves the full
+            # Hessian rebuild per flatten iteration)
             s = (probes[best].reshape(-1) - xf)[: 3 * n]
             g_new = -np.asarray(Fb)[best][:n].reshape(-1)
             e0, f0 = ebatch(jnp.asarray(xf.reshape(P, 3))[None])
@@ -420,10 +422,17 @@ def hessian_dimer(
             H = np.asarray(_bofill_update(jnp.asarray(H),
                                           jnp.asarray(s),
                                           jnp.asarray(g_new - g_old)))
-            H_cache["H"] = H
-        xf = probes[best].reshape(-1)
-        # re-refine with the dimer
-        N, _ = fresh_mode(jnp.asarray(xf))
+            xf = probes[best].reshape(-1)
+            d = lowest_mode_direction(H, calc.structure.numbers,
+                                      xf.reshape(P, 3)[:n], freeze, root)
+            Nv = np.zeros(3 * P)
+            Nv[: 3 * n] = d
+            Nv *= np.asarray(fm_flat)
+            N = jnp.asarray(Nv / max(np.linalg.norm(Nv), 1e-30))
+        else:
+            xf = probes[best].reshape(-1)
+            # re-refine with a fresh exact Hessian's lowest mode
+            N, _ = fresh_mode(jnp.asarray(xf))
         x, N, converged_ = dimer_pass(jnp.asarray(xf), N, thresh,
                                       update_interval_hessian)
         xf = np.asarray(x)

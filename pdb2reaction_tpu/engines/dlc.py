@@ -25,7 +25,7 @@ minimization; cluster workflows with link-atom freezes run Cartesian).
 
 from __future__ import annotations
 
-from typing import Callable, List, NamedTuple, Optional, Tuple
+from typing import Any, Callable, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -167,12 +167,16 @@ class DlcResult(NamedTuple):
 _DLC_CACHE: dict = {}
 
 
+_NO_PARAMS = object()
+
+
 def dlc_lbfgs_minimize(
     energy_force_fn: Callable,       # [P,3] Bohr -> (E, F [P,3] au)
     x0_bohr_pad: jnp.ndarray,        # [P,3]
     numbers: np.ndarray,
     n_atoms: int,
     *,
+    params: Any = _NO_PARAMS,        # packed params for fn(coords, p)
     thresh: str = "gau",
     max_cycles: int = 10000,
     keep_last: int = 7,
@@ -201,13 +205,19 @@ def dlc_lbfgs_minimize(
     keep = np.nonzero(np.asarray(w) > 1e-6)[0]
     U = jnp.asarray(V[:, keep])                   # [n_prims, n_dlc]
     n_dlc = len(keep)
+    use_params = params is not _NO_PARAMS
 
+    # the primitive index arrays are baked into the compiled closure, so
+    # they MUST be part of the cache key (two isomers with equal counts
+    # would otherwise silently share the wrong internals)
+    prim_key = (bonds.tobytes(), angles.tobytes(), dihedrals.tobytes())
     key = (energy_force_fn, P, n_atoms, thresh, keep_last,
-           float(max_step_s), back_iters, nb, na, nd, n_dlc)
+           float(max_step_s), float(max_step_cart), back_iters,
+           prim_key, n_dlc, use_params)
     runner = _DLC_CACHE.get(key)
     if runner is None:
         @jax.jit
-        def run(x0_flat, U_in, n_max):
+        def run(x0_flat, U_in, n_max, p):
             def grad_s(x_flat, f_flat):
                 Bm = jax.jacrev(prim_fn)(x_flat)          # [np, 3N]
                 Bs = U_in.T @ Bm                          # [n_dlc, 3N]
@@ -235,7 +245,8 @@ def dlc_lbfgs_minimize(
             def eforce_flat(x_flat):
                 pad = jnp.zeros((P, 3), x_flat.dtype)
                 pad = pad.at[:n_atoms].set(x_flat.reshape(n_atoms, 3))
-                e, f = energy_force_fn(pad)
+                e, f = (energy_force_fn(pad, p) if use_params
+                        else energy_force_fn(pad))
                 return e, f[:n_atoms].reshape(-1)
 
             def body(st):
@@ -314,7 +325,8 @@ def dlc_lbfgs_minimize(
         runner = run
         _DLC_CACHE[key] = runner
 
-    st = runner(x0_flat, U, jnp.array(max_cycles))
+    st = runner(x0_flat, U, jnp.array(max_cycles),
+                params if use_params else None)
     x_fin, e_fin, f_fin, cycles, done = st[0], st[1], st[2], st[8], st[9]
     x_pad = np.asarray(x0_bohr_pad).copy()
     x_pad[:n_atoms] = np.asarray(x_fin).reshape(n_atoms, 3)

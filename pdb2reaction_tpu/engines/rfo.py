@@ -48,6 +48,8 @@ RFO_KW: Dict[str, Any] = {
     "print_every": 100,
 }
 
+_NO_PARAMS = object()
+
 RSIRFO_KW: Dict[str, Any] = {
     **RFO_KW,
     "thresh": "baker",
@@ -201,7 +203,7 @@ _RFO_RUN_CACHE: dict = {}
 def _make_rfo_runner(energy_force_fn, dmap: DofMap, ts_roots,
                      hessian_update: str, small_eigval_thresh: float,
                      th, mode: str, trust_update: bool, trust_min: float,
-                     trust_max: float, max_energy_incr):
+                     trust_max: float, max_energy_incr, use_params: bool):
     """Device while_loop running RFO/RS-I-RFO cycles between Hessian
     refreshes — one host sync per chunk instead of per cycle (same design
     as engines/lbfgs.py; a host-synced cycle costs ~7.3 s through the axon
@@ -209,7 +211,8 @@ def _make_rfo_runner(energy_force_fn, dmap: DofMap, ts_roots,
     key = (energy_force_fn, tuple(dmap.free_idx.tolist()), ts_roots,
            hessian_update, float(small_eigval_thresh), th, mode,
            bool(trust_update), float(trust_min), float(trust_max),
-           None if max_energy_incr is None else float(max_energy_incr))
+           None if max_energy_incr is None else float(max_energy_incr),
+           bool(use_params))
     hit = _RFO_RUN_CACHE.get(key)
     if hit is not None:
         return hit
@@ -220,13 +223,17 @@ def _make_rfo_runner(energy_force_fn, dmap: DofMap, ts_roots,
     is_min = mode == "min"
 
     @jax.jit
-    def run(x0, H0, e0, f0, trust0, budget):
+    def run(x0, H0, e0, f0, trust0, budget, p):
+        def eff(xc):
+            return energy_force_fn(xc, p) if use_params \
+                else energy_force_fn(xc)
+
         def body(st):
             x, H, e, f, trust, cyc, done = st
             g = -dmap.gather(f)
             step, pred, lam = cycle_j(H, g, trust)
             x_new = dmap.scatter(dmap.gather(x) + step, x)
-            e_new, f_new = energy_force_fn(x_new)
+            e_new, f_new = eff(x_new)
             dE = e_new - e
             g_new = -dmap.gather(f_new)
             reject = jnp.array(False) if max_energy_incr is None \
@@ -316,6 +323,7 @@ def rfo_optimize(
     hessian_update: str = "bfgs",
     hessian_recalc: Optional[int] = 200,
     hessian_fn: Optional[Callable] = None,   # x_pad -> (3N,3N) au (exact)
+    params: Any = _NO_PARAMS,                # packed params for fn(x, p)
     small_eigval_thresh: float = 1e-8,
     max_energy_incr: Optional[float] = None,
     gdiis: bool = True,
@@ -335,6 +343,8 @@ def rfo_optimize(
     H = jnp.asarray(H)
 
     ts_roots = tuple(roots) if mode == "ts" else None
+    use_params = params is not _NO_PARAMS
+    p_arg = params if use_params else None
 
     # Device while_loop path (single host sync per Hessian-refresh chunk)
     # whenever GDIIS is inactive — which covers RS-I-RFO TS refinement, the
@@ -343,8 +353,9 @@ def rfo_optimize(
         runner = _make_rfo_runner(energy_force_fn, dmap, ts_roots,
                                   hessian_update, small_eigval_thresh, th,
                                   mode, trust_update, trust_min, trust_max,
-                                  max_energy_incr)
-        eff0 = jax.jit(energy_force_fn)
+                                  max_energy_incr, use_params)
+        eff0 = (lambda xc: energy_force_fn(xc, p_arg)) if use_params \
+            else energy_force_fn
         x = jnp.asarray(x0_bohr_pad)
         e_j, f = eff0(x)
         H = jnp.asarray(H)
@@ -356,7 +367,7 @@ def rfo_optimize(
             if hessian_fn is not None and hessian_recalc:
                 chunk = min(chunk, int(hessian_recalc))
             x, H, e_j, f, trust, ncyc, done = runner(
-                x, H, e_j, f, trust, jnp.asarray(chunk))
+                x, H, e_j, f, trust, jnp.asarray(chunk), p_arg)
             cyc_total += int(ncyc)
             conv = bool(done)
             if callback:
@@ -370,7 +381,11 @@ def rfo_optimize(
 
     cycle_j, update_j = make_rfo_cycle(ts_roots, hessian_update,
                                        small_eigval_thresh)
-    eff = jax.jit(energy_force_fn)
+    if use_params:
+        def eff(xc):
+            return energy_force_fn(xc, p_arg)
+    else:
+        eff = jax.jit(energy_force_fn)
 
     x = jnp.asarray(x0_bohr_pad)
     e, f = eff(x)

@@ -363,9 +363,11 @@ class Calculator:
         jb = jnp.asarray(batch)
         if self.mesh is not None:
             jb = shard_batch(jb, self.mesh)
-        f = np.asarray(self._fd_forces_batch_j(jb, self.system,
-                                               self.params),
-                       dtype=np.float64)[: 2 * B]
+        fj = self._fd_forces_batch_j(jb, self.system, self.params)
+        if jax.process_count() > 1:
+            from ..parallel.distributed import gather_global
+            fj = gather_global(fj)
+        f = np.asarray(fj, dtype=np.float64)[: 2 * B]
         self.force_calls += 2 * B
         f = f[:, : self.n_atoms].reshape(2 * B, n3)
         fp, fm = f[:B], f[B:]

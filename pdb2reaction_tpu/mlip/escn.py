@@ -402,6 +402,19 @@ ESCN_CONFIGS: Dict[str, ESCNConfig] = {
 _ESCN_FN_CACHE: Dict[ESCNConfig, Any] = {}
 
 
+def ESCN_FN_FOR(cfg: ESCNConfig):
+    """The cached Calculator-protocol energy closure for a config (no
+    parameter initialization — use when weights come from a checkpoint)."""
+    fn = _ESCN_FN_CACHE.get(cfg)
+    if fn is None:
+        def fn(coords, system, params):
+            return escn_energy(coords, system, params, cfg)
+
+        fn.takes_params = True
+        _ESCN_FN_CACHE[cfg] = fn
+    return fn
+
+
 def make_escn_model(name_or_cfg, *, seed: int = 0, charge: int = 0,
                     spin: int = 1, task: int = 0):
     """(energy_fn, params, cfg) conforming to the Calculator protocol.
@@ -412,12 +425,4 @@ def make_escn_model(name_or_cfg, *, seed: int = 0, charge: int = 0,
     params["charge"] = jnp.asarray(charge, jnp.float32)
     params["spin"] = jnp.asarray(spin, jnp.float32)
     params["task"] = jnp.asarray(task, jnp.float32)
-
-    fn = _ESCN_FN_CACHE.get(cfg)
-    if fn is None:
-        def fn(coords, system, params):
-            return escn_energy(coords, system, params, cfg)
-
-        fn.takes_params = True
-        _ESCN_FN_CACHE[cfg] = fn
-    return fn, params, cfg
+    return ESCN_FN_FOR(cfg), params, cfg

@@ -82,25 +82,38 @@ def make_uma_calculator(
         pt_path = os.environ["PDB2R_TPU_UMA_PT"]
     if pt_path or model.startswith("escn"):
         import jax.numpy as jnp
-        from .escn import ESCN_CONFIGS, make_escn_model
+        from .escn import ESCN_CONFIGS, ESCN_FN_FOR, make_escn_model
+        ckpt_params = None
         if pt_path:
             from .convert import convert_checkpoint
             ckpt_params, ecfg = convert_checkpoint(pt_path)
         else:
-            ckpt_params, ecfg = None, ESCN_CONFIGS[model]
+            ecfg = ESCN_CONFIGS[model]
+            if checkpoint:
+                # explicit orbax checkpoint for an escn model: failure is
+                # fatal, never a silent surrogate
+                ckpt_params = load_checkpoint(checkpoint, required=True)
+            else:
+                root = os.environ.get("PDB2R_TPU_CKPT_DIR")
+                if root and (Path(root) / model).exists():
+                    ckpt_params = load_checkpoint(Path(root) / model)
         if max_neigh or radius:
             ecfg = dataclasses.replace(
                 ecfg,
                 max_neighbors=int(max_neigh) if max_neigh
                 else ecfg.max_neighbors,
                 cutoff=float(radius) if radius else ecfg.cutoff)
-        fn, params, ecfg = make_escn_model(ecfg, seed=seed, charge=charge,
-                                           spin=spin)
         if ckpt_params is not None:
-            ckpt_params["charge"] = params["charge"]
-            ckpt_params["spin"] = params["spin"]
-            ckpt_params["task"] = params["task"]
+            # converted/restored weights: skip the (large) random init
+            fn = ESCN_FN_FOR(ecfg)
             params = ckpt_params
+            params["charge"] = jnp.asarray(charge, jnp.float32)
+            params["spin"] = jnp.asarray(spin, jnp.float32)
+            params["task"] = jnp.asarray(
+                params.get("task", 0), jnp.float32)
+        else:
+            fn, params, ecfg = make_escn_model(ecfg, seed=seed,
+                                               charge=charge, spin=spin)
         return Calculator(
             structure, fn, params=params,
             freeze_atoms=freeze_atoms,

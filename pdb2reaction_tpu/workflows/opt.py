@@ -53,14 +53,17 @@ def optimize_structure(
         else:
             from ..engines.dlc import dlc_lbfgs_minimize
             res = dlc_lbfgs_minimize(
-                fn, x0, struct.numbers, calc.n_atoms, thresh=thresh,
+                calc.au_energy_force_fn_p(), x0, struct.numbers,
+                calc.n_atoms, params=calc.pack(), thresh=thresh,
                 max_cycles=max_cycles, **engine_kw)
             calc.force_calls += int(res.cycles) + 1
             coords = calc.unpad(res.x)
             return coords, float(res.e), bool(res.converged), int(res.cycles)
     if opt_mode == "rfo":
         H0 = calc.get_hessian(struct.coords_bohr.reshape(-1))["hessian"]
-        res = rfo_optimize(fn, x0, calc.system.free_mask, calc.n_atoms,
+        res = rfo_optimize(calc.au_energy_force_fn_p(), x0,
+                           calc.system.free_mask, calc.n_atoms,
+                           params=calc.pack(),
                            hessian0=H0, thresh=thresh,
                            max_cycles=max_cycles,
                            trust_radius=trust_radius,

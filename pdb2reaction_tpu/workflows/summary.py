@@ -144,8 +144,7 @@ def segment_levels(segments) -> (List[str], List[float]):
 
 
 def build_energy_diagram(path, segments, *, unit: str = "kcal",
-                         labels: Optional[List[str]] = None,
-                         extra_series: Optional[Dict[str, List[float]]] = None):
+                         labels: Optional[List[str]] = None):
     """Compressed stationary-point diagram R -> TS1 -> IM1 -> ... -> P
     (path_search.py:2575-2759)."""
     names, levels = segment_levels(segments)

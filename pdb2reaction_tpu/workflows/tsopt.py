@@ -77,8 +77,9 @@ def run_tsopt(
         kw = {**RSIRFO_KW, **(rsirfo_kw or {})}
         kw["thresh"] = thresh or kw["thresh"]
         H0 = calc.get_hessian(struct.coords_bohr.reshape(-1))["hessian"]
-        fn = calc.au_energy_force_fn()
-        r = rfo_optimize(fn, x0, calc.system.free_mask, calc.n_atoms,
+        r = rfo_optimize(calc.au_energy_force_fn_p(), x0,
+                         calc.system.free_mask, calc.n_atoms,
+                         params=calc.pack(),
                          hessian0=H0, mode="ts", max_cycles=max_cycles,
                          hessian_fn=lambda xp: calc.get_hessian(
                              np.asarray(xp)[: calc.n_atoms].reshape(-1))["hessian"],
