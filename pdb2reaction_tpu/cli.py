@@ -71,6 +71,9 @@ def common_options(f):
                      help="Hessian evaluation mode."),
         click.option("--workers", type=int, default=1,
                      help="Mesh data-axis size for batched force sharding."),
+        click.option("--spatial", type=int, default=1,
+                     help="Atom-axis shards per structure (spatial "
+                          "partitioning of one big system over devices)."),
         click.option("--args-yaml", type=click.Path(path_type=Path),
                      default=None, help="YAML overriding any defaults."),
         click.option("--out-dir", type=click.Path(path_type=Path),
@@ -90,6 +93,10 @@ def common_options(f):
     @functools.wraps(f)
     def wrapper(*args, **kw):
         profile_dir = kw.pop("profile_dir", None)
+        spatial = kw.pop("spatial", 1)
+        if spatial and spatial > 1:
+            from .mlip.uma import set_default_spatial
+            set_default_spatial(spatial)
         from .runtime.profiling import trace
         with trace(profile_dir):
             return f(*args, **kw)

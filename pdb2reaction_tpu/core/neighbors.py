@@ -24,24 +24,24 @@ def pairwise_distances(coords: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(d2, 1e-24))
 
 
-@partial(jax.jit, static_argnames=("max_neighbors",))
-def dense_neighbors(coords, atom_mask, cutoff, max_neighbors: int):
-    """Compute [P,K] neighbor indices + mask within ``cutoff`` (Angstrom).
+def dense_neighbors_rows(coords, atom_mask, cutoff, max_neighbors: int,
+                         i0, n_rows: int):
+    """Neighbor indices/mask for the ``n_rows`` atoms starting at row ``i0``.
 
-    Padding atoms and self-pairs are excluded. If an atom has more than K
-    neighbors inside the cutoff, the K nearest are kept (reference semantics
-    of ``max_neigh``, uma_pysis.py:304).
-
-    Returns
-    -------
-    idx : [P, K] int32 — neighbor atom indices (0 where masked)
-    mask : [P, K] float32 — 1.0 for valid neighbor slots
+    The row block is the unit of spatial partitioning: under atom-axis
+    sharding each device computes only its own [n_rows, P] distance slab
+    (parallel/spatial.py). ``i0`` may be a traced value; ``n_rows`` must be
+    static. Semantics otherwise identical to ``dense_neighbors``.
     """
     P = coords.shape[0]
-    d = pairwise_distances(coords)
-    valid = (atom_mask[None, :] > 0) & (atom_mask[:, None] > 0)
-    eye = jnp.eye(P, dtype=bool)
-    within = valid & (~eye) & (d <= cutoff)
+    rows = jax.lax.dynamic_slice_in_dim(coords, i0, n_rows)
+    mask_rows = jax.lax.dynamic_slice_in_dim(atom_mask, i0, n_rows)
+    diff = rows[:, None, :] - coords[None, :, :]
+    d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-24))
+    valid = (atom_mask[None, :] > 0) & (mask_rows[:, None] > 0)
+    col = jnp.arange(P)[None, :]
+    self_pair = col == (i0 + jnp.arange(n_rows))[:, None]
+    within = valid & (~self_pair) & (d <= cutoff)
     # top-k by negative distance; invalid pairs pushed to +inf distance
     d_masked = jnp.where(within, d, jnp.inf)
     neg = -d_masked
@@ -56,14 +56,37 @@ def dense_neighbors(coords, atom_mask, cutoff, max_neighbors: int):
     return idx, mask
 
 
-def neighbor_vectors(coords, idx, mask):
+@partial(jax.jit, static_argnames=("max_neighbors",))
+def dense_neighbors(coords, atom_mask, cutoff, max_neighbors: int):
+    """Compute [P,K] neighbor indices + mask within ``cutoff`` (Angstrom).
+
+    Padding atoms and self-pairs are excluded. If an atom has more than K
+    neighbors inside the cutoff, the K nearest are kept (reference semantics
+    of ``max_neigh``, uma_pysis.py:304).
+
+    Returns
+    -------
+    idx : [P, K] int32 — neighbor atom indices (0 where masked)
+    mask : [P, K] float32 — 1.0 for valid neighbor slots
+    """
+    return dense_neighbors_rows(coords, atom_mask, cutoff, max_neighbors,
+                                0, coords.shape[0])
+
+
+def neighbor_vectors(coords, idx, mask, origin=None):
     """Edge displacement vectors r_j - r_i and distances for a dense list.
+
+    ``origin`` (default: ``coords``) holds the i-atom positions — pass the
+    local row block under atom-axis sharding, where ``idx`` covers only the
+    shard's rows but indexes into the full ``coords``.
 
     Returns vec [P,K,3], dist [P,K] with masked slots set to a safe distance
     of 1.0 to avoid NaNs in downstream math.
     """
+    if origin is None:
+        origin = coords
     gathered = coords[idx]                      # [P,K,3]
-    vec = gathered - coords[:, None, :]
+    vec = gathered - origin[:, None, :]
     d2 = jnp.sum(vec * vec, axis=-1)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-24))
     dist = jnp.where(mask > 0, dist, 1.0)

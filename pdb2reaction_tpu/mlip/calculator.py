@@ -55,6 +55,7 @@ CALC_KW: Dict[str, Any] = {
     "fd_step": 1.0e-3,              # Angstrom, FD displacement (reference eps)
     "workers": 1,                   # mapped to mesh data axis, not Ray
     "workers_per_node": 1,
+    "spatial": 1,                   # atom-axis shards (spatial partitioning)
 }
 
 

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.structure import PaddedSystem
-from ..core.neighbors import dense_neighbors, neighbor_vectors
+from ..core.neighbors import dense_neighbors_rows, neighbor_vectors
 from .radial import bessel_basis, cosine_envelope
 
 
@@ -136,14 +136,19 @@ def init_params(key, cfg: ModelConfig) -> Dict[str, Any]:
     return params
 
 
-def _embed_nodes(system, params, cfg, atom_mask):
-    z = jnp.clip(system.numbers, 0, cfg.max_z)
+def _embed_z(z, params, cfg, atom_mask):
+    """Initial scalar features for (already clipped) element rows ``z``."""
     s = params["embed_z"][z]
     q_idx = jnp.clip(params["charge"].astype(jnp.int32) + cfg.charge_range,
                      0, 2 * cfg.charge_range)
     m_idx = jnp.clip(params["spin"].astype(jnp.int32), 0, cfg.spin_range)
     s = s + params["embed_q"][q_idx] + params["embed_s"][m_idx]
-    return z, s * atom_mask[:, None]
+    return s * atom_mask[:, None]
+
+
+def _embed_nodes(system, params, cfg, atom_mask):
+    z = jnp.clip(system.numbers, 0, cfg.max_z)
+    return z, _embed_z(z, params, cfg, atom_mask)
 
 
 def _update_block(lp, s, v, atom_mask):
@@ -166,48 +171,85 @@ def _readout(params, s, z, atom_mask, coords_dtype):
     return e.astype(jnp.float64) if coords_dtype == jnp.float64 else e
 
 
-def energy_fn_gather(coords_ang, system, params, cfg) -> jnp.ndarray:
-    """[P,K] neighbor-matrix variant (for very large P)."""
+def gather_energy_core(coords_ang, system, params, cfg, *,
+                       axis_name=None, n_shards: int = 1) -> jnp.ndarray:
+    """[P,K] neighbor-matrix formulation, optionally atom-axis sharded.
+
+    With ``axis_name=None`` this is the plain single-device gather variant.
+    Inside a ``shard_map`` over ``axis_name`` (n_shards static) it becomes
+    **spatial partitioning**: every shard owns a contiguous block of
+    P/n_shards atom rows — its neighbor slab, message rows, and node-feature
+    updates — while the full coordinate array (tiny, [P,3]) is replicated.
+    The only cross-shard traffic is one tiled ``all_gather`` of the node
+    features per layer (neighbor indices are global), which XLA rides over
+    ICI; the energy is a ``psum`` of per-shard row sums. This is the
+    single-big-structure scale-out replacing the reference's multi-node Ray
+    fan-out (/root/reference/pdb2reaction/uma_pysis.py:234-242,
+    docs/uma_pysis.md:30-155) — SURVEY §5.7's "spatial partitioning" axis.
+    """
     dt = cfg.dtype
     P = coords_ang.shape[0]
     C = cfg.hidden
-    atom_mask = system.atom_mask.astype(dt)
+    if axis_name is None:
+        P_loc, i0 = P, 0
+        allg = lambda x: x                              # noqa: E731
+        psum = lambda e: e                              # noqa: E731
+    else:
+        assert P % n_shards == 0, (P, n_shards)
+        P_loc = P // n_shards
+        i0 = jax.lax.axis_index(axis_name) * P_loc
+        allg = lambda x: jax.lax.all_gather(            # noqa: E731
+            x, axis_name, tiled=True)
+        psum = lambda e: jax.lax.psum(e, axis_name)     # noqa: E731
 
-    idx, nbr_mask = dense_neighbors(coords_ang, system.atom_mask,
-                                    cfg.cutoff, cfg.max_neighbors)
+    rows = jax.lax.dynamic_slice_in_dim(coords_ang, i0, P_loc)
+    atom_mask = jax.lax.dynamic_slice_in_dim(
+        system.atom_mask, i0, P_loc).astype(dt)
+    z_rows = jnp.clip(
+        jax.lax.dynamic_slice_in_dim(system.numbers, i0, P_loc),
+        0, cfg.max_z)
+
+    idx, nbr_mask = dense_neighbors_rows(coords_ang, system.atom_mask,
+                                         cfg.cutoff, cfg.max_neighbors,
+                                         i0, P_loc)
     idx = jax.lax.stop_gradient(idx)
     nbr_mask = jax.lax.stop_gradient(nbr_mask).astype(dt)
-    vec, dist = neighbor_vectors(coords_ang, idx, nbr_mask)
+    vec, dist = neighbor_vectors(coords_ang, idx, nbr_mask, origin=rows)
     vec = vec.astype(dt)
     dist = dist.astype(dt)
-    unit = vec / dist[..., None]                        # [P,K,3]
-    env = (cosine_envelope(dist, cfg.cutoff) * nbr_mask)  # [P,K]
+    unit = vec / dist[..., None]                        # [P_loc,K,3]
+    env = (cosine_envelope(dist, cfg.cutoff) * nbr_mask)  # [P_loc,K]
     # radial features with the envelope folded in; the trailing channel
     # carries the env itself so the filter bias is env-gated too
     rad = jnp.concatenate(
         [bessel_basis(dist, cfg.cutoff, cfg.n_radial) * env[..., None],
-         env[..., None]], -1)                           # [P,K,R+1]
+         env[..., None]], -1)                           # [P_loc,K,R+1]
 
-    z, s = _embed_nodes(system, params, cfg, atom_mask)
-    v = jnp.zeros((P, 3, C), dt)                        # vector features
+    s = _embed_z(z_rows, params, cfg, atom_mask)
+    v = jnp.zeros((P_loc, 3, C), dt)                    # vector features
 
     for lp in params["layers"]:
         W = jnp.concatenate([lp["w_radial"]["w"],
                              lp["w_radial"]["b"][None, :]], 0)  # [R+1,3C]
-        phi = _apply_mlp(lp["phi"], s)                  # [P,3C] from nodes
-        phi_j = phi[idx]                                # [P,K,3C] gather
-        w = rad @ W                                     # [P,K,3C]
+        phi = _apply_mlp(lp["phi"], s)                  # [P_loc,3C]
+        phi_j = allg(phi)[idx]                          # [P_loc,K,3C] gather
+        w = rad @ W                                     # [P_loc,K,3C]
         m = phi_j * w
-        m_s, m_vv, m_vs = jnp.split(m, 3, axis=-1)      # [P,K,C] each
-        ds = jnp.sum(m_s, axis=1)                       # [P,C]
-        v_j = v[idx]                                    # [P,K,3,C]
+        m_s, m_vv, m_vs = jnp.split(m, 3, axis=-1)      # [P_loc,K,C] each
+        ds = jnp.sum(m_s, axis=1)                       # [P_loc,C]
+        v_j = allg(v)[idx]                              # [P_loc,K,3,C]
         dv = jnp.sum(m_vv[:, :, None, :] * v_j, axis=1)
         dv = dv + jnp.sum(m_vs[:, :, None, :] * unit[..., None], axis=1)
         s = s + ds * atom_mask[:, None]
         v = v + dv * atom_mask[:, None, None]
         s, v = _update_block(lp, s, v, atom_mask)
 
-    return _readout(params, s, z, atom_mask, coords_ang.dtype)
+    return psum(_readout(params, s, z_rows, atom_mask, coords_ang.dtype))
+
+
+def energy_fn_gather(coords_ang, system, params, cfg) -> jnp.ndarray:
+    """[P,K] neighbor-matrix variant (for very large P)."""
+    return gather_energy_core(coords_ang, system, params, cfg)
 
 
 def energy_fn_dense(coords_ang, system, params, cfg) -> jnp.ndarray:

@@ -53,6 +53,16 @@ def save_checkpoint(path, params) -> None:
     ckptr.wait_until_finished()
 
 
+_DEFAULT_SPATIAL = 1
+
+
+def set_default_spatial(n: int) -> None:
+    """Process-wide default for ``spatial`` (set by the CLI ``--spatial``
+    flag so every workflow's calculator factory picks it up)."""
+    global _DEFAULT_SPATIAL
+    _DEFAULT_SPATIAL = max(int(n), 1)
+
+
 def make_uma_calculator(
     structure: Structure,
     *,
@@ -69,9 +79,17 @@ def make_uma_calculator(
     fd_step: float = 1.0e-3,
     max_neigh: Optional[int] = None,
     radius: Optional[float] = None,
+    spatial: Optional[int] = None,
     **_ignored,
 ) -> Calculator:
+    """``spatial > 1`` shards the ATOM axis of the forward pass over that
+    many devices (parallel/spatial.py) — the single-big-structure scale-out
+    replacing the reference's multi-node Ray fan-out (uma_pysis.py:234-242).
+    Currently wired for the gather-layout PaiNN-class backbone; eSCN models
+    ignore it (their per-image activations fit a chip up to pocket scale)."""
     import dataclasses
+
+    spatial = _DEFAULT_SPATIAL if spatial is None else max(int(spatial), 1)
 
     # torch .pt checkpoint (fairchem-style eSCN-MoE state dict): convert to
     # the JAX eSCN backbone with the config inferred from tensor shapes
@@ -131,7 +149,26 @@ def make_uma_calculator(
             max_neighbors=int(max_neigh) if max_neigh else cfg.max_neighbors,
             cutoff=float(radius) if radius else cfg.cutoff,
         )
+    pad_multiple = 8
+    if spatial > 1:
+        # atom-axis sharding requires the [P,K] gather layout (block rows)
+        cfg = dataclasses.replace(cfg, mp_mode="gather")
     fn, params, cfg = make_model(cfg, seed=seed, charge=charge, spin=spin)
+    if spatial > 1:
+        import math
+
+        import jax
+
+        from ..parallel.mesh import make_mesh
+        from ..parallel.spatial import make_spatial_energy_fn
+        if mesh is None or mesh.shape.get("model", 1) != spatial:
+            n = len(jax.devices())
+            if spatial > n:
+                raise ValueError(
+                    f"spatial={spatial} shards but only {n} devices")
+            mesh = make_mesh(data=max(n // spatial, 1), model=spatial)
+        fn = make_spatial_energy_fn(cfg, mesh, axis="model")
+        pad_multiple = 8 * spatial // math.gcd(8, spatial)
 
     ckpt_params = None
     if checkpoint:
@@ -153,5 +190,6 @@ def make_uma_calculator(
         return_partial_hessian=return_partial_hessian,
         hessian_double=hessian_double,
         fd_step=fd_step,
+        pad_multiple=pad_multiple,
         mesh=mesh,
     )
