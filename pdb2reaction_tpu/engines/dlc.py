@@ -18,9 +18,10 @@ are Cartesian everywhere (uma_pysis.py:133). SURVEY.md ranked DLC hard part
 - an L-BFGS minimizer stepping in DLC space, the whole loop (force calls,
   transforms, back-iterations) ONE compiled ``lax.while_loop``.
 
-Frozen atoms fall back to Cartesian optimization at the driver level
-(documented: the reference's DLC default is also unfrozen small-molecule
-minimization; cluster workflows with link-atom freezes run Cartesian).
+Frozen atoms run CONSTRAINED delocalization: the B matrix is restricted to
+the active Cartesian columns before building G = B_a B_a^T, so the DLC set
+spans only free-atom motion and the back-transformation never touches a
+frozen coordinate (see ``dlc_lbfgs_minimize(freeze=...)``).
 """
 
 from __future__ import annotations
@@ -177,6 +178,7 @@ def dlc_lbfgs_minimize(
     n_atoms: int,
     *,
     params: Any = _NO_PARAMS,        # packed params for fn(coords, p)
+    freeze: Optional[Any] = None,    # frozen atom indices (constrained DLC)
     thresh: str = "gau",
     max_cycles: int = 10000,
     keep_last: int = 7,
@@ -187,7 +189,14 @@ def dlc_lbfgs_minimize(
 ) -> DlcResult:
     """Minimize in delocalized internals; the whole loop is one device
     program. Convergence is tested on Cartesian forces/steps with the same
-    presets as the Cartesian path (the comparability contract)."""
+    presets as the Cartesian path (the comparability contract).
+
+    ``freeze`` (atom indices) runs CONSTRAINED delocalization: the B matrix
+    is restricted to the active Cartesian columns, so the DLC set spans
+    only motions of the free atoms, the back-transformation never moves a
+    frozen coordinate, and the frozen atoms pin the global frame (no TR
+    null modes). This is how cluster models with link-H parent freezes
+    (utils.py:1186-1210 semantics) optimize in internals."""
     from ..constants import BOHR2ANG
     th = get_thresholds(thresh)
     P = x0_bohr_pad.shape[0]
@@ -198,8 +207,16 @@ def dlc_lbfgs_minimize(
         np.asarray(numbers, int), x0_real * BOHR2ANG)
     prim_fn, (nb, na, nd) = make_prim_fn(bonds, angles, dihedrals, n_atoms)
 
+    free_dof = np.ones(n3, bool)
+    if freeze is not None and len(list(freeze)):
+        fz = np.asarray(sorted(set(int(i) for i in freeze)), int)
+        assert fz.max() < n_atoms, (fz, n_atoms)
+        free_dof[np.repeat(fz, 3) * 3 + np.tile([0, 1, 2], len(fz))] = False
+    free_idx = jnp.asarray(np.nonzero(free_dof)[0], jnp.int32)
+    n_free = int(free_dof.sum())
+
     x0_flat = jnp.asarray(x0_real.reshape(-1))
-    B0 = jax.jacrev(prim_fn)(x0_flat)
+    B0 = jax.jacrev(prim_fn)(x0_flat)[:, free_idx]   # active columns only
     G0 = B0 @ B0.T
     w, V = jnp.linalg.eigh(G0)
     keep = np.nonzero(np.asarray(w) > 1e-6)[0]
@@ -213,27 +230,27 @@ def dlc_lbfgs_minimize(
     prim_key = (bonds.tobytes(), angles.tobytes(), dihedrals.tobytes())
     key = (energy_force_fn, P, n_atoms, thresh, keep_last,
            float(max_step_s), float(max_step_cart), back_iters,
-           prim_key, n_dlc, use_params)
+           prim_key, n_dlc, use_params, free_dof.tobytes())
     runner = _DLC_CACHE.get(key)
     if runner is None:
         @jax.jit
         def run(x0_flat, U_in, n_max, p):
             def grad_s(x_flat, f_flat):
-                Bm = jax.jacrev(prim_fn)(x_flat)          # [np, 3N]
-                Bs = U_in.T @ Bm                          # [n_dlc, 3N]
+                Bm = jax.jacrev(prim_fn)(x_flat)[:, free_idx]  # [np, n_free]
+                Bs = U_in.T @ Bm                          # [n_dlc, n_free]
                 Gs = Bs @ Bs.T
-                g_x = -f_flat
+                g_x = -f_flat[free_idx]
                 g_s = jnp.linalg.solve(Gs, Bs @ g_x)
                 return g_s, Bs, Gs
 
             def backtransform(x_flat, ds):
                 def body(_, carry):
                     x, remaining = carry
-                    Bm = jax.jacrev(prim_fn)(x)
+                    Bm = jax.jacrev(prim_fn)(x)[:, free_idx]
                     Bs = U_in.T @ Bm
                     Gs = Bs @ Bs.T
                     dx = Bs.T @ jnp.linalg.solve(Gs, remaining)
-                    x_new = x + dx
+                    x_new = x.at[free_idx].add(dx)
                     dq = wrap_dq(prim_fn(x_new) - prim_fn(x), nb, na)
                     remaining = remaining - U_in.T @ dq
                     return (x_new, remaining)
@@ -295,11 +312,11 @@ def dlc_lbfgs_minimize(
 
                 dE = e_new - e
                 dx = x_new - x
-                n_free = jnp.asarray(float(n3))
+                denom = jnp.asarray(float(n_free))
                 max_f = jnp.max(jnp.abs(f_new))
-                rms_f = jnp.sqrt(jnp.sum(f_new * f_new) / n_free)
+                rms_f = jnp.sqrt(jnp.sum(f_new * f_new) / denom)
                 max_s = jnp.max(jnp.abs(dx))
-                rms_s = jnp.sqrt(jnp.sum(dx * dx) / n_free)
+                rms_s = jnp.sqrt(jnp.sum(dx * dx) / denom)
                 if th.baker:
                     ok = (max_f < th.max_force) & (
                         (jnp.abs(dE) < 1e-6) | (max_s < th.max_step))

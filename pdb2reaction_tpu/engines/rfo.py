@@ -200,19 +200,30 @@ def make_rfo_cycle(ts_roots: Optional[Sequence[int]], hessian_update: str,
 _RFO_RUN_CACHE: dict = {}
 
 
+_GDIIS_M = 6      # DIIS history depth (host version kept 6 too)
+
+
 def _make_rfo_runner(energy_force_fn, dmap: DofMap, ts_roots,
                      hessian_update: str, small_eigval_thresh: float,
                      th, mode: str, trust_update: bool, trust_min: float,
-                     trust_max: float, max_energy_incr, use_params: bool):
+                     trust_max: float, max_energy_incr, use_params: bool,
+                     gdiis: bool = False, gdiis_thresh: float = 2.5e-3):
     """Device while_loop running RFO/RS-I-RFO cycles between Hessian
     refreshes — one host sync per chunk instead of per cycle (same design
     as engines/lbfgs.py; a host-synced cycle costs ~7.3 s through the axon
-    relay vs ms of compute)."""
+    relay vs ms of compute).
+
+    ``gdiis=True`` adds the GDIIS endgame ON DEVICE: a fixed-depth ring
+    buffer of (geometry, gradient) pairs and a masked (M+2)x(M+2) DIIS
+    solve per cycle — the least-squares c minimizing |sum c_i g_i| with
+    sum c_i = 1 (reference RFO gdiis=True, opt.py:262-271), gated on small
+    RFO steps and rejected on ill-conditioning (|c|_max > 10, singular
+    system -> non-finite solve) or an over-long extrapolation."""
     key = (energy_force_fn, tuple(dmap.free_idx.tolist()), ts_roots,
            hessian_update, float(small_eigval_thresh), th, mode,
            bool(trust_update), float(trust_min), float(trust_max),
            None if max_energy_incr is None else float(max_energy_incr),
-           bool(use_params))
+           bool(use_params), bool(gdiis), float(gdiis_thresh))
     hit = _RFO_RUN_CACHE.get(key)
     if hit is not None:
         return hit
@@ -221,18 +232,50 @@ def _make_rfo_runner(energy_force_fn, dmap: DofMap, ts_roots,
                                        small_eigval_thresh)
     n_free_dof = float(dmap.n_free)
     is_min = mode == "min"
+    M = _GDIIS_M
+
+    def _gdiis_device(hist_x, hist_g, n_hist, x_free, step, g, H, trust):
+        """Masked DIIS extrapolation; returns the (possibly) replaced step."""
+        g_est = g + H @ step
+        Xc = jnp.concatenate([hist_x, (x_free + step)[None]], 0)  # [M+1,D]
+        Gc = jnp.concatenate([hist_g, g_est[None]], 0)
+        valid = jnp.concatenate(
+            [jnp.arange(M) < n_hist, jnp.ones((1,), bool)])
+        Bm = Gc @ Gc.T
+        vm = valid[:, None] & valid[None, :]
+        A = jnp.zeros((M + 2, M + 2), Bm.dtype)
+        A = A.at[: M + 1, : M + 1].set(
+            jnp.where(vm, Bm, 0.0)
+            + jnp.diag(jnp.where(valid, 0.0, 1.0)))
+        A = A.at[M + 1, : M + 1].set(valid.astype(Bm.dtype))
+        A = A.at[: M + 1, M + 1].set(valid.astype(Bm.dtype))
+        rhs = jnp.zeros((M + 2,), Bm.dtype).at[M + 1].set(1.0)
+        sol = jnp.linalg.solve(A, rhs)
+        c = jnp.where(valid, sol[: M + 1], 0.0)
+        dstep = c @ Xc - x_free
+        nrm = jnp.linalg.norm(dstep)
+        step_rms = jnp.sqrt(jnp.mean(step * step))
+        ok = (jnp.all(jnp.isfinite(c))
+              & (jnp.max(jnp.abs(c)) <= 10.0)
+              & (nrm > 0.0) & (nrm <= 2.0 * trust)
+              & (step_rms < gdiis_thresh) & (n_hist >= 1))
+        return jnp.where(ok, dstep, step)
 
     @jax.jit
-    def run(x0, H0, e0, f0, trust0, budget, p):
+    def run(x0, H0, e0, f0, trust0, budget, hist0, p):
         def eff(xc):
             return energy_force_fn(xc, p) if use_params \
                 else energy_force_fn(xc)
 
         def body(st):
-            x, H, e, f, trust, cyc, done = st
+            x, H, e, f, trust, cyc, done, hist_x, hist_g, n_hist = st
+            x_free = dmap.gather(x)
             g = -dmap.gather(f)
             step, pred, lam = cycle_j(H, g, trust)
-            x_new = dmap.scatter(dmap.gather(x) + step, x)
+            if gdiis and is_min:
+                step = _gdiis_device(hist_x, hist_g, n_hist, x_free,
+                                     step, g, H, trust)
+            x_new = dmap.scatter(x_free + step, x)
             e_new, f_new = eff(x_new)
             dE = e_new - e
             g_new = -dmap.gather(f_new)
@@ -257,52 +300,36 @@ def _make_rfo_runner(energy_force_fn, dmap: DofMap, ts_roots,
             is_conv = _conv_check(th, f_new.reshape(-1),
                                   (x_new - x).reshape(-1), dE,
                                   jnp.asarray(n_free_dof))
+            # DIIS ring buffer: append the accepted geometry/gradient
+            full = n_hist >= M
+            hx2 = jnp.where(full, jnp.roll(hist_x, -1, axis=0), hist_x)
+            hg2 = jnp.where(full, jnp.roll(hist_g, -1, axis=0), hist_g)
+            slot = jnp.minimum(n_hist, M - 1)
+            hx2 = hx2.at[slot].set(dmap.gather(x_new))
+            hg2 = hg2.at[slot].set(g_new)
+            n2 = jnp.minimum(n_hist + 1, M)
             # on reject: keep everything but the shrunken trust
             x2 = jnp.where(reject, x, x_new)
             H2 = jnp.where(reject, H, H_new)
             e2 = jnp.where(reject, e, e_new)
             f2 = jnp.where(reject, f, f_new)
+            hx2 = jnp.where(reject, hist_x, hx2)
+            hg2 = jnp.where(reject, hist_g, hg2)
+            n2 = jnp.where(reject, n_hist, n2)
             return (x2, H2, e2, f2, trust_new, cyc + 1,
-                    is_conv & ~reject)
+                    is_conv & ~reject, hx2, hg2, n2)
 
         def cond(st):
             return (~st[6]) & (st[5] < budget)
 
+        hist_x0, hist_g0, n_hist0 = hist0
         return jax.lax.while_loop(
             cond, body,
-            (x0, H0, e0, f0, trust0, jnp.array(0), jnp.array(False)))
+            (x0, H0, e0, f0, trust0, jnp.array(0), jnp.array(False),
+             hist_x0, hist_g0, n_hist0))
 
     _RFO_RUN_CACHE[key] = run
     return run
-
-
-def _gdiis_step(hist_x, hist_g, x_cur, g_cur, max_vecs: int = 5):
-    """GDIIS extrapolation: least-squares combination of recent geometries
-    minimizing the interpolated gradient (reference RFO gdiis=True,
-    opt.py:262-271). Returns (x_diis, ok)."""
-    X = hist_x[-max_vecs:] + [x_cur]
-    G = hist_g[-max_vecs:] + [g_cur]
-    m = len(X)
-    if m < 2:
-        return x_cur, False
-    Gm = np.stack([np.asarray(g) for g in G])           # [m, D]
-    B = Gm @ Gm.T
-    # solve min |sum c_i g_i| s.t. sum c_i = 1
-    A = np.zeros((m + 1, m + 1))
-    A[:m, :m] = B
-    A[m, :m] = 1.0
-    A[:m, m] = 1.0
-    rhs = np.zeros(m + 1)
-    rhs[m] = 1.0
-    try:
-        sol = np.linalg.solve(A, rhs)
-    except np.linalg.LinAlgError:
-        return x_cur, False
-    c = sol[:m]
-    if np.abs(c).max() > 10.0:          # ill-conditioned: reject
-        return x_cur, False
-    x_diis = sum(ci * np.asarray(xi) for ci, xi in zip(c, X))
-    return x_diis, True
 
 
 def rfo_optimize(
@@ -346,115 +373,39 @@ def rfo_optimize(
     use_params = params is not _NO_PARAMS
     p_arg = params if use_params else None
 
-    # Device while_loop path (single host sync per Hessian-refresh chunk)
-    # whenever GDIIS is inactive — which covers RS-I-RFO TS refinement, the
-    # hottest RFO use. The GDIIS endgame (min mode) keeps the host loop.
-    if mode == "ts" or not gdiis:
-        runner = _make_rfo_runner(energy_force_fn, dmap, ts_roots,
-                                  hessian_update, small_eigval_thresh, th,
-                                  mode, trust_update, trust_min, trust_max,
-                                  max_energy_incr, use_params)
-        eff0 = (lambda xc: energy_force_fn(xc, p_arg)) if use_params \
-            else energy_force_fn
-        x = jnp.asarray(x0_bohr_pad)
-        e_j, f = eff0(x)
-        H = jnp.asarray(H)
-        trust = jnp.asarray(float(trust_radius))
-        cyc_total = 0
-        conv = False
-        while cyc_total < max_cycles and not conv:
-            chunk = max_cycles - cyc_total
-            if hessian_fn is not None and hessian_recalc:
-                chunk = min(chunk, int(hessian_recalc))
-            x, H, e_j, f, trust, ncyc, done = runner(
-                x, H, e_j, f, trust, jnp.asarray(chunk), p_arg)
-            cyc_total += int(ncyc)
-            conv = bool(done)
-            if callback:
-                callback(cyc_total, float(e_j), np.asarray(f))
-            if not conv and hessian_fn is not None and hessian_recalc \
-                    and cyc_total < max_cycles:
-                Hfull = hessian_fn(x)
-                H = jnp.asarray(dmap.compact_hessian(np.asarray(Hfull)))
-        return RfoResult(x=x, e=float(e_j), f=f, hessian=np.asarray(H),
-                         cycles=cyc_total, converged=conv)
-
-    cycle_j, update_j = make_rfo_cycle(ts_roots, hessian_update,
-                                       small_eigval_thresh)
-    if use_params:
-        def eff(xc):
-            return energy_force_fn(xc, p_arg)
-    else:
-        eff = jax.jit(energy_force_fn)
-
+    # One device while_loop per Hessian-refresh chunk — single host sync —
+    # for BOTH modes: RS-I-RFO TS refinement and GDIIS-accelerated
+    # minimization (the DIIS solve runs on device too).
+    runner = _make_rfo_runner(energy_force_fn, dmap, ts_roots,
+                              hessian_update, small_eigval_thresh, th,
+                              mode, trust_update, trust_min, trust_max,
+                              max_energy_incr, use_params,
+                              gdiis=bool(gdiis and mode == "min"),
+                              gdiis_thresh=float(gdiis_thresh))
+    eff0 = (lambda xc: energy_force_fn(xc, p_arg)) if use_params \
+        else energy_force_fn
     x = jnp.asarray(x0_bohr_pad)
-    e, f = eff(x)
-    e = float(e)
-    g = -dmap.gather(f)
-    trust = float(trust_radius)
+    e_j, f = eff0(x)
+    H = jnp.asarray(H)
+    trust = jnp.asarray(float(trust_radius))
+    hist = (jnp.zeros((_GDIIS_M, Df)), jnp.zeros((_GDIIS_M, Df)),
+            jnp.array(0))
+    cyc_total = 0
     conv = False
-    cyc = 0
-    diis_x: list = []
-    diis_g: list = []
-    for cyc in range(1, max_cycles + 1):
-        if hessian_fn is not None and hessian_recalc and cyc > 1 \
-                and (cyc - 1) % int(hessian_recalc) == 0:
+    while cyc_total < max_cycles and not conv:
+        chunk = max_cycles - cyc_total
+        if hessian_fn is not None and hessian_recalc:
+            chunk = min(chunk, int(hessian_recalc))
+        st = runner(x, H, e_j, f, trust, jnp.asarray(chunk), hist, p_arg)
+        x, H, e_j, f, trust, ncyc, done = st[:7]
+        hist = st[7:]
+        cyc_total += int(ncyc)
+        conv = bool(done)
+        if callback:
+            callback(cyc_total, float(e_j), np.asarray(f))
+        if not conv and hessian_fn is not None and hessian_recalc \
+                and cyc_total < max_cycles:
             Hfull = hessian_fn(x)
             H = jnp.asarray(dmap.compact_hessian(np.asarray(Hfull)))
-        step, pred, lam = cycle_j(H, g, jnp.asarray(trust))
-        step_np = np.asarray(step)
-        # GDIIS extrapolation once steps are small (min mode endgame only;
-        # gated like the reference: RMS(step) < gdiis_thresh)
-        x_free = np.asarray(dmap.gather(x))
-        step_rms = float(np.sqrt(np.mean(step_np ** 2)))
-        if gdiis and mode == "min" and step_rms < gdiis_thresh \
-                and len(diis_x) >= 1:
-            # estimated gradient at the proposed point: g + H s
-            g_est = np.asarray(g) + np.asarray(H) @ step_np
-            x_d, ok = _gdiis_step(diis_x, diis_g, x_free + step_np, g_est)
-            if ok:
-                nrm = np.linalg.norm(x_d - x_free)
-                if 0 < nrm <= 2.0 * trust:
-                    step = jnp.asarray(x_d - x_free)
-                    step_np = np.asarray(step)
-        x_new = dmap.scatter(dmap.gather(x) + step, x)
-        e_new_j, f_new = eff(x_new)
-        e_new = float(e_new_j)
-        dE = e_new - e
-        if max_energy_incr is not None and dE > max_energy_incr:
-            # reject, shrink trust, retry next cycle
-            trust = max(trust_min, 0.25 * float(np.linalg.norm(step_np)))
-            continue
-        g_new = -dmap.gather(f_new)
-        # trust update by step quality
-        if trust_update:
-            pred_f = float(pred)
-            ratio = dE / pred_f if abs(pred_f) > 1e-14 else 1.0
-            slen = float(np.linalg.norm(step_np))
-            if ratio < 0.25 or (mode == "min" and dE > 0 and abs(dE) > 1e-12):
-                trust = max(trust_min, min(trust, slen) * 0.5)
-            elif ratio > 0.75 and slen >= 0.8 * trust:
-                trust = min(trust_max, trust * 2.0)
-            trust = max(trust, 1e-4)
-        # quasi-Newton update
-        s = step
-        y = g_new - g
-        H = update_j(H, s, y)
-        diis_x.append(np.asarray(dmap.gather(x_new)))
-        diis_g.append(np.asarray(g_new))
-        if len(diis_x) > 6:
-            diis_x.pop(0)
-            diis_g.pop(0)
-        # convergence over free DOFs
-        is_conv = bool(_conv_check(th, f_new.reshape(-1),
-                                   (x_new - x).reshape(-1), dE,
-                                   jnp.sum(free_mask) * 3))
-        x, e, f, g = x_new, e_new, f_new, g_new
-        if callback and (cyc % print_every == 0 or is_conv):
-            callback(cyc, e, np.asarray(f))
-        if is_conv:
-            conv = True
-            break
-
-    return RfoResult(x=x, e=e, f=f, hessian=np.asarray(H), cycles=cyc,
-                     converged=conv)
+    return RfoResult(x=x, e=float(e_j), f=f, hessian=np.asarray(H),
+                     cycles=cyc_total, converged=conv)

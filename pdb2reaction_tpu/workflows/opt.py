@@ -46,19 +46,15 @@ def optimize_structure(
     fn = calc.au_energy_force_fn()
     if coord_type == "dlc":
         # delocalized internals (reference opt.py:43 coord_type="dlc");
-        # frozen atoms fall back to Cartesian (engines/dlc.py docstring)
-        if struct.freeze:
-            print("[opt] WARNING: coord_type=dlc with frozen atoms is not "
-                  "supported; falling back to Cartesian")
-        else:
-            from ..engines.dlc import dlc_lbfgs_minimize
-            res = dlc_lbfgs_minimize(
-                calc.au_energy_force_fn_p(), x0, struct.numbers,
-                calc.n_atoms, params=calc.pack(), thresh=thresh,
-                max_cycles=max_cycles, **engine_kw)
-            calc.force_calls += int(res.cycles) + 1
-            coords = calc.unpad(res.x)
-            return coords, float(res.e), bool(res.converged), int(res.cycles)
+        # frozen atoms run constrained delocalization (engines/dlc.py)
+        from ..engines.dlc import dlc_lbfgs_minimize
+        res = dlc_lbfgs_minimize(
+            calc.au_energy_force_fn_p(), x0, struct.numbers,
+            calc.n_atoms, params=calc.pack(), freeze=struct.freeze,
+            thresh=thresh, max_cycles=max_cycles, **engine_kw)
+        calc.force_calls += int(res.cycles) + 1
+        coords = calc.unpad(res.x)
+        return coords, float(res.e), bool(res.converged), int(res.cycles)
     if opt_mode == "rfo":
         H0 = calc.get_hessian(struct.coords_bohr.reshape(-1))["hessian"]
         res = rfo_optimize(calc.au_energy_force_fn_p(), x0,

@@ -92,6 +92,30 @@ def test_dlc_beats_cartesian_on_21_atoms():
         res_d.cycles, int(res_c.cycles))
 
 
+def test_dlc_frozen_atoms_constrained():
+    """Constrained delocalization: frozen atoms never move, free forces
+    relax, and the frozen positions pin the global frame."""
+    st, vff = _vff_setup(n=12, seed=9)
+    st.freeze = [0, 11]
+    calc = Calculator(st, vff)
+    x0 = calc.pad_bohr(st.coords_bohr)
+    fn = calc.au_energy_force_fn()
+    res = dlc_lbfgs_minimize(fn, x0, st.numbers, calc.n_atoms,
+                             freeze=st.freeze, thresh="gau",
+                             max_cycles=3000)
+    assert bool(res.converged)
+    x_fin = np.asarray(res.x)[: calc.n_atoms]
+    np.testing.assert_allclose(x_fin[[0, 11]],
+                               st.coords_bohr[[0, 11]], atol=1e-12)
+    # converged free forces under the gau preset
+    f = np.asarray(res.f)[: calc.n_atoms]
+    assert np.abs(f[1:11]).max() < 4.5e-4
+    # matches the Cartesian frozen minimization energy
+    res_c = lbfgs_minimize(fn, x0, calc.system.free_mask, thresh="gau",
+                           max_cycles=5000)
+    assert res.e < float(res_c.e) + 1e-5
+
+
 def test_dlc_through_opt_workflow(tmp_path):
     """coord_type=dlc end-to-end through the opt driver on a small Morse
     molecule near its minimum."""

@@ -84,3 +84,22 @@ def test_biased_calculator_shifts_minimum():
     x2 = calc.unpad(res2.x) * BOHR2ANG
     d2 = np.linalg.norm(x2[1] - x2[0])
     assert abs(d2 - target) < abs(d - target)
+
+
+def test_rfo_gdiis_on_device_accelerates():
+    """The device GDIIS endgame converges at least as fast as plain RFO on
+    a quadratic-ish landscape and reaches the same minimum."""
+    st = Structure.from_symbols(
+        ["O", "H", "H"],
+        [[0.0, 0.0, 0.0], [1.15, 0.12, 0.0], [-0.35, 1.02, 0.05]])
+    calc, fn, x0 = setup(st)
+    H0 = calc.get_hessian(st.coords_bohr.reshape(-1))["hessian"]
+    res_g = rfo_optimize(fn, x0, calc.system.free_mask, calc.n_atoms,
+                         hessian0=H0, thresh="gau_tight", max_cycles=400,
+                         gdiis=True)
+    res_p = rfo_optimize(fn, x0, calc.system.free_mask, calc.n_atoms,
+                         hessian0=H0, thresh="gau_tight", max_cycles=400,
+                         gdiis=False)
+    assert res_g.converged and res_p.converged
+    assert res_g.e == pytest.approx(res_p.e, abs=1e-8)
+    assert res_g.cycles <= res_p.cycles + 2
