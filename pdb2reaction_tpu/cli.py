@@ -57,10 +57,25 @@ def common_options(f):
                      help="Total charge of the ML region."),
         click.option("-s", "--spin", type=int, default=None,
                      help="Spin multiplicity (2S+1)."),
+        click.option("-m", "--multiplicity", type=int, default=None,
+                     help="Alias for --spin (reference flag name)."),
         click.option("--freeze-atoms", "freeze_atoms", default="",
                      help="Comma-separated indices or 'RES SEQ NAME' specs."),
         click.option("--auto-freeze-links", type=BOOL, default="True",
                      callback=_bool_cb, help="Auto-freeze link-H parents."),
+        click.option("--freeze-links", type=BOOL, default=None,
+                     callback=_bool_cb,
+                     help="Alias for --auto-freeze-links (reference name)."),
+        click.option("--ref-pdb", type=click.Path(path_type=Path,
+                                                  exists=True,
+                                                  dir_okay=False),
+                     default=None,
+                     help="Reference PDB topology when the input is "
+                          "XYZ/GJF (keeps input coordinates)."),
+        click.option("--dump", type=BOOL, default="False", callback=_bool_cb,
+                     help="Write optimizer/scan trajectories. Device-"
+                          "resident loops expose host-sync snapshots, not "
+                          "every cycle."),
         click.option("--calc-mode", default="uma",
                      type=click.Choice(["uma", "morse", "lj"]),
                      help="Potential backend (analytic modes for testing)."),
@@ -71,6 +86,10 @@ def common_options(f):
                      help="Hessian evaluation mode."),
         click.option("--workers", type=int, default=1,
                      help="Mesh data-axis size for batched force sharding."),
+        click.option("--workers-per-node", type=int, default=1,
+                     help="Accepted for reference compatibility; the TPU "
+                          "runtime fixes per-host device counts (the Ray "
+                          "workers_per_node knob has no analogue)."),
         click.option("--spatial", type=int, default=1,
                      help="Atom-axis shards per structure (spatial "
                           "partitioning of one big system over devices)."),
@@ -93,13 +112,29 @@ def common_options(f):
     @functools.wraps(f)
     def wrapper(*args, **kw):
         profile_dir = kw.pop("profile_dir", None)
-        spatial = kw.pop("spatial", 1)
-        if spatial and spatial > 1:
-            from .mlip.uma import set_default_spatial
-            set_default_spatial(spatial)
+        # process-wide defaults are SET EVERY invocation (clearing stale
+        # values from a prior in-process CLI call, e.g. under `all` or in
+        # tests)
+        from .mlip.uma import set_default_spatial
+        set_default_spatial(kw.pop("spatial", 1) or 1)
+        from .workflows.common import set_default_ref_pdb
+        set_default_ref_pdb(kw.pop("ref_pdb", None))
+        # reference-name aliases fold into the canonical options
+        mult = kw.pop("multiplicity", None)
+        if kw.get("spin") is None and mult is not None:
+            kw["spin"] = mult
+        fl = kw.pop("freeze_links", None)
+        if fl is not None:
+            kw["auto_freeze_links"] = fl
+        kw.pop("workers_per_node", None)
         from .runtime.profiling import trace
-        with trace(profile_dir):
-            return f(*args, **kw)
+        try:
+            with trace(profile_dir):
+                return f(*args, **kw)
+        finally:
+            # never leak the template into later in-process library calls
+            set_default_ref_pdb(None)
+            set_default_spatial(1)
 
     return wrapper
 
@@ -171,14 +206,17 @@ def cli():
 @click.option("--max-cycles", type=int, default=10000)
 @click.option("--dist-freeze", default="",
               help="Pairs i,j;k,l restrained at current distances.")
+@click.option("--one-based", type=BOOL, default="True", callback=_bool_cb,
+              help="Interpret integer atom indices as 1-based "
+                   "(reference default).")
 @common_options
 def opt_cmd(input_path, opt_mode, coord_type, thresh, max_cycles,
-            dist_freeze, **kw):
+            dist_freeze, one_based, **kw):
     from .workflows.opt import run_opt
     cfg = dict(opt_mode=normalize_choice(opt_mode), coord_type=coord_type,
-               thresh=thresh, max_cycles=max_cycles)
+               thresh=thresh, max_cycles=max_cycles, dump=kw.pop("dump"))
     yaml_overrides(kw.pop("args_yaml"), cfg, [("opt",), ("lbfgs",), ("rfo",)])
-    df = _parse_pairs(dist_freeze)
+    df = _parse_pairs(dist_freeze, one_based)
     res = run_opt(
         input_path, charge=kw["charge"], spin=kw["spin"],
         freeze_atoms=parse_freeze(kw["freeze_atoms"]),
@@ -192,20 +230,28 @@ def opt_cmd(input_path, opt_mode, coord_type, thresh, max_cycles,
     sys.exit(0 if res["converged"] else 3)
 
 
-def _parse_pairs(spec: str) -> List[Tuple[Any, Any]]:
+def _idx(tok: str, one_based: bool):
+    """Integer atom index token, shifted when indices are 1-based
+    (reference default: scan/opt indices are 1-based, scan.py --one-based).
+    Selector strings pass through unchanged."""
+    if tok.lstrip("+-").isdigit():
+        return int(tok) - (1 if one_based else 0)
+    return tok
+
+
+def _parse_pairs(spec: str, one_based: bool = False) -> List[Tuple]:
     out = []
     for grp in (spec or "").split(";"):
         grp = grp.strip()
         if not grp:
             continue
         toks = [t.strip() for t in grp.split(",")]
-        a = int(toks[0]) if toks[0].lstrip("+-").isdigit() else toks[0]
-        b = int(toks[1]) if toks[1].lstrip("+-").isdigit() else toks[1]
-        out.append((a, b))
+        out.append((_idx(toks[0], one_based), _idx(toks[1], one_based)))
     return out
 
 
-def _parse_scan_stages(specs: Tuple[str, ...]) -> List[List[Tuple]]:
+def _parse_scan_stages(specs: Tuple[str, ...],
+                       one_based: bool = False) -> List[List[Tuple]]:
     """Each spec is 'i,j,target[;k,l,target...]' — one stage per option."""
     stages = []
     for spec in specs:
@@ -215,9 +261,8 @@ def _parse_scan_stages(specs: Tuple[str, ...]) -> List[List[Tuple]]:
             if not grp:
                 continue
             toks = [t.strip() for t in grp.split(",")]
-            i = int(toks[0]) if toks[0].lstrip("+-").isdigit() else toks[0]
-            j = int(toks[1]) if toks[1].lstrip("+-").isdigit() else toks[1]
-            stage.append((i, j, float(toks[2])))
+            stage.append((_idx(toks[0], one_based), _idx(toks[1], one_based),
+                          float(toks[2])))
         if stage:
             stages.append(stage)
     return stages
@@ -228,16 +273,27 @@ def _parse_scan_stages(specs: Tuple[str, ...]) -> List[List[Tuple]]:
               type=click.Path(path_type=Path, exists=True, dir_okay=False))
 @click.option("--scan-list", "scan_lists", multiple=True, required=True,
               help="Stage spec 'i,j,target[;k,l,target]' (repeatable).")
-@click.option("--step", "step_ang", type=float, default=0.10)
+@click.option("--step", "--max-step-size", "step_ang", type=float,
+              default=0.10,
+              help="Max change in any scanned bond length per step [Ang] "
+                   "(reference --max-step-size).")
 @click.option("--bias-k", type=float, default=10.0)
 @click.option("--preopt", type=BOOL, default="False", callback=_bool_cb)
 @click.option("--endopt", type=BOOL, default="False", callback=_bool_cb)
+@click.option("--relax-max-cycles", type=int, default=500,
+              help="Max relaxation cycles per scan step.")
+@click.option("--one-based", type=BOOL, default="True", callback=_bool_cb,
+              help="Interpret (i,j) scan indices as 1-based "
+                   "(reference default).")
 @common_options
-def scan_cmd(input_path, scan_lists, step_ang, bias_k, preopt, endopt, **kw):
+def scan_cmd(input_path, scan_lists, step_ang, bias_k, preopt, endopt,
+             relax_max_cycles, one_based, **kw):
     from .workflows.scan import run_scan
-    stages = _parse_scan_stages(scan_lists)
+    stages = _parse_scan_stages(scan_lists, one_based)
     cfg: Dict[str, Any] = dict(step_ang=step_ang, bias_k=bias_k,
-                               preopt=preopt, endopt=endopt)
+                               preopt=preopt, endopt=endopt,
+                               relax_max_cycles=relax_max_cycles,
+                               dump=kw.pop("dump"))
     yaml_overrides(kw.pop("args_yaml"), cfg, [("scan",), ("bias",)])
     run_scan(input_path, stages, charge=kw["charge"], spin=kw["spin"],
              freeze_atoms=parse_freeze(kw["freeze_atoms"]),
@@ -253,12 +309,22 @@ def scan_cmd(input_path, scan_lists, step_ang, bias_k, preopt, endopt, **kw):
 @click.option("--mep-mode", default="gsm", type=click.Choice(["gsm", "dmf"]))
 @click.option("--max-nodes", type=int, default=10)
 @click.option("--preopt", type=BOOL, default="True", callback=_bool_cb)
+@click.option("--preopt-max-cycles", type=int, default=10000)
 @click.option("--align", type=BOOL, default="True", callback=_bool_cb)
+@click.option("--climb", type=BOOL, default="True", callback=_bool_cb,
+              help="Enable the GSM climbing image.")
+@click.option("--fix-ends", type=BOOL, default="True", callback=_bool_cb,
+              help="Keep endpoint images fixed during GSM "
+                   "(reference fix_first/fix_last).")
 @common_options
-def path_opt_cmd(input_paths, mep_mode, max_nodes, preopt, align, **kw):
+def path_opt_cmd(input_paths, mep_mode, max_nodes, preopt,
+                 preopt_max_cycles, align, climb, fix_ends, **kw):
     from .workflows.path_opt import run_path_opt
-    cfg: Dict[str, Any] = dict(mep_mode=mep_mode, preopt=preopt, align=align,
-                               gs_kw={"max_nodes": max_nodes})
+    cfg: Dict[str, Any] = dict(
+        mep_mode=mep_mode, preopt=preopt, align=align,
+        preopt_max_cycles=preopt_max_cycles,
+        gs_kw={"max_nodes": max_nodes, "climb": climb,
+               "fix_ends": fix_ends})
     yaml_overrides(kw.pop("args_yaml"), cfg, [("gs",), ("sopt",), ("dmf",)])
     run_path_opt(list(input_paths), charge=kw["charge"], spin=kw["spin"],
                  freeze_atoms=parse_freeze(kw["freeze_atoms"]),
@@ -274,11 +340,18 @@ def path_opt_cmd(input_paths, mep_mode, max_nodes, preopt, align, **kw):
 @click.option("--opt-mode", default="light", help="light|dimer or heavy|rsirfo.")
 @click.option("--thresh", default="baker")
 @click.option("--max-cycles", type=int, default=10000)
+@click.option("--flatten-imag-mode", type=BOOL, default="False",
+              callback=_bool_cb,
+              help="Enable the extra-imaginary-mode flatten loop "
+                   "(light mode; False forces flatten_max_iter=0).")
 @common_options
-def tsopt_cmd(input_path, opt_mode, thresh, max_cycles, **kw):
+def tsopt_cmd(input_path, opt_mode, thresh, max_cycles, flatten_imag_mode,
+              **kw):
     from .workflows.tsopt import run_tsopt
-    cfg: Dict[str, Any] = dict(opt_mode=opt_mode, thresh=thresh,
-                               max_cycles=max_cycles)
+    cfg: Dict[str, Any] = dict(
+        opt_mode=opt_mode, thresh=thresh, max_cycles=max_cycles,
+        hessian_dimer_kw={"flatten_max_iter":
+                          10 if flatten_imag_mode else 0})
     yaml_overrides(kw.pop("args_yaml"), cfg,
                    [("tsopt",), ("hessian_dimer",), ("rsirfo",)])
     res = run_tsopt(input_path, charge=kw["charge"], spin=kw["spin"],
@@ -295,12 +368,24 @@ def tsopt_cmd(input_path, opt_mode, thresh, max_cycles, **kw):
               type=click.Path(path_type=Path, exists=True, dir_okay=False))
 @click.option("-T", "--temperature", type=float, default=298.15)
 @click.option("--pressure", type=float, default=101325.0)
-@click.option("--max-write-modes", type=int, default=10)
+@click.option("--max-write-modes", "--max-write", "max_write_modes",
+              type=int, default=10,
+              help="How many modes to export (after --sort ordering).")
+@click.option("--amplitude-ang", type=float, default=0.8,
+              help="Mode-animation amplitude [Ang].")
+@click.option("--n-frames", type=int, default=20,
+              help="Frames per mode animation.")
+@click.option("--sort", "sort_modes", default="value",
+              type=click.Choice(["value", "abs"]),
+              help="Export order: by value (cm^-1) or absolute value.")
 @common_options
-def freq_cmd(input_path, temperature, pressure, max_write_modes, **kw):
+def freq_cmd(input_path, temperature, pressure, max_write_modes,
+             amplitude_ang, n_frames, sort_modes, **kw):
     from .workflows.freq import run_freq
     cfg: Dict[str, Any] = dict(temperature=temperature, pressure=pressure,
-                               max_write_modes=max_write_modes)
+                               max_write_modes=max_write_modes,
+                               amplitude_ang=amplitude_ang,
+                               n_frames=n_frames, sort_modes=sort_modes)
     yaml_overrides(kw.pop("args_yaml"), cfg, [("freq",)])
     run_freq(input_path, charge=kw["charge"], spin=kw["spin"],
              freeze_atoms=parse_freeze(kw["freeze_atoms"]),
@@ -314,16 +399,22 @@ def freq_cmd(input_path, temperature, pressure, max_write_modes, **kw):
 @cli.command("irc", help="Intrinsic reaction coordinate (EulerPC).")
 @click.option("-i", "--input", "input_path", required=True,
               type=click.Path(path_type=Path, exists=True, dir_okay=False))
-@click.option("--step-length", type=float, default=0.10)
+@click.option("--step-length", "--step-size", "step_length", type=float,
+              default=0.10,
+              help="Step length in mass-weighted coordinates "
+                   "(reference --step-size).")
 @click.option("--max-cycles", type=int, default=125)
+@click.option("--root", type=int, default=0,
+              help="Imaginary-mode index for the initial displacement.")
 @click.option("--forward", type=BOOL, default="True", callback=_bool_cb)
 @click.option("--backward", type=BOOL, default="True", callback=_bool_cb)
 @common_options
-def irc_cmd(input_path, step_length, max_cycles, forward, backward, **kw):
+def irc_cmd(input_path, step_length, max_cycles, root, forward, backward,
+            **kw):
     from .workflows.irc import run_irc
     cfg: Dict[str, Any] = dict(step_length=step_length,
-                               max_cycles=max_cycles, forward=forward,
-                               backward=backward)
+                               max_cycles=max_cycles, root=root,
+                               forward=forward, backward=backward)
     yaml_overrides(kw.pop("args_yaml"), cfg, [("irc",)])
     run_irc(input_path, charge=kw["charge"], spin=kw["spin"],
             freeze_atoms=parse_freeze(kw["freeze_atoms"]),
@@ -343,13 +434,18 @@ def irc_cmd(input_path, step_length, max_cycles, forward, backward, **kw):
               type=click.Choice(["hei", "minima"]))
 @click.option("--kink-max-nodes", type=int, default=5)
 @click.option("--max-nodes", type=int, default=10)
+@click.option("--climb", type=BOOL, default="True", callback=_bool_cb)
+@click.option("--ref-full-pdb", default=None,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False),
+              help="Full-system PDB template for merged MEP/HEI mirrors.")
 @common_options
 def path_search_cmd(input_paths, mep_mode, max_depth, refine_mode,
-                    kink_max_nodes, max_nodes, **kw):
+                    kink_max_nodes, max_nodes, climb, ref_full_pdb, **kw):
     from .workflows.path_search import run_path_search
     cfg: Dict[str, Any] = dict(
         mep_mode=mep_mode,
-        gs_kw={"max_nodes": max_nodes},
+        full_template=ref_full_pdb,
+        gs_kw={"max_nodes": max_nodes, "climb": climb},
         search_kw={"max_depth": max_depth, "refine_mode": refine_mode,
                    "kink_max_nodes": kink_max_nodes})
     yaml_overrides(kw.pop("args_yaml"), cfg, [("search",), ("gs",), ("bond",)])
@@ -364,19 +460,28 @@ def path_search_cmd(input_paths, mep_mode, max_depth, refine_mode,
 @cli.command("trj2fig", help="Energy profile figure from a trajectory.")
 @click.option("-i", "--input", "trj_path", required=True,
               type=click.Path(path_type=Path, exists=True, dir_okay=False))
+@click.option("-o", "--out", "outs", multiple=True,
+              help="Output file(s) [.png/.svg/.pdf/.html/.csv]; "
+                   "repeatable (reference -o).")
 @click.option("--reference", default="first",
               type=click.Choice(["first", "min", "last", "none"]))
 @click.option("--unit", default="kcal", type=click.Choice(["kcal", "au"]))
 @click.option("--recompute", type=BOOL, default="False", callback=_bool_cb)
+@click.option("--reverse-x", type=BOOL, default="False", callback=_bool_cb,
+              help="Reverse the x-axis (last frame on the left).")
 @common_options
-def trj2fig_cmd(trj_path, reference, unit, recompute, **kw):
+def trj2fig_cmd(trj_path, outs, reference, unit, recompute, reverse_x, **kw):
     from .workflows.trj2fig import run_trj2fig
+    out_path = None
+    if outs:
+        out_path = Path(outs[0])
+    elif kw["out_dir"]:
+        out_path = Path(kw["out_dir"]) / "profile.png"
     res = run_trj2fig(trj_path, reference=reference, unit=unit,
                       recompute=recompute, charge=kw["charge"],
                       spin=kw["spin"], calc_mode=kw["calc_mode"],
-                      model=kw["model"],
-                      out_path=(Path(kw["out_dir"]) / "profile.png")
-                      if kw["out_dir"] else None)
+                      model=kw["model"], reverse_x=reverse_x,
+                      out_path=out_path, extra_outputs=list(outs[1:]))
     click.echo(f"[trj2fig] wrote {res['figure']}")
 
 
@@ -420,11 +525,15 @@ def extract_cmd(inputs, center, outputs, radius, radius_het2het,
 @cli.command("add-elem-info", help="Fill/repair PDB element columns 77-78.")
 @click.option("-i", "--input", "input_path", required=True,
               type=click.Path(path_type=Path, exists=True, dir_okay=False))
-@click.option("-o", "--output", "output_path", default=None,
+@click.option("-o", "--output", "--out", "output_path", default=None,
               type=click.Path(path_type=Path))
+@click.option("--overwrite", type=BOOL, default="False", callback=_bool_cb,
+              help="Write back to the input file (reference flag).")
 @click.option("--verbose", type=BOOL, default="True", callback=_bool_cb)
-def add_elem_cmd(input_path, output_path, verbose):
+def add_elem_cmd(input_path, output_path, overwrite, verbose):
     from .bio.add_elem import assign_elements
+    if overwrite and output_path is None:
+        output_path = input_path
     assign_elements(input_path, output_path, verbose=verbose)
 
 
@@ -474,17 +583,67 @@ def align_cmd(inputs, out_dir, freeze_atoms):
 @click.option("--dft", "do_dft", type=BOOL, default="False",
               callback=_bool_cb)
 @click.option("--max-nodes", type=int, default=10)
+@click.option("--climb", type=BOOL, default="True", callback=_bool_cb)
+@click.option("--one-based", type=BOOL, default="True", callback=_bool_cb,
+              help="Interpret --scan-lists indices as 1-based.")
+@click.option("--scan-one-based", type=BOOL, default=None,
+              callback=_bool_cb, help="Override --one-based for the scan.")
+@click.option("--ref-full-pdb", default=None,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False),
+              help="Full-system PDB template for merged mirrors.")
+@click.option("--opt-mode-post", default="lbfgs",
+              help="Optimizer for stage-4 endpoint minimization.")
+@click.option("--thresh-post", default="gau",
+              help="Threshold preset for stage-4 endpoint minimization.")
+@click.option("--tsopt-max-cycles", type=int, default=10000)
+@click.option("--flatten-imag-mode", type=BOOL, default="False",
+              callback=_bool_cb,
+              help="Enable the extra-imaginary-mode flatten loop in tsopt.")
+@click.option("--scan-bias-k", type=float, default=10.0)
+@click.option("--scan-preopt", type=BOOL, default="False", callback=_bool_cb)
+@click.option("--scan-endopt", type=BOOL, default="True", callback=_bool_cb)
+@click.option("--scan-max-step-size", type=float, default=0.10)
+@click.option("--scan-relax-max-cycles", type=int, default=500)
+@click.option("--freq-temperature", type=float, default=298.15)
+@click.option("--freq-pressure", type=float, default=101325.0)
+@click.option("--dft-func-basis", default=None,
+              help="'FUNC/BASIS' for stage-4 DFT single points.")
+@click.option("--dft-max-cycle", type=int, default=100)
+@click.option("--dft-conv-tol", type=float, default=1e-9)
+@click.option("--dft-grid-level", type=int, default=3)
 @common_options
 def all_cmd(input_paths, center, ligand_charge, scan_lists, mep_mode,
             refine_path, do_tsopt, do_irc, do_freq, do_dft, max_nodes,
+            climb, one_based, scan_one_based, ref_full_pdb, opt_mode_post,
+            thresh_post, tsopt_max_cycles, flatten_imag_mode, scan_bias_k,
+            scan_preopt, scan_endopt, scan_max_step_size,
+            scan_relax_max_cycles, freq_temperature, freq_pressure,
+            dft_func_basis, dft_max_cycle, dft_conv_tol, dft_grid_level,
             **kw):
     from .workflows.allflow import run_all
+    scan_ob = one_based if scan_one_based is None else scan_one_based
+    dft_kw: Dict[str, Any] = dict(max_cycle=dft_max_cycle,
+                                  conv_tol=dft_conv_tol,
+                                  grid_level=dft_grid_level)
+    if dft_func_basis:
+        dft_kw["func"], dft_kw["basis"] = dft_func_basis.split("/", 1)
     cfg: Dict[str, Any] = dict(
         center=center, ligand_charge=ligand_charge,
-        scan_stages=_parse_scan_stages(scan_lists) or None,
+        scan_stages=_parse_scan_stages(scan_lists, scan_ob) or None,
         mep_mode=mep_mode, refine_path=refine_path, tsopt=do_tsopt,
         do_irc=do_irc, do_freq=do_freq, do_dft=do_dft,
-        gs_kw={"max_nodes": max_nodes})
+        full_template=ref_full_pdb,
+        gs_kw={"max_nodes": max_nodes, "climb": climb},
+        scan_kw=dict(bias_k=scan_bias_k, preopt=scan_preopt,
+                     endopt=scan_endopt, step_ang=scan_max_step_size,
+                     relax_max_cycles=scan_relax_max_cycles),
+        opt_post_kw=dict(opt_mode=normalize_choice(opt_mode_post),
+                         thresh=thresh_post),
+        tsopt_kw=dict(max_cycles_total=tsopt_max_cycles,
+                      flatten_max_iter=10 if flatten_imag_mode else 0),
+        freq_kw=dict(temperature=freq_temperature,
+                     pressure=freq_pressure),
+        dft_kw=dft_kw)
     yaml_overrides(kw.pop("args_yaml"), cfg, [("all",), ("search",)])
     run_all(list(input_paths), charge=kw["charge"], spin=kw["spin"],
             calc_mode=kw["calc_mode"], model=kw["model"],
@@ -494,12 +653,12 @@ def all_cmd(input_paths, center, ligand_charge, scan_lists, mep_mode,
             mesh=make_mesh_or_none(kw["workers"]), **cfg)
 
 
-def _scan_axes(specs):
+def _scan_axes(specs, one_based: bool = False):
     axes = []
     for spec in specs:
         toks = [t.strip() for t in spec.split(",")]
-        i = int(toks[0]) if toks[0].lstrip("+-").isdigit() else toks[0]
-        j = int(toks[1]) if toks[1].lstrip("+-").isdigit() else toks[1]
+        i = _idx(toks[0], one_based)
+        j = _idx(toks[1], one_based)
         ax = {"pair": (i, j), "end": float(toks[2])}
         if len(toks) > 3:
             ax["step"] = float(toks[3])
@@ -509,24 +668,54 @@ def _scan_axes(specs):
     return axes
 
 
-@cli.command("scan2d", help="2-D relaxed distance-grid scan.")
-@click.option("-i", "--input", "input_path", required=True,
-              type=click.Path(path_type=Path, exists=True, dir_okay=False))
-@click.option("--scan", "scans", multiple=True, required=True,
-              help="Axis 'i,j,end[,step[,start]]' (exactly 2).")
-@click.option("--plot-only", default=None,
-              type=click.Path(path_type=Path, exists=True))
-@common_options
-def scan2d_cmd(input_path, scans, plot_only, **kw):
+def _scan_nd_options(f):
+    opts = [
+        click.option("--plot-only", default=None,
+                     type=click.Path(path_type=Path, exists=True)),
+        click.option("--bias-k", type=float, default=10.0),
+        click.option("--relax-max-cycles", type=int, default=300),
+        click.option("--one-based", type=BOOL, default="True",
+                     callback=_bool_cb,
+                     help="Interpret (i,j) axis indices as 1-based."),
+        click.option("--baseline", default="min",
+                     type=click.Choice(["min", "first"]),
+                     help="Zero point of the plotted surface."),
+        click.option("--zmin", type=float, default=None,
+                     help="Lower color-scale bound [kcal/mol]."),
+        click.option("--zmax", type=float, default=None,
+                     help="Upper color-scale bound [kcal/mol]."),
+    ]
+    for o in reversed(opts):
+        f = o(f)
+    return f
+
+
+def _run_scan_nd_cmd(input_path, scans, ndim, plot_only, bias_k,
+                     relax_max_cycles, one_based, baseline, zmin, zmax, kw):
     from .workflows.scan_nd import run_scan_nd
-    axes = _scan_axes(scans)
-    assert len(axes) == 2, "scan2d needs exactly two --scan axes"
+    axes = _scan_axes(scans, one_based)
+    assert len(axes) == ndim, f"scan{ndim}d needs exactly {ndim} --scan axes"
     run_scan_nd(input_path, axes, charge=kw["charge"], spin=kw["spin"],
                 freeze_atoms=parse_freeze(kw["freeze_atoms"]),
                 auto_freeze_links=kw["auto_freeze_links"],
                 calc_mode=kw["calc_mode"], model=kw["model"],
                 out_dir=kw["out_dir"], plot_only=plot_only,
+                bias_k=bias_k, relax_max_cycles=relax_max_cycles,
+                baseline=baseline, zmin=zmin, zmax=zmax,
                 mesh=make_mesh_or_none(kw["workers"]))
+
+
+@cli.command("scan2d", help="2-D relaxed distance-grid scan.")
+@click.option("-i", "--input", "input_path", required=True,
+              type=click.Path(path_type=Path, exists=True, dir_okay=False))
+@click.option("--scan", "scans", multiple=True, required=True,
+              help="Axis 'i,j,end[,step[,start]]' (exactly 2).")
+@_scan_nd_options
+@common_options
+def scan2d_cmd(input_path, scans, plot_only, bias_k, relax_max_cycles,
+               one_based, baseline, zmin, zmax, **kw):
+    _run_scan_nd_cmd(input_path, scans, 2, plot_only, bias_k,
+                     relax_max_cycles, one_based, baseline, zmin, zmax, kw)
 
 
 @cli.command("scan3d", help="3-D relaxed distance-grid scan.")
@@ -534,19 +723,15 @@ def scan2d_cmd(input_path, scans, plot_only, **kw):
               type=click.Path(path_type=Path, exists=True, dir_okay=False))
 @click.option("--scan", "scans", multiple=True, required=True,
               help="Axis 'i,j,end[,step[,start]]' (exactly 3).")
-@click.option("--plot-only", default=None,
-              type=click.Path(path_type=Path, exists=True))
+@click.option("--csv", "csv_path", default=None,
+              type=click.Path(path_type=Path, exists=True),
+              help="Existing surface.csv to re-plot (alias of --plot-only).")
+@_scan_nd_options
 @common_options
-def scan3d_cmd(input_path, scans, plot_only, **kw):
-    from .workflows.scan_nd import run_scan_nd
-    axes = _scan_axes(scans)
-    assert len(axes) == 3, "scan3d needs exactly three --scan axes"
-    run_scan_nd(input_path, axes, charge=kw["charge"], spin=kw["spin"],
-                freeze_atoms=parse_freeze(kw["freeze_atoms"]),
-                auto_freeze_links=kw["auto_freeze_links"],
-                calc_mode=kw["calc_mode"], model=kw["model"],
-                out_dir=kw["out_dir"], plot_only=plot_only,
-                mesh=make_mesh_or_none(kw["workers"]))
+def scan3d_cmd(input_path, scans, csv_path, plot_only, bias_k,
+               relax_max_cycles, one_based, baseline, zmin, zmax, **kw):
+    _run_scan_nd_cmd(input_path, scans, 3, plot_only or csv_path, bias_k,
+                     relax_max_cycles, one_based, baseline, zmin, zmax, kw)
 
 
 @cli.command("dft", help="DFT single point (CPU PySCF backend).")
@@ -554,12 +739,33 @@ def scan3d_cmd(input_path, scans, plot_only, **kw):
               type=click.Path(path_type=Path, exists=True, dir_okay=False))
 @click.option("--func", default="wb97m-v")
 @click.option("--basis", default="def2-svp")
+@click.option("--func-basis", default=None,
+              help="Combined 'FUNC/BASIS' spec (reference flag); "
+                   "overrides --func/--basis.")
+@click.option("--max-cycle", type=int, default=100,
+              help="Maximum SCF iterations.")
+@click.option("--conv-tol", type=float, default=1e-9,
+              help="SCF convergence tolerance (Eh).")
+@click.option("--grid-level", type=int, default=3,
+              help="Numerical integration grid level (PySCF grids.level).")
+@click.option("--engine", default="cpu",
+              type=click.Choice(["gpu", "cpu", "auto"],
+                                case_sensitive=False),
+              help="gpu/auto fall back to CPU PySCF (no TPU DFT engine; "
+                   "the reference's gpu4pyscf path is CUDA-only).")
 @common_options
-def dft_cmd(input_path, func, basis, **kw):
+def dft_cmd(input_path, func, basis, func_basis, max_cycle, conv_tol,
+            grid_level, engine, **kw):
     from .workflows.dft import run_dft, ScfNotConverged
+    if func_basis:
+        func, basis = func_basis.split("/", 1)
+    if engine.lower() in ("gpu", "auto"):
+        click.echo("[dft] NOTE: no CUDA in the TPU image; using CPU PySCF "
+                   "(the reference's own fallback, dft.py:588-592)")
     try:
         run_dft(input_path, charge=kw["charge"], spin=kw["spin"],
-                func=func, basis=basis,
+                func=func, basis=basis, max_cycle=max_cycle,
+                conv_tol=conv_tol, grid_level=grid_level,
                 out_dir=kw["out_dir"] or "./result_dft/")
     except ScfNotConverged as e:
         click.echo(f"[dft] ERROR: {e}", err=True)

@@ -62,6 +62,7 @@ class GsmResult(NamedTuple):
     converged: bool
     cycles: int
     force_calls: int
+    perp_rms: float = float("nan")   # final overall perpendicular-force RMS
 
 
 def select_hei_index(energies) -> int:
@@ -123,13 +124,14 @@ _STEP_CACHE: dict = {}
 
 
 def make_macro_step(eforce_batch_fn, free_mask, max_step: float,
-                    scale_step: str):
+                    scale_step: str, fix_ends: bool = True):
     """One jitted macro cycle: batched forces -> projected step.
 
     Cached per (force closure, step policy): repeated gsm_mep calls with the
     same calculator (path-search runs many segments) reuse one compiled
     program instead of re-tracing each segment."""
-    key = (eforce_batch_fn, float(max_step), scale_step)
+    key = (eforce_batch_fn, float(max_step), scale_step,
+           bool(fix_ends))
     hit = _STEP_CACHE.get(key)
     if hit is not None:
         return hit
@@ -154,7 +156,8 @@ def make_macro_step(eforce_batch_fn, free_mask, max_step: float,
         # endpoints fixed
         active = img_mask[:, None, None]
         f_eff = f_eff * active
-        f_eff = f_eff.at[0].set(0.0).at[M - 1].set(0.0)
+        if fix_ends:  # reference fix_first/fix_last (path_opt.py:169-170)
+            f_eff = f_eff.at[0].set(0.0).at[M - 1].set(0.0)
         # steepest-descent step with scaling
         if scale_step == "per_image":
             mx = jnp.max(jnp.abs(f_eff), axis=(1, 2), keepdims=True)
@@ -248,7 +251,7 @@ _RELAX_CACHE: dict = {}
 def make_device_relax(eforce_batch_fn, free_mask, max_step: float,
                       scale_step: str, climb: bool, climb_rms: float,
                       conv_perp_rms: float, hvp_fn=None,
-                      lanczos_iters: int = 10):
+                      lanczos_iters: int = 10, fix_ends: bool = True):
     """The fully-grown string relaxation as ONE on-device lax.while_loop.
 
     TPU-first rationale: a host-synced macro loop pays the full host<->device
@@ -258,13 +261,13 @@ def make_device_relax(eforce_batch_fn, free_mask, max_step: float,
     engine)."""
     key = (eforce_batch_fn, float(max_step), scale_step, bool(climb),
            float(climb_rms), float(conv_perp_rms), hvp_fn,
-           int(lanczos_iters))
+           int(lanczos_iters), bool(fix_ends))
     hit = _RELAX_CACHE.get(key)
     if hit is not None:
         return hit
 
     step_fn_inner = make_macro_step(eforce_batch_fn, free_mask, max_step,
-                                    scale_step)
+                                    scale_step, fix_ends)
     fm_flat = jnp.repeat(free_mask, 3)
 
     @jax.jit
@@ -273,11 +276,10 @@ def make_device_relax(eforce_batch_fn, free_mask, max_step: float,
         D = images.shape[1] * 3
 
         def cond(st):
-            images, cycle, climb_on, done, E = st
-            return (~done) & (cycle < n_max)
+            return (~st[3]) & (st[1] < n_max)
 
         def body(st):
-            images, cycle, climb_on, done, E_prev = st
+            images, cycle, climb_on, done, E_prev, _rms = st
             hei = _hei_device(E_prev)
             if hvp_fn is not None:
                 def mk_tau(_):
@@ -307,14 +309,15 @@ def make_device_relax(eforce_batch_fn, free_mask, max_step: float,
             climb_ok = (~jnp.asarray(climb)) | (
                 climb_on & (hei_fmax < jnp.maximum(conv_perp_rms, climb_rms)))
             done_new = (rms_all < conv_perp_rms) & climb_ok
-            return (reparamed, cycle + 1, climb_on2, done_new, E)
+            return (reparamed, cycle + 1, climb_on2, done_new, E, rms_all)
 
         # seed energies for the first HEI pick
         E0, _ = eforce_batch_fn(images)
-        st0 = (images, jnp.array(0), jnp.array(False), jnp.array(False), E0)
-        images, cycle, climb_on, done, E = jax.lax.while_loop(
+        st0 = (images, jnp.array(0), jnp.array(False), jnp.array(False), E0,
+               jnp.asarray(jnp.inf, images.dtype))
+        images, cycle, climb_on, done, E, rms = jax.lax.while_loop(
             cond, body, st0)
-        return images, E, cycle, done
+        return images, E, cycle, done, rms
 
     _RELAX_CACHE[key] = relax
     return relax
@@ -335,6 +338,7 @@ def gsm_mep(
     climb: bool = True,
     climb_rms: float = 5e-4,
     climb_lanczos: bool = True,
+    fix_ends: bool = True,
     lanczos_iters: int = 10,
     hvp_fn: Optional[Callable] = None,   # (x_pad, v_pad) -> H v
     reparam_every: int = 1,
@@ -348,7 +352,7 @@ def gsm_mep(
     images = _interp_linear(jnp.asarray(x0_bohr_pad), jnp.asarray(x1_bohr_pad), M)
     img_mask = jnp.ones(M)        # shape bookkeeping; growth via frontier below
     step_fn = make_macro_step(eforce_batch_fn, jnp.asarray(free_mask),
-                              max_step, scale_step)
+                              max_step, scale_step, fix_ends)
 
     # Double-ended growth over the padded string: frontier counters select
     # how many images near each end are optimized; images beyond the
@@ -435,8 +439,10 @@ def gsm_mep(
                               max_step, scale_step, climb, climb_rms,
                               conv_perp_rms,
                               hvp_fn=(hvp_fn if climb_lanczos else None),
-                              lanczos_iters=lanczos_iters)
-    images, E_j, cycles_dev, done = relax(images, gm, jnp.asarray(budget))
+                              lanczos_iters=lanczos_iters,
+                              fix_ends=fix_ends)
+    images, E_j, cycles_dev, done, rms_j = relax(images, gm,
+                                                 jnp.asarray(budget))
     n_dev = int(cycles_dev)
     force_calls += (n_dev + 1) * M     # +1: energy seed for the HEI pick
     cyc = g_steps + n_dev
@@ -446,4 +452,5 @@ def gsm_mep(
         callback(cyc, E, -1.0, M - 2, True)
     return GsmResult(images=np.asarray(images), energies=E,
                      hei_idx=select_hei_index(E), converged=conv,
-                     cycles=cyc, force_calls=force_calls)
+                     cycles=cyc, force_calls=force_calls,
+                     perp_rms=float(rms_j))

@@ -67,12 +67,26 @@ def run_all(
     out_dir="./result_all/",
     mesh=None,
     verbose: bool = True,
+    full_template=None,          # --ref-full-pdb override for merged mirrors
     extract_kw: Optional[Dict[str, Any]] = None,
     search_kw: Optional[Dict[str, Any]] = None,
     gs_kw: Optional[Dict[str, Any]] = None,
+    scan_kw: Optional[Dict[str, Any]] = None,
+    opt_post_kw: Optional[Dict[str, Any]] = None,
+    tsopt_kw: Optional[Dict[str, Any]] = None,
+    irc_kw: Optional[Dict[str, Any]] = None,
+    freq_kw: Optional[Dict[str, Any]] = None,
+    dft_kw: Optional[Dict[str, Any]] = None,
     **calc_kw,
 ) -> Dict[str, Any]:
     t0 = time.time()
+    scan_kw = dict(scan_kw or {})
+    opt_post_kw = {"opt_mode": "lbfgs", "thresh": "gau",
+                   **(opt_post_kw or {})}
+    tsopt_kw = dict(tsopt_kw or {})
+    irc_kw = dict(irc_kw or {})
+    freq_kw = dict(freq_kw or {})
+    dft_kw = dict(dft_kw or {})
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     input_paths = [Path(p) for p in input_paths]
@@ -131,7 +145,8 @@ def run_all(
                             freeze_atoms=freeze_atoms,
                             auto_freeze_links=auto_freeze_links,
                             out_dir=out / "stage1b_scan", mesh=mesh,
-                            verbose=verbose, endopt=True, **calc_kw)
+                            verbose=verbose,
+                            **{"endopt": True, **scan_kw, **calc_kw})
         # endpoints: input structure + scan product
         prod = out / "stage1b_scan" / "scan_product.xyz"
         st = scan_res["structure"]
@@ -151,7 +166,7 @@ def run_all(
                            auto_freeze_links=auto_freeze_links,
                            calc_mode=calc_mode, model=model,
                            out_dir=ts_out, mesh=mesh, verbose=verbose,
-                           **calc_kw)
+                           hessian_dimer_kw=tsopt_kw, **calc_kw)
         results["tsopt"] = {"converged": res_ts["converged"],
                             "energy_au": res_ts["energy"],
                             "n_imag": res_ts["n_imag"]}
@@ -161,12 +176,13 @@ def run_all(
                       freeze_atoms=freeze_atoms,
                       auto_freeze_links=False, calc_mode=calc_mode,
                       model=model, out_dir=out / "freq", mesh=mesh,
-                      verbose=verbose)
+                      verbose=verbose, **freq_kw)
         if do_irc and ts_geom.exists():
             _run_irc(ts_geom, charge=charge, spin=spin,
                      freeze_atoms=freeze_atoms, auto_freeze_links=False,
                      calc_mode=calc_mode, model=model,
-                     out_dir=out / "irc", mesh=mesh, verbose=verbose)
+                     out_dir=out / "irc", mesh=mesh, verbose=verbose,
+                     **irc_kw)
         write_summary_yaml(out / "summary.yaml", results)
         if verbose:
             print(f"[all] TSOPT-only mode complete; elapsed "
@@ -183,7 +199,9 @@ def run_all(
     ps = run_path_search(
         work_inputs, charge=charge, spin=spin, calc_mode=calc_mode,
         model=model, mep_mode=mep_mode, out_dir=out / "stage2_path",
-        full_template=(full_templates[0] if full_templates else None),
+        full_template=(full_template if full_template is not None
+                       else (full_templates[0] if full_templates
+                             else None)),
         freeze_atoms=freeze_atoms, auto_freeze_links=auto_freeze_links,
         mesh=mesh, verbose=verbose, gs_kw=gs_kw,
         search_kw=skw2, **calc_kw)
@@ -233,7 +251,8 @@ def run_all(
                 io_xyz.write_xyz(hei_path, pocket_struct.copy(
                     coords=hei_x * BOHR2ANG), energy=ts_e)
                 dres = hessian_dimer(calc, calc.pad_bohr(hei_x),
-                                     flatten_max_iter=10)
+                                     **{"flatten_max_iter": 10,
+                                        **tsopt_kw})
                 ts_x = calc.unpad(dres.x)
                 ts_e = dres.e
                 entry["tsopt"] = {"converged": bool(dres.converged),
@@ -253,8 +272,7 @@ def run_all(
                         ("product", seg.images_bohr[-1])):
             st = pocket_struct.copy(coords=np.asarray(xg) * BOHR2ANG)
             coords, e, conv, _ = optimize_structure(st, calc,
-                                                    opt_mode="lbfgs",
-                                                    thresh="gau")
+                                                    **opt_post_kw)
             minima.append((tag, coords, e))
             common.write_outputs(seg_out, f"{tag}_opt", pocket_struct,
                                  coords, energy=e)
@@ -264,7 +282,7 @@ def run_all(
         if do_irc:
             from ..engines.irc import eulerpc_irc
             try:
-                ircres = eulerpc_irc(calc, calc.pad_bohr(ts_x))
+                ircres = eulerpc_irc(calc, calc.pad_bohr(ts_x), **irc_kw)
                 frames = []
                 energies = []
                 if ircres.backward:
@@ -307,11 +325,12 @@ def run_all(
                     vib = frequencies_and_modes(
                         H, pocket_struct.numbers, coords,
                         pocket_struct.freeze)
-                    th = thermochemistry(vib.freqs_cm,
-                                         pocket_struct.numbers,
-                                         np.asarray(coords) * BOHR2ANG,
-                                         electronic_energy=float(e),
-                                         multiplicity=spin)
+                    th = thermochemistry(
+                        vib.freqs_cm, pocket_struct.numbers,
+                        np.asarray(coords) * BOHR2ANG,
+                        electronic_energy=float(e), multiplicity=spin,
+                        T=freq_kw.get("temperature", 298.15),
+                        pressure=freq_kw.get("pressure", 101325.0))
                     gibbs[tag] = {"G_au": float(th.gibbs),
                                   "ZPE_au": float(th.zpe),
                                   "n_imag": int(th.n_imag)}
@@ -332,7 +351,8 @@ def run_all(
                         coords=np.asarray(coords) * BOHR2ANG))
                     entry.setdefault("dft", {})[tag] = run_dft(
                         p, charge=charge, spin=spin,
-                        out_dir=seg_out / f"dft_{tag}")["energy_au"]
+                        out_dir=seg_out / f"dft_{tag}",
+                        **dft_kw)["energy_au"]
             except ImportError as e:
                 entry["dft"] = {"skipped": str(e)}
             except Exception as e:

@@ -107,17 +107,39 @@ def convert_enabled() -> bool:
     return _CONVERT_ENABLED
 
 
-def load_structure(path) -> Structure:
+_DEFAULT_REF_PDB = None
+
+
+def set_default_ref_pdb(path) -> None:
+    """Process-wide --ref-pdb template (set by the CLI): a PDB whose
+    topology/metadata is attached to XYZ/GJF inputs so PDB conversion and
+    selector strings work (reference utils.py:772-779 validation)."""
+    global _DEFAULT_REF_PDB
+    _DEFAULT_REF_PDB = path
+
+
+def load_structure(path, ref_pdb=None) -> Structure:
     p = Path(path)
     suf = p.suffix.lower()
     if suf == ".pdb":
         return io_pdb.read_pdb(p)
     if suf in (".xyz", ".trj"):
-        return io_xyz.read_xyz(p)
-    if suf == ".gjf" or suf == ".com":
+        st = io_xyz.read_xyz(p)
+    elif suf == ".gjf" or suf == ".com":
         from ..core.io_gjf import read_gjf
-        return read_gjf(p)
-    raise ValueError(f"Unsupported structure format: {p}")
+        st = read_gjf(p)
+    else:
+        raise ValueError(f"Unsupported structure format: {p}")
+    rp = ref_pdb or _DEFAULT_REF_PDB
+    if rp:
+        tmpl = io_pdb.read_pdb(rp)
+        if tmpl.n_atoms != st.n_atoms:
+            raise ValueError(
+                f"--ref-pdb {rp} has {tmpl.n_atoms} atoms but the input "
+                f"has {st.n_atoms} (reference utils.py:772-779 check)")
+        st.pdb_atoms = tmpl.pdb_atoms
+        st.source_path = Path(rp)
+    return st
 
 
 def detect_freeze_links(pdb_path) -> List[int]:

@@ -62,6 +62,7 @@ def run_dft(
     density_fit: bool = True,
     max_cycle: int = 100,
     conv_tol: float = 1e-9,
+    grid_level: int = 3,
     pop: bool = True,
     out_dir="./result_dft/",
     verbose: bool = True,
@@ -83,6 +84,7 @@ def run_dft(
     mf.xc = func
     mf.max_cycle = max_cycle
     mf.conv_tol = conv_tol
+    mf.grids.level = grid_level
     if density_fit:
         mf = mf.density_fit()
     e_tot = mf.kernel()

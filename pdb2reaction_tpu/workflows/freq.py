@@ -36,6 +36,8 @@ def run_freq(
     pressure: float = 101325.0,
     max_write_modes: int = 10,
     amplitude_ang: float = 0.3,
+    n_frames: int = 20,
+    sort_modes: str = "value",   # "value" | "abs" (reference freq --sort)
     out_dir="./result_freq/",
     mesh=None,
     verbose: bool = True,
@@ -64,12 +66,14 @@ def run_freq(
     freq_txt = out / "frequencies_cm-1.txt"
     freq_txt.write_text("\n".join(f"{f:12.4f}" for f in vib.freqs_cm) + "\n")
 
-    # mode animations for the lowest |n| modes (freq.py:742-757)
-    order = np.argsort(vib.freqs_cm)
+    # mode animations for the lowest n modes (freq.py:742-757); --sort abs
+    # orders by |frequency| instead of signed value
+    order = np.argsort(np.abs(vib.freqs_cm) if sort_modes == "abs"
+                       else vib.freqs_cm)
     wrote = []
     for rank, k in enumerate(order[:max_write_modes]):
         frames = mode_animation_frames(struct.coords, vib.modes_cart[k],
-                                       amplitude_ang)
+                                       amplitude_ang, n_frames)
         trj = out / f"mode_{rank:03d}_{vib.freqs_cm[k]:.1f}cm-1.trj"
         io_xyz.write_trj(trj, [struct.copy(coords=f) for f in frames])
         wrote.append(trj)

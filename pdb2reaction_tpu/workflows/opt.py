@@ -92,6 +92,7 @@ def run_opt(
     out_dir="./result_opt/",
     mesh=None,
     convert_files: bool = True,
+    dump: bool = False,
     verbose: bool = True,
     **calc_kw,
 ) -> Dict[str, Any]:
@@ -145,6 +146,14 @@ def run_opt(
     out_dir = Path(out_dir)
     paths = common.write_outputs(out_dir, "final_geometry", struct,
                                  coords, energy=e)
+    if dump:
+        # reference --dump (opt.py:211-214 dump_restart) writes per-cycle
+        # trajectories; the device-resident while_loop exposes its sync
+        # points (start/end), so the dump carries those snapshots
+        paths += common.write_trajectory(
+            out_dir, "opt", struct,
+            [struct.coords_bohr, np.asarray(coords)],
+            energies=[None, e] if e is not None else None)
     if verbose:
         print(f"[opt] {'converged' if conv else 'NOT converged'} in "
               f"{cycles} cycles; E = {e:.8f} Ha")

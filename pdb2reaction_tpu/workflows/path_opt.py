@@ -59,6 +59,9 @@ def run_mep_between(
         scale_step=skw.get("scale_step", "global"),
         climb=kw["climb"], climb_rms=kw["climb_rms"],
         climb_lanczos=kw.get("climb_lanczos", True),
+        fix_ends=bool(kw.get("fix_ends",
+                             kw.get("fix_first", True)
+                             and kw.get("fix_last", True))),
         hvp_fn=calc.au_hvp_fn(),
         reparam_every=kw["reparam_every"],
         reparam_every_full=kw["reparam_every_full"],
@@ -82,6 +85,7 @@ def run_path_opt(
     mep_mode: str = "gsm",
     preopt: bool = True,
     preopt_thresh: str = "gau_loose",
+    preopt_max_cycles: int = 10000,
     align: bool = True,
     calc_mode: str = "uma",
     model: str = "uma-s-1p1",
@@ -112,7 +116,8 @@ def run_path_opt(
     if preopt:
         for st in structs:
             coords, e, conv, cyc = optimize_structure(
-                st, calc, opt_mode="lbfgs", thresh=preopt_thresh)
+                st, calc, opt_mode="lbfgs", thresh=preopt_thresh,
+                max_cycles=preopt_max_cycles)
             st.coords = coords * BOHR2ANG
             if verbose:
                 print(f"[path-opt] preopt endpoint: E = {e:.6f} Ha "

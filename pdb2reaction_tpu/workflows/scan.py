@@ -58,6 +58,7 @@ def run_scan(
     model: str = "uma-s-1p1",
     out_dir="./result_scan/",
     mesh=None,
+    dump: bool = False,
     verbose: bool = True,
     **calc_kw,
 ) -> Dict[str, Any]:
@@ -196,6 +197,13 @@ def run_scan(
     final = common.write_outputs(out, "final_geometry", struct, coords_bohr,
                                  energy=results[-1]["energies"][-1])
     paths += final
+    if dump:
+        # reference --dump: combined scan.trj (+ scan.pdb mirror) over all
+        # stages (scan.py --dump help text)
+        all_frames = [f for r in results for f in r["frames_bohr"]]
+        all_e = [e for r in results for e in r["energies"]]
+        paths += common.write_trajectory(out, "scan", struct, all_frames,
+                                         all_e)
     if verbose:
         print(f"[scan] elapsed {format_elapsed(t0)}")
     return {"stages": results, "coords_bohr": coords_bohr,

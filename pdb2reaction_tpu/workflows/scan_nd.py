@@ -56,6 +56,9 @@ def run_scan_nd(
     mesh=None,
     verbose: bool = True,
     plot_only: Optional[str] = None,
+    baseline: str = "min",       # "min" | "first" (reference scan2d/3d)
+    zmin: Optional[float] = None,
+    zmax: Optional[float] = None,
     **calc_kw,
 ) -> Dict[str, Any]:
     t0 = time.time()
@@ -66,7 +69,7 @@ def run_scan_nd(
 
     if plot_only:
         table = np.loadtxt(plot_only, delimiter=",", skiprows=1)
-        fig = _plot_surface(out, table, ndim)
+        fig = _plot_surface(out, table, ndim, baseline, zmin, zmax)
         return {"surface": table, "outputs": [fig]}
 
     struct = common.load_structure(input_path)
@@ -146,7 +149,7 @@ def run_scan_nd(
     table = np.asarray(rows)
     csv = out / "surface.csv"
     np.savetxt(csv, table, delimiter=",", header=header, comments="")
-    fig = _plot_surface(out, table, ndim)
+    fig = _plot_surface(out, table, ndim, baseline, zmin, zmax)
     if verbose:
         print(f"[scan{ndim}d] elapsed {format_elapsed(t0)}")
     return {"values": values, "energies": energies, "surface": table,
@@ -155,13 +158,19 @@ def run_scan_nd(
             "force_calls": calc.force_calls + base_calc.force_calls}
 
 
-def _plot_surface(out: Path, table: np.ndarray, ndim: int) -> Path:
+def _plot_surface(out: Path, table: np.ndarray, ndim: int,
+                  baseline: str = "min", zmin=None, zmax=None) -> Path:
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from ..constants import AU2KCALPERMOL
 
-    E = (table[:, ndim] - np.nanmin(table[:, ndim])) * AU2KCALPERMOL
+    ref = (table[0, ndim] if baseline == "first"
+           else np.nanmin(table[:, ndim]))
+    E = (table[:, ndim] - ref) * AU2KCALPERMOL
+    vmin = zmin if zmin is not None else float(np.nanmin(E))
+    vmax = zmax if zmax is not None else float(np.nanmax(E))
+    levels = np.linspace(vmin, max(vmax, vmin + 1e-9), 24)
     if ndim == 2:
         fig, ax = plt.subplots(figsize=(6, 5))
         x, y = table[:, 0], table[:, 1]
@@ -172,10 +181,13 @@ def _plot_surface(out: Path, table: np.ndarray, ndim: int) -> Path:
             XX, YY = np.meshgrid(xi, yi)
             Z = RBFInterpolator(np.column_stack([x, y]), E)(
                 np.column_stack([XX.ravel(), YY.ravel()])).reshape(XX.shape)
-            pc = ax.contourf(XX, YY, Z, levels=24, cmap="viridis")
-            ax.contour(XX, YY, Z, levels=12, colors="w", linewidths=0.4)
+            Z = np.clip(Z, vmin, vmax)
+            pc = ax.contourf(XX, YY, Z, levels=levels, cmap="viridis")
+            ax.contour(XX, YY, Z, levels=levels[::2], colors="w",
+                       linewidths=0.4)
         except Exception:
-            pc = ax.tricontourf(x, y, E, levels=24, cmap="viridis")
+            pc = ax.tricontourf(x, y, np.clip(E, vmin, vmax),
+                                levels=levels, cmap="viridis")
         ax.plot(x, y, "k.", ms=2)
         fig.colorbar(pc, label="dE (kcal/mol)")
         ax.set_xlabel("d1 (Å)")
@@ -185,7 +197,7 @@ def _plot_surface(out: Path, table: np.ndarray, ndim: int) -> Path:
         fig = plt.figure(figsize=(7, 6))
         ax = fig.add_subplot(projection="3d")
         sc = ax.scatter(table[:, 0], table[:, 1], table[:, 2], c=E,
-                        cmap="viridis", s=30)
+                        cmap="viridis", s=30, vmin=vmin, vmax=vmax)
         fig.colorbar(sc, label="dE (kcal/mol)", shrink=0.7)
         ax.set_xlabel("d1 (Å)")
         ax.set_ylabel("d2 (Å)")
@@ -207,7 +219,12 @@ def _maybe_plotly_html(out: Path, table: np.ndarray, ndim: int):
     except ImportError:
         return None
     from ..constants import AU2KCALPERMOL
-    E = (table[:, ndim] - np.nanmin(table[:, ndim])) * AU2KCALPERMOL
+    ref = (table[0, ndim] if baseline == "first"
+           else np.nanmin(table[:, ndim]))
+    E = (table[:, ndim] - ref) * AU2KCALPERMOL
+    vmin = zmin if zmin is not None else float(np.nanmin(E))
+    vmax = zmax if zmax is not None else float(np.nanmax(E))
+    levels = np.linspace(vmin, max(vmax, vmin + 1e-9), 24)
     if ndim == 2:
         fig = go.Figure(data=go.Mesh3d(
             x=table[:, 0], y=table[:, 1], z=E, intensity=E,

@@ -26,7 +26,8 @@ def read_trj_energies(trj_path) -> List[Optional[float]]:
 
 def plot_profile(out_path, energies_au: Sequence[float], *,
                  reference: str = "first", unit: str = "kcal",
-                 title: str = "", csv_path=None) -> Path:
+                 title: str = "", csv_path=None,
+                 reverse_x: bool = False) -> Path:
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -54,6 +55,8 @@ def plot_profile(out_path, energies_au: Sequence[float], *,
     if title:
         ax.set_title(title)
     ax.spines[["top", "right"]].set_visible(False)
+    if reverse_x:       # reference --reverse-x: last frame on the left
+        ax.invert_xaxis()
     fig.tight_layout()
     fig.savefig(out_path, dpi=150)
     plt.close(fig)
@@ -87,6 +90,8 @@ def run_trj2fig(
     calc_mode: str = "uma",
     model: str = "uma-s-1p1",
     csv: bool = True,
+    reverse_x: bool = False,
+    extra_outputs: Optional[Sequence] = None,
     **calc_kw,
 ) -> Dict[str, Any]:
     trj_path = Path(trj_path)
@@ -107,5 +112,19 @@ def run_trj2fig(
     out_path = Path(out_path) if out_path else trj_path.with_suffix(".png")
     csv_path = out_path.with_suffix(".csv") if csv else None
     plot_profile(out_path, energies, reference=reference, unit=unit,
-                 title=trj_path.name, csv_path=csv_path)
-    return {"energies": energies, "figure": out_path, "csv": csv_path}
+                 title=trj_path.name, csv_path=csv_path,
+                 reverse_x=reverse_x)
+    extras = []
+    for extra in (extra_outputs or []):
+        # reference -o accepts multiple outputs; suffix selects the format
+        extra = Path(extra)
+        if extra.suffix == ".csv":
+            E = np.asarray([e for e in energies if e is not None])
+            np.savetxt(extra, np.column_stack([np.arange(len(E)), E]),
+                       delimiter=",", header="image,energy_au", comments="")
+        else:
+            plot_profile(extra, energies, reference=reference, unit=unit,
+                         title=trj_path.name, reverse_x=reverse_x)
+        extras.append(extra)
+    return {"energies": energies, "figure": out_path, "csv": csv_path,
+            "extras": extras}

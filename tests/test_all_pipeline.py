@@ -60,7 +60,7 @@ def test_scan2d_small(tmp_path):
     res = CliRunner().invoke(cli, [
         "scan2d", "-i", str(a), "-q", "0", "--calc-mode", "morse",
         "--freeze-atoms", "0,2",
-        "--scan", "0,1,0.9,0.15", "--scan", "1,2,1.6,0.2",
+        "--scan", "1,2,0.9,0.15", "--scan", "2,3,1.6,0.2",
         "--out-dir", str(out)])
     assert res.exit_code == 0, res.output
     assert (out / "surface.csv").exists()
@@ -146,8 +146,8 @@ def test_scan3d_small(tmp_path):
     res = CliRunner().invoke(cli, [
         "scan3d", "-i", str(a), "-q", "0", "--calc-mode", "morse",
         "--freeze-atoms", "0,3",
-        "--scan", "0,1,0.8,0.1", "--scan", "1,2,0.85,0.1",
-        "--scan", "2,3,0.85,0.1",
+        "--scan", "1,2,0.8,0.1", "--scan", "2,3,0.85,0.1",
+        "--scan", "3,4,0.85,0.1",
         "--out-dir", str(out)])
     assert res.exit_code == 0, res.output
     assert (out / "surface.csv").exists()
@@ -159,8 +159,8 @@ def test_scan3d_small(tmp_path):
     out2 = tmp_path / "s3b"
     res2 = CliRunner().invoke(cli, [
         "scan3d", "-i", str(a), "-q", "0", "--calc-mode", "morse",
-        "--scan", "0,1,0.8,0.1", "--scan", "1,2,0.85,0.1",
-        "--scan", "2,3,0.85,0.1",
+        "--scan", "1,2,0.8,0.1", "--scan", "2,3,0.85,0.1",
+        "--scan", "3,4,0.85,0.1",
         "--plot-only", str(out / "surface.csv"), "--out-dir", str(out2)])
     assert res2.exit_code == 0, res2.output
     assert (out2 / "surface_3d.png").exists()
@@ -176,12 +176,13 @@ def test_all_single_pdb_scan_lists_remap(tmp_path):
 
     r_pdb = tmp_path / "R.pdb"
     build_complex_pdb(r_pdb)
-    # full-structure 0-based indices of LIG C1 / O1 (serials 21/22)
+    # full-structure 1-based indices of LIG C1 / O1 (PDB serials 21/22;
+    # --one-based defaults True like the reference)
     out = tmp_path / "all"
     res = CliRunner().invoke(cli, [
         "all", "-i", str(r_pdb),
         "--center", "LIG", "--ligand-charge", "0",
-        "--scan-lists", "20,21,1.9",
+        "--scan-lists", "21,22,1.9",
         "--calc-mode", "morse", "--max-nodes", "6",
         "--refine-path", "False", "--tsopt", "False",
         "--irc", "False", "--freq", "False",

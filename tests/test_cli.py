@@ -82,8 +82,9 @@ def test_cli_full_chain(runner, endpoints, tmp_path):
 def test_cli_scan_bond_change(runner, endpoints, tmp_path):
     a, _ = endpoints
     out = tmp_path / "scan"
+    # indices are 1-based by default (reference scan.py --one-based)
     res = runner.invoke(cli, ["scan", "-i", str(a), "--scan-list",
-                              "1,2,0.75", "--out-dir", str(out)] + COMMON)
+                              "2,3,0.75", "--out-dir", str(out)] + COMMON)
     assert res.exit_code == 0, res.output
     assert "bonds formed" in res.output
     assert "bonds broken" in res.output
@@ -95,3 +96,54 @@ def test_cli_help_lists_commands(runner):
     assert res.exit_code == 0
     for cmd in ("opt", "scan", "path-opt", "tsopt", "freq", "irc"):
         assert cmd in res.output
+
+
+def test_cli_reference_flag_aliases(runner, endpoints, tmp_path):
+    """Reference-surface parity: --multiplicity aliases --spin,
+    --one-based False restores 0-based indices, --dump writes scan.trj,
+    -o/--out and --reverse-x work in trj2fig."""
+    a, _ = endpoints
+    out = tmp_path / "scan"
+    res = runner.invoke(cli, [
+        "scan", "-i", str(a), "--scan-list", "1,2,0.75",
+        "--one-based", "False", "--dump", "True",
+        "-q", "0", "--multiplicity", "1", "--calc-mode", "morse",
+        "--out-dir", str(out)])
+    assert res.exit_code == 0, res.output
+    assert (out / "scan.trj").exists()
+
+    fig = tmp_path / "prof.svg"
+    res = runner.invoke(cli, [
+        "trj2fig", "-i", str(out / "scan.trj"), "-o", str(fig),
+        "--reverse-x", "True", "-q", "0", "--calc-mode", "morse",
+        "--recompute", "True"])
+    assert res.exit_code == 0, res.output
+    assert fig.exists()
+
+
+def test_cli_ref_pdb_template(runner, tmp_path):
+    """--ref-pdb: XYZ input borrows the PDB topology so outputs mirror as
+    PDB and selector strings resolve (reference utils.py:772-779)."""
+    from test_extract import build_complex_pdb
+    from pdb2reaction_tpu.core import io_pdb
+    pdb = tmp_path / "T.pdb"
+    build_complex_pdb(pdb)
+    st = io_pdb.read_pdb(pdb)
+    xyz = tmp_path / "T.xyz"
+    from pdb2reaction_tpu.core import io_xyz
+    io_xyz.write_xyz(xyz, st)
+    out = tmp_path / "opt"
+    res = runner.invoke(cli, [
+        "opt", "-i", str(xyz), "--ref-pdb", str(pdb), "-q", "0",
+        "--calc-mode", "morse", "--max-cycles", "3", "--thresh", "never",
+        "--out-dir", str(out)])
+    # 'never' preset: exits 3 (not converged) but writes outputs
+    assert (out / "final_geometry.xyz").exists(), res.output
+    assert (out / "final_geometry.pdb").exists()
+    # atom-count validation raises on mismatch
+    bad = tmp_path / "bad.xyz"
+    bad.write_text("1\n\nH 0 0 0\n")
+    res = runner.invoke(cli, [
+        "opt", "-i", str(bad), "--ref-pdb", str(pdb), "-q", "0",
+        "--calc-mode", "morse", "--out-dir", str(tmp_path / "o2")])
+    assert res.exit_code != 0
