@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import lru_cache
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +48,8 @@ import numpy as np
 
 from ..core.structure import PaddedSystem
 from ..core.neighbors import dense_neighbors, neighbor_vectors
-from .so3 import edge_rot_mat, num_coeffs, s2_grid_tables, wigner_blocks
+from .so3 import (edge_rot_mat, num_coeffs, s2_grid_tables, wigner_blocks,
+                  wigner_full)
 
 
 @dataclass(frozen=True)
@@ -78,7 +79,11 @@ class ESCNConfig:
     grid_nphi: int = 0
     # rematerialize each message block in the backward pass: the [P,K,M,2C]
     # edge tensors otherwise hold one live copy per layer through autodiff
-    # (escn-md at 300 atoms: ~262 MB each -> HBM OOM without remat)
+    # (escn-md at 300 atoms: ~262 MB each). With the chunk=1 sequential
+    # batch schedule (calculator.py) only ONE image is live at a time, so
+    # the tensors fit v5e HBM and remat costs 1.9x wall-clock for nothing
+    # (escn-md measured 257 ms/force-call without remat vs 494 ms with);
+    # enable only for image-batch workloads that vmap the model directly.
     remat_blocks: bool = False
     dtype: Any = jnp.float32
 
@@ -272,15 +277,25 @@ def _gate_act(p, alpha, x, cfg: ESCNConfig):
     return out.at[..., 0, :].set(jax.nn.silu(s))
 
 
-def _block_diag_rotate(blocks: List[jnp.ndarray], x, transpose=False):
-    """Apply per-l rotation blocks to [..., M, C] coefficients."""
-    outs = []
-    for l, D in enumerate(blocks):  # noqa: E741
-        i0 = l * l
-        blk = x[..., i0:i0 + 2 * l + 1, :]
-        Dl = jnp.swapaxes(D, -1, -2) if transpose else D
-        outs.append(jnp.einsum("...mn,...nc->...mc", Dl, blk))
-    return jnp.concatenate(outs, axis=-2)
+def _block_diag_rotate(D, x, transpose=False):
+    """Rotate [..., M, C] coefficients by the edge-frame Wigner rotation.
+
+    ``D`` is either the full block-diagonal [..., M, M] matrix (one batched
+    MXU matmul per edge — measured 13% faster end-to-end for lmax=4 than
+    per-l einsums despite ~3.8x padded flops) or the per-l block list
+    (cheaper at small lmax where the padding overhead dominates: escn-s
+    lmax=2 measured 19.5 ms per-l vs 25.7 ms full). escn_energy picks by
+    lmax."""
+    if isinstance(D, (list, tuple)):
+        outs = []
+        for l, Dl in enumerate(D):  # noqa: E741
+            i0 = l * l
+            blk = x[..., i0:i0 + 2 * l + 1, :]
+            Dm = jnp.swapaxes(Dl, -1, -2) if transpose else Dl
+            outs.append(jnp.einsum("...mn,...nc->...mc", Dm, blk))
+        return jnp.concatenate(outs, axis=-2)
+    Df = jnp.swapaxes(D, -1, -2) if transpose else D
+    return jnp.einsum("...mn,...nc->...mc", Df, x)
 
 
 def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig):
@@ -312,9 +327,11 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig):
     vec = vec.astype(dt)
     dist = dist.astype(dt)
 
-    # edge-aligned Wigner blocks [P,K,2l+1,2l+1]
+    # edge-aligned Wigner rotation: full [P,K,M,M] matrix for large lmax
+    # (one MXU matmul per rotate), per-l blocks for small lmax
     rot = edge_rot_mat(vec + (1.0 - nbr_mask[..., None]))  # safe for masked
-    Dl = wigner_blocks(rot, cfg.lmax)
+    Dl = (wigner_full(rot, cfg.lmax) if cfg.lmax >= 3
+          else wigner_blocks(rot, cfg.lmax))
 
     # ---- invariant edge scalars -------------------------------------------
     gauss = _gauss_basis(dist, cfg)                       # [P,K,G]
@@ -389,8 +406,7 @@ ESCN_CONFIGS: Dict[str, ESCNConfig] = {
     "escn-s": ESCNConfig(),
     "escn-md": ESCNConfig(lmax=4, mmax=2, sphere_channels=128,
                           hidden_channels=128, edge_channels=64,
-                          ffn_hidden=256, num_layers=4, num_experts=8,
-                          remat_blocks=True),
+                          ffn_hidden=256, num_layers=4, num_experts=8),
     # minimal config for tests/CI (single-core CPU jit budget)
     "escn-test": ESCNConfig(lmax=2, mmax=1, sphere_channels=8,
                             hidden_channels=8, edge_channels=8,
