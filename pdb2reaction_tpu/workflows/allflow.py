@@ -123,6 +123,14 @@ def run_all(
         raise ValueError("Charge is required (give -q or extract a pocket)")
     spin = spin or 1
 
+    if verbose:
+        from .config import pretty_block
+        print(pretty_block("all", {
+            "inputs": [str(p) for p in input_paths], "center": center,
+            "charge": charge, "spin": spin, "mep_mode": mep_mode,
+            "refine_path": refine_path, "tsopt": tsopt, "irc": do_irc,
+            "freq": do_freq, "dft": do_dft, "calc_mode": calc_mode,
+            "model": model, "scan_stages": scan_stages}))
     results: Dict[str, Any] = {"charge": charge, "spin": spin,
                                "charge_summary": charge_summary}
 

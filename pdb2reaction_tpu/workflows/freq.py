@@ -54,6 +54,14 @@ def run_freq(
                                   spin=s, freeze_atoms=freeze, model=model,
                                   hessian_calc_mode=hessian_calc_mode,
                                   mesh=mesh, **calc_kw)
+    if verbose:
+        from .config import pretty_block
+        print(pretty_block("freq", {
+            "temperature": temperature, "pressure": pressure,
+            "max_write": max_write_modes, "amplitude_ang": amplitude_ang,
+            "n_frames": n_frames, "sort": sort_modes, "charge": q,
+            "spin": s, "hessian_calc_mode": hessian_calc_mode,
+            "calc_mode": calc_mode, "model": model}))
     x = struct.coords_bohr.reshape(-1)
     res = calc.get_hessian(x)
     H = res["hessian"]

@@ -46,6 +46,10 @@ def run_irc(
     calc = common.make_calculator(struct, calc_mode=calc_mode, charge=q,
                                   spin=s, freeze_atoms=freeze, model=model,
                                   mesh=mesh, **calc_only)
+    if verbose:
+        from .config import pretty_block
+        print(pretty_block("irc", {**kw, "charge": q, "spin": s,
+                                   "calc_mode": calc_mode, "model": model}))
     res = eulerpc_irc(calc, calc.pad_bohr(struct.coords_bohr), **kw)
 
     out = Path(out_dir)

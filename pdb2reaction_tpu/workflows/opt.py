@@ -133,6 +133,15 @@ def run_opt(
             struct, calc_mode=calc_mode, charge=q, spin=s,
             freeze_atoms=freeze, model=model, mesh=mesh, **calc_kw)
 
+    if verbose:
+        from .config import pretty_block
+        print(pretty_block("opt", {
+            "opt_mode": opt_mode, "coord_type": coord_type,
+            "thresh": thresh, "max_cycles": max_cycles,
+            "charge": q, "spin": s, "calc_mode": calc_mode,
+            "model": model, "freeze_atoms": list(freeze),
+            "dist_freeze": dist_freeze, "bias_k": bias_k}))
+
     def cb(cyc, e, f):
         if verbose:
             print(f"[opt] cycle {cyc}: E = {e:.8f} Ha, "
@@ -152,8 +161,7 @@ def run_opt(
         # points (start/end), so the dump carries those snapshots
         paths += common.write_trajectory(
             out_dir, "opt", struct,
-            [struct.coords_bohr, np.asarray(coords)],
-            energies=[None, e] if e is not None else None)
+            [struct.coords_bohr, np.asarray(coords)])
     if verbose:
         print(f"[opt] {'converged' if conv else 'NOT converged'} in "
               f"{cycles} cycles; E = {e:.8f} Ha")

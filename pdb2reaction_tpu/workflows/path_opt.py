@@ -113,6 +113,13 @@ def run_path_opt(
     calc = common.make_calculator(A, calc_mode=calc_mode, charge=q, spin=s,
                                   freeze_atoms=A.freeze, model=model,
                                   mesh=mesh, **calc_kw)
+    if verbose:
+        from .config import pretty_block
+        print(pretty_block("path-opt", {
+            "mep_mode": mep_mode, "preopt": preopt, "align": align,
+            "charge": q, "spin": s, "calc_mode": calc_mode,
+            "model": model, "gs": dict(gs_kw or {}),
+            "sopt": dict(stopt_kw or {}), "dmf": dict(dmf_kw or {})}))
     if preopt:
         for st in structs:
             coords, e, conv, cyc = optimize_structure(

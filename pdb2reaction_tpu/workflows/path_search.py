@@ -310,6 +310,13 @@ def run_path_search(
                                   spin=s, freeze_atoms=structs[0].freeze,
                                   model=model, mesh=mesh, **calc_kw)
     skw = {**SEARCH_KW, **(search_kw or {})}
+    if verbose:
+        from .config import pretty_block
+        print(pretty_block("path-search", {
+            "mep_mode": mep_mode, "charge": q, "spin": s,
+            "calc_mode": calc_mode, "model": model,
+            "search": {k: v for k, v in skw.items()},
+            "gs": dict(gs_kw or {}), "bond": dict(bond_kw or {})}))
 
     # preopt + alignment (:2300-2329)
     if skw["preopt"]:

@@ -123,6 +123,14 @@ def run_scan(
     results = []
     coords_bohr = struct.coords_bohr
     step_bohr = step_ang * ANG2BOHR
+    if verbose:
+        from .config import pretty_block
+        print(pretty_block("scan", {
+            "stages": len(scan_stages), "step_ang": step_ang,
+            "bias_k": bias_k, "relax_thresh": relax_thresh,
+            "relax_max_cycles": relax_max_cycles, "preopt": preopt,
+            "endopt": endopt, "charge": q, "spin": s,
+            "calc_mode": calc_mode, "model": model}))
     stage_reports = []
     paths = []
     for si, stage in enumerate(stages):

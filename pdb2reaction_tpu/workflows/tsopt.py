@@ -61,6 +61,14 @@ def run_tsopt(
                                   mesh=mesh, **calc_kw)
     x0 = calc.pad_bohr(struct.coords_bohr)
 
+    if verbose:
+        from .config import pretty_block
+        print(pretty_block("tsopt", {
+            "opt_mode": mode, "thresh": thresh, "max_cycles": max_cycles,
+            "charge": q, "spin": s, "calc_mode": calc_mode, "model": model,
+            "hessian_dimer": dict(hessian_dimer_kw or {}),
+            "rsirfo": dict(rsirfo_kw or {})}))
+
     if mode == "dimer":
         kw = {**HESSIAN_DIMER_KW, **(hessian_dimer_kw or {})}
         kw["thresh"] = thresh if thresh != "gau" else kw["thresh"]
