@@ -47,7 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.structure import PaddedSystem
-from ..core.neighbors import dense_neighbors, neighbor_vectors
+from ..core.neighbors import dense_neighbors_rows, neighbor_vectors
 from .so3 import (edge_rot_mat, num_coeffs, s2_grid_tables, wigner_blocks,
                   wigner_full)
 
@@ -298,14 +298,35 @@ def _block_diag_rotate(D, x, transpose=False):
     return jnp.einsum("...mn,...nc->...mc", Df, x)
 
 
-def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig):
-    """Total potential energy in eV (conservative: forces via jax.grad)."""
+def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
+                *, axis_name=None, n_shards: int = 1):
+    """Total potential energy in eV (conservative: forces via jax.grad).
+
+    Inside a ``shard_map`` over ``axis_name`` this runs SPATIALLY
+    PARTITIONED: each shard owns P/n_shards atom rows (its neighbor slab,
+    edge frames, messages, node features); the only cross-shard traffic is
+    one tiled ``all_gather`` of the normalized node features per layer
+    plus the psum'd energy — the same design as
+    model.gather_energy_core (parallel/spatial.py wires both)."""
     dt = cfg.dtype
     P = coords_ang.shape[0]
     C = cfg.sphere_channels
     M = num_coeffs(cfg.lmax)
-    atom_mask = system.atom_mask.astype(dt)
-    z = jnp.clip(system.numbers, 0, cfg.max_z)
+    if axis_name is None:
+        P_loc, i0 = P, 0
+        allg = lambda v: v                              # noqa: E731
+        psum = lambda e: e                              # noqa: E731
+    else:
+        assert P % n_shards == 0, (P, n_shards)
+        P_loc = P // n_shards
+        i0 = jax.lax.axis_index(axis_name) * P_loc
+        allg = lambda v: jax.lax.all_gather(            # noqa: E731
+            v, axis_name, tiled=True)
+        psum = lambda e: jax.lax.psum(e, axis_name)     # noqa: E731
+    atom_mask = jax.lax.dynamic_slice_in_dim(
+        system.atom_mask, i0, P_loc).astype(dt)
+    z = jnp.clip(jax.lax.dynamic_slice_in_dim(system.numbers, i0, P_loc),
+                 0, cfg.max_z)
 
     # ---- routing: task/charge/spin -> expert coefficients -----------------
     q_idx = jnp.clip(params["charge"].astype(jnp.int32) + cfg.charge_range,
@@ -319,13 +340,16 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig):
     alpha = jax.nn.softmax(_apply_linear_stack(params["router"], route_in))
 
     # ---- radius graph (nearest-K within cutoff, uma_pysis.py:299-318) -----
-    idx, nbr_mask = dense_neighbors(coords_ang, system.atom_mask,
-                                    cfg.cutoff, cfg.max_neighbors)
+    rows = jax.lax.dynamic_slice_in_dim(coords_ang, i0, P_loc)
+    idx, nbr_mask = dense_neighbors_rows(coords_ang, system.atom_mask,
+                                         cfg.cutoff, cfg.max_neighbors,
+                                         i0, P_loc)
     idx = jax.lax.stop_gradient(idx)
     nbr_mask = jax.lax.stop_gradient(nbr_mask).astype(dt)
-    vec, dist = neighbor_vectors(coords_ang, idx, nbr_mask)
+    vec, dist = neighbor_vectors(coords_ang, idx, nbr_mask, origin=rows)
     vec = vec.astype(dt)
     dist = dist.astype(dt)
+    z_full = jnp.clip(system.numbers, 0, cfg.max_z)   # idx is global
 
     # edge-aligned Wigner rotation: full [P,K,M,M] matrix for large lmax
     # (one MXU matmul per rotate), per-l blocks for small lmax
@@ -335,7 +359,7 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig):
 
     # ---- invariant edge scalars -------------------------------------------
     gauss = _gauss_basis(dist, cfg)                       # [P,K,G]
-    esrc = params["source_embedding"][z[idx]]             # [P,K,Ce]
+    esrc = params["source_embedding"][z_full[idx]]        # [P,K,Ce]
     etgt = jnp.broadcast_to(params["target_embedding"][z][:, None, :],
                             esrc.shape)
     edge_scalar = _apply_linear_stack(
@@ -343,14 +367,15 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig):
     env = (_envelope(dist, cfg) * nbr_mask)[..., None]    # [P,K,1]
 
     # ---- initial node features ---------------------------------------------
-    x = jnp.zeros((P, M, C), dt)
+    x = jnp.zeros((P_loc, M, C), dt)
     x = x.at[:, 0, :].set(params["sphere_embedding"][z])
     # edge-degree embedding: edge scalars -> m=0 components per l in the
     # edge frame, rotated back and aggregated
     deg = _mole(params["edge_degree_proj"], alpha,
-                edge_scalar).reshape(P, cfg.max_neighbors, cfg.lmax + 1, C)
+                edge_scalar).reshape(P_loc, cfg.max_neighbors,
+                                     cfg.lmax + 1, C)
     m0, _, _ = _m_indices(cfg.lmax, cfg.mmax)
-    deg_coeff = jnp.zeros((P, cfg.max_neighbors, M, C), dt)
+    deg_coeff = jnp.zeros((P_loc, cfg.max_neighbors, M, C), dt)
     deg_coeff = deg_coeff.at[..., m0, :].set(deg)
     deg_back = _block_diag_rotate(Dl, deg_coeff, transpose=True)
     x = x + jnp.sum(deg_back * env[..., None], axis=1) / cfg.avg_degree
@@ -359,8 +384,9 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig):
     # ---- message-passing blocks --------------------------------------------
     def block_fn(x, blk):
         xn = _equi_rms_norm(x, blk["norm_1"], cfg)
-        x_t = jnp.broadcast_to(xn[:, None], (P, cfg.max_neighbors, M, C))
-        x_s = xn[idx]                                     # [P,K,M,C]
+        x_t = jnp.broadcast_to(xn[:, None],
+                               (P_loc, cfg.max_neighbors, M, C))
+        x_s = allg(xn)[idx]                               # [P_loc,K,M,C]
         pair = jnp.concatenate([x_s, x_t], axis=-1)       # [P,K,M,2C]
         pair_rot = _block_diag_rotate(Dl, pair)
         msg = _so2_apply(blk["so2_conv_1"], alpha, pair_rot, edge_scalar,
@@ -397,7 +423,7 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig):
     e_ref = params["atom_ref"][z]
     # accumulate in the promoted dtype (f32 normally; f64 under the x64
     # parity-test policy) so energies are deterministic per precision mode
-    return jnp.sum((e_atom + e_ref) * atom_mask)
+    return psum(jnp.sum((e_atom + e_ref) * atom_mask))
 
 
 # registry of named eSCN configs; conversion fills these from checkpoint

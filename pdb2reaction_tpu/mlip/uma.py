@@ -63,6 +63,25 @@ def set_default_spatial(n: int) -> None:
     _DEFAULT_SPATIAL = max(int(n), 1)
 
 
+def _spatialize(cfg, mesh, spatial: int):
+    """Build the atom-axis-sharded closure + mesh + pad multiple for any
+    backbone config (parallel/spatial.py dispatches on the config type)."""
+    import math
+
+    import jax
+
+    from ..parallel.mesh import make_mesh
+    from ..parallel.spatial import make_spatial_energy_fn
+    if mesh is None or mesh.shape.get("model", 1) != spatial:
+        n = len(jax.devices())
+        if spatial > n:
+            raise ValueError(
+                f"spatial={spatial} shards but only {n} devices")
+        mesh = make_mesh(data=max(n // spatial, 1), model=spatial)
+    fn = make_spatial_energy_fn(cfg, mesh, axis="model")
+    return fn, mesh, 8 * spatial // math.gcd(8, spatial)
+
+
 def make_uma_calculator(
     structure: Structure,
     *,
@@ -85,8 +104,8 @@ def make_uma_calculator(
     """``spatial > 1`` shards the ATOM axis of the forward pass over that
     many devices (parallel/spatial.py) — the single-big-structure scale-out
     replacing the reference's multi-node Ray fan-out (uma_pysis.py:234-242).
-    Currently wired for the gather-layout PaiNN-class backbone; eSCN models
-    ignore it (their per-image activations fit a chip up to pocket scale)."""
+    Wired for BOTH backbones: the gather-layout PaiNN-class model and the
+    eSCN (UMA-class) backbone."""
     import dataclasses
 
     spatial = _DEFAULT_SPATIAL if spatial is None else max(int(spatial), 1)
@@ -132,6 +151,9 @@ def make_uma_calculator(
         else:
             fn, params, ecfg = make_escn_model(ecfg, seed=seed,
                                                charge=charge, spin=spin)
+        pad_multiple = 8
+        if spatial > 1:
+            fn, mesh, pad_multiple = _spatialize(ecfg, mesh, spatial)
         return Calculator(
             structure, fn, params=params,
             freeze_atoms=freeze_atoms,
@@ -139,6 +161,7 @@ def make_uma_calculator(
             return_partial_hessian=return_partial_hessian,
             hessian_double=hessian_double,
             fd_step=fd_step,
+            pad_multiple=pad_multiple,
             mesh=mesh,
         )
 
@@ -155,20 +178,7 @@ def make_uma_calculator(
         cfg = dataclasses.replace(cfg, mp_mode="gather")
     fn, params, cfg = make_model(cfg, seed=seed, charge=charge, spin=spin)
     if spatial > 1:
-        import math
-
-        import jax
-
-        from ..parallel.mesh import make_mesh
-        from ..parallel.spatial import make_spatial_energy_fn
-        if mesh is None or mesh.shape.get("model", 1) != spatial:
-            n = len(jax.devices())
-            if spatial > n:
-                raise ValueError(
-                    f"spatial={spatial} shards but only {n} devices")
-            mesh = make_mesh(data=max(n // spatial, 1), model=spatial)
-        fn = make_spatial_energy_fn(cfg, mesh, axis="model")
-        pad_multiple = 8 * spatial // math.gcd(8, spatial)
+        fn, mesh, pad_multiple = _spatialize(cfg, mesh, spatial)
 
     ckpt_params = None
     if checkpoint:

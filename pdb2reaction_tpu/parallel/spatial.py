@@ -39,14 +39,17 @@ from ..mlip.model import ModelConfig, gather_energy_core
 _SPATIAL_CACHE: Dict[Tuple, object] = {}
 
 
-def make_spatial_energy_fn(cfg: ModelConfig, mesh: Mesh, axis: str = "model"):
+def make_spatial_energy_fn(cfg, mesh: Mesh, axis: str = "model"):
     """Calculator-protocol energy closure with the atom axis sharded.
 
     ``fn(coords_ang, system, params) -> eV`` where the forward pass runs
-    block-sharded over ``mesh[axis]``. Plugs into ``Calculator`` exactly
-    like the unsharded model closures (and composes with its analytic
-    force/HVP kernels). The padded atom count must be divisible by the axis
-    size — pass ``pad_multiple=n_shards*k`` to the Calculator.
+    block-sharded over ``mesh[axis]``. ``cfg`` selects the backbone: a
+    ``ModelConfig`` (PaiNN-class gather layout) or an ``ESCNConfig`` (the
+    UMA-class eSCN backbone) — both implement the same row-block +
+    per-layer all_gather scheme. Plugs into ``Calculator`` exactly like
+    the unsharded model closures (and composes with its analytic
+    force/HVP kernels). The padded atom count must be divisible by the
+    axis size — pass ``pad_multiple=n_shards*k`` to the Calculator.
 
     The closure is cached per (cfg, mesh, axis) so repeated calculators
     share compiled programs (same contract as model.make_model).
@@ -57,9 +60,16 @@ def make_spatial_energy_fn(cfg: ModelConfig, mesh: Mesh, axis: str = "model"):
     if hit is not None:
         return hit
 
-    def body(coords, system, params):
-        return gather_energy_core(coords, system, params, cfg,
-                                  axis_name=axis, n_shards=n)
+    if isinstance(cfg, ModelConfig):
+        def body(coords, system, params):
+            return gather_energy_core(coords, system, params, cfg,
+                                      axis_name=axis, n_shards=n)
+    else:
+        from ..mlip.escn import escn_energy
+
+        def body(coords, system, params):
+            return escn_energy(coords, system, params, cfg,
+                               axis_name=axis, n_shards=n)
 
     sharded = shard_map(body, mesh=mesh,
                         in_specs=(P(), P(), P()), out_specs=P())

@@ -71,6 +71,24 @@ def test_spatial_through_calculator():
     np.testing.assert_allclose(H1, H0, rtol=1e-5, atol=1e-8)
 
 
+def test_spatial_escn_parity():
+    """The eSCN backbone under atom-axis sharding matches unsharded."""
+    from pdb2reaction_tpu.mlip.escn import make_escn_model
+
+    mesh = make_mesh(data=2, model=4)
+    fn0, wts, cfg = make_escn_model("escn-test", seed=2, charge=1, spin=2)
+    st = _random_structure(n=26, seed=5)
+    sys_ = pad_to(st, multiple=8)            # 32 atoms / 4 shards
+    coords = jnp.asarray(sys_.coords)
+    fn_sp = make_spatial_energy_fn(cfg, mesh, axis="model")
+    e0, g0 = jax.value_and_grad(lambda c: fn0(c, sys_, wts))(coords)
+    e1, g1 = jax.jit(
+        jax.value_and_grad(lambda c: fn_sp(c, sys_, wts)))(coords)
+    assert float(abs(e1 - e0)) < 1e-6 * max(1.0, abs(float(e0)))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_uma_factory_spatial():
     """make_uma_calculator(spatial=N) matches the unsharded factory."""
     from pdb2reaction_tpu.mlip.uma import make_uma_calculator
