@@ -24,13 +24,17 @@ blocks. The backward kernels use the same fusion. Set
 (f32 accumulation via preferred_element_type).
 
 Measured (v5e, R = 24, F = 384, fwd+bwd through a scalar loss; 2026-08):
-vs round 1 the kernel is ~115x faster (P=1024: 1.3 s -> 11.4 ms). It
-reaches 0.6x XLA-dense at P = 1024 and 0.5x at P = 2048 — XLA's einsum
+vs round 1 the kernel is ~115x faster (P=1024: 1.3 s -> 11.3 ms). It
+reaches 0.68x XLA-dense at P = 1024 and 0.56x at P = 2048 — XLA's einsum
 schedule still wins where its O(P^2 R) adjacency fits — and runs
-P = 4096 in 108 ms where the dense path's ~1.6 GB-per-stream A tensors
-do not fit: ``mp_mode="pallas"`` is the large-system path, dense stays
-the default below ~2048 atoms. The recurrence-built basis deviates from
-XLA's sin by <~1e-4 relative (f32), grads verified to the same level.
+P = 4096 fwd+bwd in 90 ms (was 108 before the fused-gradient kernel)
+where the dense path's ~1.6 GB-per-stream A tensors do not fit:
+``mp_mode="pallas"`` is the large-system path, dense stays the default
+below ~2048 atoms. The recurrence-built basis deviates from XLA's sin by
+<~1e-4 relative (f32), grads verified to the same level. The coordinate
+gradient is ONE fused kernel: receiver and sender contributions to the
+same output rows share one pair-geometry/ladder build per (i, j) tile
+(see _grad_coords_fused_kernel).
 
 The ``div_d`` variant uses A/d, which is exactly what the edge-direction
 message stream needs after the split
@@ -242,21 +246,22 @@ def _accum_G(d_safe, env, denv, s1, c1, S, cutoff, n_radial, div_d):
     return G
 
 
-def _grad_coords_kernel(ci_ref, mi_ref, cj_ref, mj_ref, g_ref, feats_ref,
-                        out_ref, *, cutoff, n_radial, div_d, ti, tj,
-                        sender_side):
-    """Coordinate gradient for one (i, j) tile pair.
+def _grad_coords_fused_kernel(ci_ref, mi_ref, cj_ref, mj_ref, gi_ref,
+                              gj_ref, fi_ref, fj_ref, out_ref, *,
+                              cutoff, n_radial, div_d, ti, tj):
+    """FUSED coordinate gradient: receiver + sender contributions to the
+    same output row block in ONE pass over (i, j) tiles.
 
-    G[i,j] = sum_r dA_r/dd * (sum_f g[i,r,f] feats[j,f]);
-    receiver side: dx_i += sum_j G[i,j] (x_i - x_j)/d;
-    sender side:   dx_j -= sum_i G[i,j] (x_i - x_j)/d.
+    With dA symmetric in (i, j), the sender-side gradient of rows I equals
+    sum_j G2^T[i,j] u[i,j] where G2 uses (g at J, feats at I) — so both
+    sides share ONE pair-geometry/ladder build and ONE unit tile:
+        dx_I = sum_j (G1 + G2^T)[i,j] * (x_i - x_j)/d.
+    Halves the grid passes and the radial-derivative ladder work of the
+    previous two one-sided kernels (round-3 queue item: 'fuse
+    sender/receiver coordinate-gradient kernels').
     """
-    blk_out = pl.program_id(0)
-    blk_in = pl.program_id(1)
-    if sender_side:
-        j_blk, i_blk = blk_out, blk_in
-    else:
-        i_blk, j_blk = blk_out, blk_in
+    i_blk = pl.program_id(0)
+    j_blk = pl.program_id(1)
     gi = i_blk * ti + jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)[:, 0]
     gj = j_blk * tj + jax.lax.broadcasted_iota(jnp.int32, (tj, 1), 0)[:, 0]
     ci = ci_ref[:]
@@ -264,41 +269,40 @@ def _grad_coords_kernel(ci_ref, mi_ref, cj_ref, mj_ref, g_ref, feats_ref,
     d, within, env, denv, s1, c1 = _pair_geometry(
         ci, cj, mi_ref[:, 0], mj_ref[:, 0], gi, gj, cutoff)
     R1 = n_radial + 1
-    S = _g_dot_feats(g_ref, feats_ref, R1, ti)              # [R1,TI,TJ]
-    G = _accum_G(d, env, denv, s1, c1, S, cutoff, n_radial,
-                 div_d)                                     # [TI,TJ]
+    # receiver: S1[r,i,j] = sum_f g[r,i,f] feats[j,f]
+    S1 = _g_dot_feats(gi_ref, fj_ref, R1, ti)           # [R1,TI,TJ]
+    # sender: S2[r,j,i] = sum_f g[r,j,f] feats[i,f], transposed to [TI,TJ]
+    S2 = jnp.swapaxes(_g_dot_feats(gj_ref, fi_ref, R1, tj), 1, 2)
+    G = _accum_G(d, env, denv, s1, c1, S1 + S2, cutoff, n_radial, div_d)
 
     inv_d = 1.0 / d
     unit = (ci[:, None, :] - cj[None, :, :]) * inv_d[:, :, None]
-    if sender_side:
-        contrib = -jnp.sum(G[:, :, None] * unit, axis=0)    # [TJ,3]
-    else:
-        contrib = jnp.sum(G[:, :, None] * unit, axis=1)     # [TI,3]
+    contrib = jnp.sum(G[:, :, None] * unit, axis=1)     # [TI,3]
 
-    @pl.when(blk_in == 0)
+    @pl.when(j_blk == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     out_ref[:] += contrib
 
 
-def _grad_coords(coords, mask, feats, g_r1pf, cutoff, n_radial, div_d,
-                 sender_side):
-    """g_r1pf: [R1, P, F] gradient (kernel-friendly layout)."""
+def _grad_coords_fused(coords, mask, feats, g_r1pf, cutoff, n_radial,
+                       div_d):
+    """g_r1pf: [R1, P, F] gradient (kernel-friendly layout). Returns the
+    TOTAL coordinate gradient (receiver + sender) in one grid pass."""
     P, F = feats.shape
-    FT = 192
+    FT = 160   # slightly smaller F chunk: the fused kernel holds TWO
+               # g blocks + two feats tiles in scoped VMEM
     if F > FT:
         out = None
         for f0 in range(0, F, FT):
-            part = _grad_coords(coords, mask, feats[:, f0:f0 + FT],
-                                g_r1pf[:, :, f0:f0 + FT], cutoff,
-                                n_radial, div_d, sender_side)
+            part = _grad_coords_fused(coords, mask, feats[:, f0:f0 + FT],
+                                      g_r1pf[:, :, f0:f0 + FT], cutoff,
+                                      n_radial, div_d)
             out = part if out is None else out + part
         return out
     TI = min(128, P)
-    TJ = min(64, P)    # smaller j tiles: the grad kernel's per-tile stack
-                       # (S + dA ladder + g block) must fit the 16 MB
-                       # scoped VMEM limit
+    TJ = min(64, P)
     Pp = -(-P // max(TI, TJ)) * max(TI, TJ)
     R1 = n_radial + 1
     c = _pad_to(coords.astype(jnp.float32), Pp)
@@ -306,30 +310,14 @@ def _grad_coords(coords, mask, feats, g_r1pf, cutoff, n_radial, div_d,
     f = _pad_to(feats.astype(jnp.float32), Pp)
     gg = _pad_to(g_r1pf.astype(jnp.float32), Pp, axis=1)
 
-    kern = functools.partial(_grad_coords_kernel, cutoff=float(cutoff),
+    kern = functools.partial(_grad_coords_fused_kernel, cutoff=float(cutoff),
                              n_radial=int(n_radial), div_d=bool(div_d),
-                             ti=TI, tj=TJ, sender_side=bool(sender_side))
-    if sender_side:
-        # grid (j, i): output blocked over j (senders), accumulate over i
-        specs = [
-            pl.BlockSpec((TI, 3), lambda j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, 1), lambda j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TJ, 3), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TJ, 1), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R1, TI, F), lambda j, i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TJ, F), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        out_spec = pl.BlockSpec((TJ, 3), lambda j, i: (j, 0),
-                                memory_space=pltpu.VMEM)
-    else:
-        # grid (i, j): output blocked over i (receivers), accumulate over j
-        specs = [
+                             ti=TI, tj=TJ)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Pp, 3), jnp.float32),
+        grid=(Pp // TI, Pp // TJ),
+        in_specs=[
             pl.BlockSpec((TI, 3), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TI, 1), lambda i, j: (i, 0),
@@ -340,19 +328,16 @@ def _grad_coords(coords, mask, feats, g_r1pf, cutoff, n_radial, div_d,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R1, TI, F), lambda i, j: (0, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((R1, TJ, F), lambda i, j: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, F), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((TJ, F), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-        ]
-        out_spec = pl.BlockSpec((TI, 3), lambda i, j: (i, 0),
-                                memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((Pp, 3), jnp.float32),
-        grid=(Pp // (TJ if sender_side else TI),
-              Pp // (TI if sender_side else TJ)),
-        in_specs=specs,
-        out_specs=out_spec,
-    )(c, m, c, m, gg, f)
+        ],
+        out_specs=pl.BlockSpec((TI, 3), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(c, m, c, m, gg, gg, f, f)
     return out[:P]
 
 
@@ -437,11 +422,8 @@ def _rc_bwd(cutoff, n_radial, div_d, res, g):
     g_r1pf = jnp.transpose(g, (1, 0, 2))
     dfeats = _grad_feats(coords, mask, g_r1pf, cutoff, n_radial, div_d,
                          feats.shape[1]).astype(feats.dtype)
-    dci = _grad_coords(coords, mask, feats, g_r1pf, cutoff, n_radial,
-                       div_d, sender_side=False)
-    dcj = _grad_coords(coords, mask, feats, g_r1pf, cutoff, n_radial,
-                       div_d, sender_side=True)
-    dcoords = (dci + dcj).astype(coords.dtype)
+    dcoords = _grad_coords_fused(coords, mask, feats, g_r1pf, cutoff,
+                                 n_radial, div_d).astype(coords.dtype)
     return dcoords, None, dfeats
 
 
