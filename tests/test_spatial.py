@@ -106,3 +106,25 @@ def test_uma_factory_spatial():
     assert abs(r1["energy"] - r0["energy"]) < 1e-8
     np.testing.assert_allclose(r1["forces"], r0["forces"],
                                rtol=1e-5, atol=1e-8)
+
+
+def test_spatial_batched_forces():
+    """get_forces_batch through a spatial calculator: the per-image
+    shard_map (atoms over 'model') composes with the batched kernels."""
+    from pdb2reaction_tpu.mlip.uma import make_uma_calculator
+
+    # n <= 17 so the gather layout's K=16 cap covers every neighbor and
+    # the dense (exact) and spatial (K-capped) layouts agree
+    st = _random_structure(n=16, seed=13)
+    c0 = make_uma_calculator(st, model="small")
+    c1 = make_uma_calculator(st, model="small", spatial=4)
+    rng = np.random.default_rng(0)
+    base = st.coords_bohr
+    batch = np.stack([base + 0.01 * k * rng.normal(size=base.shape)
+                      for k in range(4)])
+    r0 = c0.get_forces_batch(batch)
+    r1 = c1.get_forces_batch(batch)
+    np.testing.assert_allclose(r1["energy"], r0["energy"],
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(r1["forces"], r0["forces"],
+                               rtol=1e-5, atol=1e-7)
