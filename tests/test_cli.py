@@ -147,3 +147,35 @@ def test_cli_ref_pdb_template(runner, tmp_path):
         "opt", "-i", str(bad), "--ref-pdb", str(pdb), "-q", "0",
         "--calc-mode", "morse", "--out-dir", str(tmp_path / "o2")])
     assert res.exit_code != 0
+
+
+def test_cli_freq_sort_and_irc_knobs(runner, endpoints, tmp_path):
+    """freq --sort abs/--n-frames/--amplitude-ang and irc
+    --step-size/--root reach the engines. (Unfrozen molecule: PHVA with a
+    single active atom legitimately leaves zero modes after the
+    active-subspace TR projection — reference freq.py:279-284 semantics.)"""
+    a, _ = endpoints
+    ts = tmp_path / "o"
+    res = runner.invoke(cli, ["opt", "-i", str(a), "--out-dir", str(ts),
+                              "-q", "0", "--calc-mode", "morse"])
+    assert res.exit_code == 0, res.output
+    geom = ts / "final_geometry.xyz"
+
+    fq = tmp_path / "freq"
+    res = runner.invoke(cli, [
+        "freq", "-i", str(geom), "--sort", "abs", "--n-frames", "6",
+        "--amplitude-ang", "0.2", "--max-write", "2",
+        "-q", "0", "--calc-mode", "morse", "--out-dir", str(fq)])
+    assert res.exit_code == 0, res.output
+    modes = sorted(fq.glob("mode_*.trj"))
+    assert len(modes) == 2
+    # 6 frames per animation: each frame = count line + comment + 3 atoms
+    text = modes[0].read_text()
+    assert text.count("\n") >= 6 * 5
+
+    irc_out = tmp_path / "irc"
+    res = runner.invoke(cli, [
+        "irc", "-i", str(geom), "--step-size", "0.05", "--root", "0",
+        "--max-cycles", "5", "--out-dir", str(irc_out)] + COMMON)
+    assert res.exit_code == 0, res.output
+    assert list(irc_out.glob("*.trj"))
