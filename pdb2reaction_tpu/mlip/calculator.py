@@ -106,7 +106,7 @@ def _normalize_energy_fn(energy_fn: Callable) -> Callable:
 _KERNELS: Dict[Any, Dict[str, Callable]] = {}
 
 
-def _shard_mapped(body, mesh, n_in: int):
+def _shard_mapped(body, mesh, n_in: int, batch_arg: int = 0):
     """Wrap a batched kernel in shard_map over the mesh 'data' axis: the
     leading batch axis splits across devices, each device runs its local
     images SEQUENTIALLY (lax.map below — measured 2.6x faster than vmap on
@@ -119,7 +119,8 @@ def _shard_mapped(body, mesh, n_in: int):
     except ImportError:
         from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
-    in_specs = (P("data"),) + (P(),) * (n_in - 1)
+    in_specs = tuple(P("data") if i == batch_arg else P()
+                     for i in range(n_in))
     return shard_map(body, mesh=mesh, in_specs=in_specs,
                      out_specs=P("data"))
 
@@ -157,14 +158,18 @@ def _get_kernels(efn: Callable, chunk: int, mesh=None) -> Dict[str, Callable]:
 
     # analytic Hessian = batched HVPs (forward-over-reverse), chunked:
     # jax.hessian would materialize all 3P tangent columns at once —
-    # 28 GB of per-column message temps at 300 atoms on v5e
-    @jax.jit
-    def hvp_batch(coords_pad, tangents, system, params):
+    # 28 GB of per-column message temps at 300 atoms on v5e. On a mesh the
+    # tangent batch shards over 'data' (the displacement-parallel axis,
+    # SURVEY §2.2 item 4).
+    def _hvp_map(coords_pad, tangents, system, params):
         def hvp(v):
             return jax.jvp(
                 lambda c: jax.grad(efn)(c, system, params),
                 (coords_pad,), (v.astype(coords_pad.dtype),))[1]
         return jax.lax.map(hvp, tangents, batch_size=chunk)
+
+    hvp_batch = jax.jit(_shard_mapped(_hvp_map, mesh, 4, batch_arg=1)
+                        if mesh is not None else _hvp_map)
 
     def _fd_map(coords_batch, system, params):
         return jax.lax.map(lambda c: -jax.grad(efn)(c, system, params),
@@ -360,15 +365,23 @@ class Calculator:
     def _analytic_hessian(self, coords_bohr) -> np.ndarray:
         c = self._to_pad_ang(coords_bohr)
         n3 = self.n_atoms * 3
-        # unit tangents for every real-atom DOF, evaluated as chunked HVPs
-        eye = np.zeros((n3, self.n_pad, 3), dtype=np.float32)
-        flat = eye.reshape(n3, -1)
+        # unit tangents for every real-atom DOF, evaluated as chunked HVPs;
+        # padded to a multiple of the mesh data axis for even shards
+        mult = self._mesh_batch_multiple()
+        n3p = ((n3 + mult - 1) // mult) * mult
+        eye = np.zeros((n3p, self.n_pad, 3), dtype=np.float32)
+        flat = eye.reshape(n3p, -1)
         atom = np.arange(n3) // 3
         comp = np.arange(n3) % 3
         flat[np.arange(n3), atom * 3 + comp] = 1.0
-        rows = np.asarray(self._hvp_batch_j(c, jnp.asarray(eye),
-                                            self.system, self.params),
-                          dtype=np.float64)
+        jt = jnp.asarray(eye)
+        if self.mesh is not None:
+            jt = shard_batch(jt, self.mesh)
+        rows = self._hvp_batch_j(c, jt, self.system, self.params)
+        if jax.process_count() > 1:
+            from ..parallel.distributed import gather_global
+            rows = gather_global(rows)
+        rows = np.asarray(rows, dtype=np.float64)[:n3]
         H = rows[:, : self.n_atoms].reshape(n3, n3)
         H = 0.5 * (H + H.T)
         return H * H_EVAA_2_AU

@@ -130,3 +130,16 @@ def test_tensor_parallel_inference_identical():
     batch = np.stack([base, base + 0.01])
     rb = tp.get_forces_batch(batch)
     assert rb["energy"][0] == pytest.approx(r0["energy"], rel=1e-6)
+
+
+def test_mesh_sharded_analytic_hessian():
+    """The analytic-HVP Hessian shards its tangent batch over the mesh
+    data axis and matches the single-device result."""
+    st = Structure.from_symbols(
+        ["O", "H", "H"], [[0, 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0]])
+    c0 = Calculator(st, potentials.make_morse())
+    cm = Calculator(st, potentials.make_morse(), mesh=make_mesh(data=8))
+    x0 = st.coords_bohr.reshape(-1)
+    H0 = c0.get_hessian(x0)["hessian"]
+    H1 = cm.get_hessian(x0)["hessian"]
+    np.testing.assert_allclose(H1, H0, rtol=1e-10, atol=1e-12)
