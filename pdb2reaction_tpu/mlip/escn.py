@@ -109,6 +109,22 @@ def _m_indices(lmax: int, mmax: int):
     return m0, pos, neg
 
 
+@lru_cache(maxsize=None)
+def _used_indices(lmax: int, mmax: int):
+    """Ordered flat indices of the |m| <= mmax coefficients the SO(2) conv
+    touches: [m0 block, +1, -1, +2, -2, ...]. Rotating DIRECTLY into this
+    reduced basis (D rows gathered once) shrinks every per-edge tensor
+    from M=(lmax+1)^2 to U rows (25 -> 19 at lmax=4/mmax=2) and turns the
+    conv's scatter writes into contiguous concatenates — the coefficients
+    with |m| > mmax never contributed (the conv discards them and emits
+    zeros there), so this is exactly the same math."""
+    m0, pos, neg = _m_indices(lmax, mmax)
+    parts = [m0]
+    for m in range(1, mmax + 1):
+        parts += [pos[m - 1], neg[m - 1]]
+    return np.concatenate(parts)
+
+
 # ---------------------------------------------------------------------------
 # parameter init
 # ---------------------------------------------------------------------------
@@ -268,9 +284,38 @@ def _so2_apply(p, alpha, x_rot, edge_scalar, cfg: ESCNConfig, c_in, c_out):
     return out
 
 
+def _so2_apply_reduced(p, alpha, x_u, edge_scalar, cfg: ESCNConfig,
+                       c_in, c_out):
+    """SO(2) convolution on the REDUCED |m| <= mmax layout.
+
+    x_u: [..., U, c_in] coefficients ordered [m0, +1, -1, +2, -2, ...]
+    (see _used_indices). Returns [..., U, c_out] in the same order — all
+    slices contiguous, no scatters."""
+    batch = x_u.shape[:-2]
+    nl0 = cfg.lmax + 1
+    x0 = x_u[..., :nl0, :].reshape(batch + (nl0 * c_in,))
+    if edge_scalar is not None:
+        x0 = jnp.concatenate([x0, edge_scalar], axis=-1)
+    outs = [_mole(p["fc_m0"], alpha, x0).reshape(batch + (nl0, c_out))]
+    off = nl0
+    for m in range(1, cfg.mmax + 1):
+        nl = cfg.lmax + 1 - m
+        xp = x_u[..., off:off + nl, :].reshape(batch + (nl * c_in,))
+        xn = x_u[..., off + nl:off + 2 * nl, :].reshape(
+            batch + (nl * c_in,))
+        Wr, Wi = p[f"fc_m{m}_r"], p[f"fc_m{m}_i"]
+        yp = _mole(Wr, alpha, xp) - _mole(Wi, alpha, xn)
+        yn = _mole(Wi, alpha, xp) + _mole(Wr, alpha, xn)
+        outs.append(yp.reshape(batch + (nl, c_out)))
+        outs.append(yn.reshape(batch + (nl, c_out)))
+        off += 2 * nl
+    return jnp.concatenate(outs, axis=-2)
+
+
 def _gate_act(p, alpha, x, cfg: ESCNConfig):
     """Equivariant gate: SiLU on the l=0 scalars; l>0 blocks gated by
-    sigmoid(MoLE(scalars)) channel-wise."""
+    sigmoid(MoLE(scalars)) channel-wise. Works on both the full [M] and
+    the reduced [U] layouts — the l=0 scalar sits at row 0 in either."""
     s = x[..., 0, :]
     gates = jax.nn.sigmoid(_mole(p, alpha, s))
     out = x * gates[..., None, :]
@@ -351,11 +396,21 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
     dist = dist.astype(dt)
     z_full = jnp.clip(system.numbers, 0, cfg.max_z)   # idx is global
 
-    # edge-aligned Wigner rotation: full [P,K,M,M] matrix for large lmax
-    # (one MXU matmul per rotate), per-l blocks for small lmax
+    # edge-aligned Wigner rotation. When mmax < lmax, gather the rows of
+    # the |m| <= mmax coefficients once and rotate DIRECTLY into that
+    # reduced basis (D_sel [P,K,U,M]): every per-edge tensor shrinks from
+    # M to U rows (25 -> 19 at escn-md) and the conv needs no scatters —
+    # exact same math since |m| > mmax coefficients never contribute.
+    # Otherwise: full [P,K,M,M] matrix for large lmax (one MXU matmul per
+    # rotate), per-l blocks for small lmax (measured faster there).
     rot = edge_rot_mat(vec + (1.0 - nbr_mask[..., None]))  # safe for masked
-    Dl = (wigner_full(rot, cfg.lmax) if cfg.lmax >= 3
-          else wigner_blocks(rot, cfg.lmax))
+    reduced = cfg.mmax < cfg.lmax
+    if reduced:
+        used = jnp.asarray(_used_indices(cfg.lmax, cfg.mmax))
+        D_sel = wigner_full(rot, cfg.lmax)[..., used, :]   # [P,K,U,M]
+    else:
+        Dl = (wigner_full(rot, cfg.lmax) if cfg.lmax >= 3
+              else wigner_blocks(rot, cfg.lmax))
 
     # ---- invariant edge scalars -------------------------------------------
     gauss = _gauss_basis(dist, cfg)                       # [P,K,G]
@@ -374,10 +429,16 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
     deg = _mole(params["edge_degree_proj"], alpha,
                 edge_scalar).reshape(P_loc, cfg.max_neighbors,
                                      cfg.lmax + 1, C)
-    m0, _, _ = _m_indices(cfg.lmax, cfg.mmax)
-    deg_coeff = jnp.zeros((P_loc, cfg.max_neighbors, M, C), dt)
-    deg_coeff = deg_coeff.at[..., m0, :].set(deg)
-    deg_back = _block_diag_rotate(Dl, deg_coeff, transpose=True)
+    if reduced:
+        # m0 rows are the first lmax+1 rows of the reduced basis:
+        # back-rotate the per-l m=0 components directly
+        deg_back = jnp.einsum("...um,...uc->...mc",
+                              D_sel[..., : cfg.lmax + 1, :], deg)
+    else:
+        m0, _, _ = _m_indices(cfg.lmax, cfg.mmax)
+        deg_coeff = jnp.zeros((P_loc, cfg.max_neighbors, M, C), dt)
+        deg_coeff = deg_coeff.at[..., m0, :].set(deg)
+        deg_back = _block_diag_rotate(Dl, deg_coeff, transpose=True)
     x = x + jnp.sum(deg_back * env[..., None], axis=1) / cfg.avg_degree
     x = x * atom_mask[:, None, None]
 
@@ -388,13 +449,25 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
                                (P_loc, cfg.max_neighbors, M, C))
         x_s = allg(xn)[idx]                               # [P_loc,K,M,C]
         pair = jnp.concatenate([x_s, x_t], axis=-1)       # [P,K,M,2C]
-        pair_rot = _block_diag_rotate(Dl, pair)
-        msg = _so2_apply(blk["so2_conv_1"], alpha, pair_rot, edge_scalar,
-                         cfg, 2 * C, cfg.hidden_channels)
-        msg = _gate_act(blk["gate"], alpha, msg, cfg)
-        msg = _so2_apply(blk["so2_conv_2"], alpha, msg, None,
-                         cfg, cfg.hidden_channels, C)
-        msg = _block_diag_rotate(Dl, msg, transpose=True) * env[..., None]
+        if reduced:
+            pair_rot = jnp.einsum("...um,...mc->...uc", D_sel, pair)
+            msg = _so2_apply_reduced(blk["so2_conv_1"], alpha, pair_rot,
+                                     edge_scalar, cfg, 2 * C,
+                                     cfg.hidden_channels)
+            msg = _gate_act(blk["gate"], alpha, msg, cfg)
+            msg = _so2_apply_reduced(blk["so2_conv_2"], alpha, msg, None,
+                                     cfg, cfg.hidden_channels, C)
+            msg = jnp.einsum("...um,...uc->...mc", D_sel, msg) \
+                * env[..., None]
+        else:
+            pair_rot = _block_diag_rotate(Dl, pair)
+            msg = _so2_apply(blk["so2_conv_1"], alpha, pair_rot,
+                             edge_scalar, cfg, 2 * C, cfg.hidden_channels)
+            msg = _gate_act(blk["gate"], alpha, msg, cfg)
+            msg = _so2_apply(blk["so2_conv_2"], alpha, msg, None,
+                             cfg, cfg.hidden_channels, C)
+            msg = _block_diag_rotate(Dl, msg, transpose=True) \
+                * env[..., None]
         x = x + jnp.sum(msg, axis=1) / cfg.avg_degree
         x = x * atom_mask[:, None, None]
 
