@@ -11,7 +11,8 @@ network natively:
 - node features are real-spherical-harmonic coefficient arrays
   ``[P, (lmax+1)^2, C]``;
 - each edge's messages are computed in an edge-aligned frame (Wigner
-  rotation so the edge direction is +y), where an SO(2) convolution mixes
+  rotation so the edge direction is +z, the polar axis of this real-SH
+  convention — see so3.edge_rot_mat), where an SO(2) convolution mixes
   only +-m pairs with |m| <= mmax — the eSCN factorization;
 - every linear layer is a mixture of linear experts (MoLE): expert
   coefficients come from a routing MLP over (task, charge, spin)

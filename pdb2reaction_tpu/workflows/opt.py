@@ -147,10 +147,22 @@ def run_opt(
             print(f"[opt] cycle {cyc}: E = {e:.8f} Ha, "
                   f"max|F| = {np.abs(f).max():.2e}")
 
+    # YAML `lbfgs:`/`rfo:` sections merge into the top-level cfg
+    # (config.apply_yaml_overrides); route recognised engine knobs through
+    # instead of silently dropping them
+    from ..engines.rfo import RFO_KW
+    engine_keys = set(RFO_KW) | {
+        "max_step", "keep_last", "max_step_lbfgs", "trust_radius",
+        "gdiis", "gdiis_thresh", "max_step_s", "max_step_cart",
+        "back_iters"}
+    engine_kw = {k: calc_kw.pop(k) for k in list(calc_kw)
+                 if k in engine_keys}
+    engine_kw.pop("thresh", None)
+    engine_kw.pop("max_cycles", None)
     coords, e, conv, cycles = optimize_structure(
         struct, calc, opt_mode=opt_mode, coord_type=coord_type,
         thresh=thresh, max_cycles=max_cycles,
-        callback=cb if verbose else None)
+        callback=cb if verbose else None, **engine_kw)
 
     out_dir = Path(out_dir)
     paths = common.write_outputs(out_dir, "final_geometry", struct,

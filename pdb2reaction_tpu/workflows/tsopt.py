@@ -56,6 +56,16 @@ def run_tsopt(
                                  auto_freeze_links)
     struct.freeze = freeze
     mode = normalize_choice(opt_mode, aliases=_TS_ALIASES, choices=TS_MODES)
+    # YAML `hessian_dimer:`/`rsirfo:` sections merge into the top-level cfg
+    # (config.apply_yaml_overrides); route recognised engine knobs to the
+    # engines instead of silently dropping them into calc_kw
+    hessian_dimer_kw = dict(hessian_dimer_kw or {})
+    rsirfo_kw = dict(rsirfo_kw or {})
+    for k in list(calc_kw):
+        if k in HESSIAN_DIMER_KW:
+            hessian_dimer_kw.setdefault(k, calc_kw.pop(k))
+        elif k in RSIRFO_KW:
+            rsirfo_kw.setdefault(k, calc_kw.pop(k))
     calc = common.make_calculator(struct, calc_mode=calc_mode, charge=q,
                                   spin=s, freeze_atoms=freeze, model=model,
                                   mesh=mesh, **calc_kw)
