@@ -235,8 +235,20 @@ def _idx(tok: str, one_based: bool):
     (reference default: scan/opt indices are 1-based, scan.py --one-based).
     Selector strings pass through unchanged."""
     if tok.lstrip("+-").isdigit():
-        return int(tok) - (1 if one_based else 0)
+        v = int(tok)
+        if one_based and v < 1:
+            raise click.UsageError(
+                f"Atom index {v} with 1-based numbering (the default; "
+                "pass --one-based False for 0-based indices)")
+        return v - (1 if one_based else 0)
     return tok
+
+
+def _split_func_basis(spec: str):
+    if "/" not in spec:
+        raise click.UsageError(
+            f"--func-basis expects 'FUNC/BASIS', got {spec!r}")
+    return spec.split("/", 1)
 
 
 def _parse_pairs(spec: str, one_based: bool = False) -> List[Tuple]:
@@ -626,7 +638,7 @@ def all_cmd(input_paths, center, ligand_charge, scan_lists, mep_mode,
                                   conv_tol=dft_conv_tol,
                                   grid_level=dft_grid_level)
     if dft_func_basis:
-        dft_kw["func"], dft_kw["basis"] = dft_func_basis.split("/", 1)
+        dft_kw["func"], dft_kw["basis"] = _split_func_basis(dft_func_basis)
     cfg: Dict[str, Any] = dict(
         center=center, ligand_charge=ligand_charge,
         scan_stages=_parse_scan_stages(scan_lists, scan_ob) or None,
@@ -758,7 +770,7 @@ def dft_cmd(input_path, func, basis, func_basis, max_cycle, conv_tol,
             grid_level, engine, **kw):
     from .workflows.dft import run_dft, ScfNotConverged
     if func_basis:
-        func, basis = func_basis.split("/", 1)
+        func, basis = _split_func_basis(func_basis)
     if engine.lower() in ("gpu", "auto"):
         click.echo("[dft] NOTE: no CUDA in the TPU image; using CPU PySCF "
                    "(the reference's own fallback, dft.py:588-592)")

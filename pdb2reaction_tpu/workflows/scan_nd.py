@@ -206,11 +206,12 @@ def _plot_surface(out: Path, table: np.ndarray, ndim: int,
     fig.tight_layout()
     fig.savefig(path, dpi=150)
     plt.close(fig)
-    _maybe_plotly_html(out, table, ndim)
+    _maybe_plotly_html(out, table, ndim, baseline, zmin, zmax)
     return path
 
 
-def _maybe_plotly_html(out: Path, table: np.ndarray, ndim: int):
+def _maybe_plotly_html(out: Path, table: np.ndarray, ndim: int,
+                       baseline: str = "min", zmin=None, zmax=None):
     """Interactive HTML surface/isosurface like the reference (scan2d.py
     heatmap/3D HTML, scan3d.py isosurface HTML) — emitted when plotly is
     importable (absent from this image; the PNG path always runs)."""
@@ -224,16 +225,15 @@ def _maybe_plotly_html(out: Path, table: np.ndarray, ndim: int):
     E = (table[:, ndim] - ref) * AU2KCALPERMOL
     vmin = zmin if zmin is not None else float(np.nanmin(E))
     vmax = zmax if zmax is not None else float(np.nanmax(E))
-    levels = np.linspace(vmin, max(vmax, vmin + 1e-9), 24)
     if ndim == 2:
         fig = go.Figure(data=go.Mesh3d(
             x=table[:, 0], y=table[:, 1], z=E, intensity=E,
-            colorscale="Viridis"))
+            cmin=vmin, cmax=vmax, colorscale="Viridis"))
         path = out / "surface_2d.html"
     else:
         fig = go.Figure(data=go.Isosurface(
             x=table[:, 0], y=table[:, 1], z=table[:, 2], value=E,
-            isomin=float(np.nanmin(E)), isomax=float(np.nanmax(E)),
+            isomin=vmin, isomax=vmax,
             surface_count=6, colorscale="Viridis", opacity=0.5))
         path = out / "surface_3d.html"
     fig.write_html(path)

@@ -109,22 +109,68 @@ def run_trj2fig(
                           for f in frames])
         E, _ = eb(jnp.asarray(batch))
         energies = [float(e) for e in np.asarray(E)]
-    out_path = Path(out_path) if out_path else trj_path.with_suffix(".png")
-    csv_path = out_path.with_suffix(".csv") if csv else None
-    plot_profile(out_path, energies, reference=reference, unit=unit,
-                 title=trj_path.name, csv_path=csv_path,
-                 reverse_x=reverse_x)
-    extras = []
-    for extra in (extra_outputs or []):
-        # reference -o accepts multiple outputs; suffix selects the format
-        extra = Path(extra)
-        if extra.suffix == ".csv":
+    # reference -o accepts multiple outputs; the suffix selects the format
+    # (trj2fig.py -o help). Dispatch each: matplotlib formats, .csv, .html.
+    requested = [Path(out_path)] if out_path else []
+    requested += [Path(o) for o in (extra_outputs or [])]
+    if not requested:
+        requested = [trj_path.with_suffix(".png")]
+    figure = None
+    csv_path = None
+    for path in requested:
+        suf = path.suffix.lower()
+        if suf == ".csv":
             E = np.asarray([e for e in energies if e is not None])
-            np.savetxt(extra, np.column_stack([np.arange(len(E)), E]),
-                       delimiter=",", header="image,energy_au", comments="")
+            np.savetxt(path, np.column_stack([np.arange(len(E)), E]),
+                       delimiter=",", header="image,energy_au",
+                       comments="")
+            csv_path = csv_path or path
+        elif suf == ".html":
+            _write_html_profile(path, energies, reference=reference,
+                                unit=unit, title=trj_path.name,
+                                reverse_x=reverse_x)
+            figure = figure or path
         else:
-            plot_profile(extra, energies, reference=reference, unit=unit,
-                         title=trj_path.name, reverse_x=reverse_x)
-        extras.append(extra)
-    return {"energies": energies, "figure": out_path, "csv": csv_path,
-            "extras": extras}
+            auto_csv = path.with_suffix(".csv") if csv and figure is None \
+                else None
+            plot_profile(path, energies, reference=reference, unit=unit,
+                         title=trj_path.name, csv_path=auto_csv,
+                         reverse_x=reverse_x)
+            if auto_csv is not None:
+                csv_path = csv_path or auto_csv
+            figure = figure or path
+    return {"energies": energies, "figure": figure, "csv": csv_path,
+            "extras": requested[1:]}
+
+
+def _write_html_profile(path, energies_au, *, reference, unit, title,
+                        reverse_x):
+    """Interactive HTML output: plotly when importable, else a
+    self-contained page embedding the matplotlib PNG (base64)."""
+    try:
+        import plotly.graph_objects as go
+        E = np.asarray([e for e in energies_au if e is not None])
+        e0 = {"min": E.min(), "last": E[-1],
+              "none": 0.0}.get(reference, E[0])
+        conv = AU2KCALPERMOL if unit == "kcal" else 1.0
+        rel = (E - e0) * conv
+        fig = go.Figure(go.Scatter(x=list(range(len(rel))), y=list(rel),
+                                   mode="lines+markers"))
+        fig.update_layout(xaxis_title="image",
+                          yaxis_title=f"dE ({unit})", title=title)
+        if reverse_x:
+            fig.update_xaxes(autorange="reversed")
+        fig.write_html(path)
+        return path
+    except ImportError:
+        pass
+    import base64
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".png") as tmp:
+        plot_profile(tmp.name, energies_au, reference=reference, unit=unit,
+                     title=title, reverse_x=reverse_x)
+        b64 = base64.b64encode(open(tmp.name, "rb").read()).decode()
+    Path(path).write_text(
+        f"<html><body><h3>{title}</h3>"
+        f'<img src="data:image/png;base64,{b64}"/></body></html>')
+    return Path(path)

@@ -82,7 +82,10 @@ def run_tsopt(
     if mode == "dimer":
         kw = {**HESSIAN_DIMER_KW, **(hessian_dimer_kw or {})}
         kw["thresh"] = thresh if thresh != "gau" else kw["thresh"]
-        kw["max_cycles_total"] = max_cycles
+        # an explicit engine-level budget (e.g. all --tsopt-max-cycles via
+        # hessian_dimer_kw) wins over the driver default
+        if "max_cycles_total" not in (hessian_dimer_kw or {}):
+            kw["max_cycles_total"] = max_cycles
         res = hessian_dimer(calc, x0, **kw)
         coords = calc.unpad(res.x)
         e = res.e
