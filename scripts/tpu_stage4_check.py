@@ -28,12 +28,12 @@ N0 = jnp.asarray(N0 / np.linalg.norm(N0))
 fm = jnp.asarray(np.repeat(np.asarray(calc.system.free_mask) > 0,
                            3).astype(float))
 t0 = time.perf_counter()
-stt = run(jnp.asarray(np.asarray(x0).reshape(-1)), N0, fm, calc.params,
+stt = run(jnp.asarray(np.asarray(x0).reshape(-1)), N0, fm, calc.pack(),
           jnp.asarray(30))
 int(stt.cycle)
 t_compile = time.perf_counter() - t0
 t0 = time.perf_counter()
-stt = run(jnp.asarray(np.asarray(x0).reshape(-1)), N0, fm, calc.params,
+stt = run(jnp.asarray(np.asarray(x0).reshape(-1)), N0, fm, calc.pack(),
           jnp.asarray(30))
 calls = int(stt.calls)
 t_dimer = time.perf_counter() - t0
