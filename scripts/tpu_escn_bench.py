@@ -39,7 +39,7 @@ for name in ("escn-s", "escn-md"):
         def one(c):
             e, g = jax.value_and_grad(lambda cc: fn(cc, sys_, params))(c)
             return e, -g
-        return jax.lax.map(one, cb, batch_size=4)
+        return jax.lax.map(one, cb, batch_size=1)
     batch = jnp.asarray(np.asarray(coords)[None]
                         + 0.01 * np.random.default_rng(0).normal(
                             size=(B,) + coords.shape).astype(np.float32))
