@@ -556,14 +556,43 @@ def add_elem_cmd(input_path, output_path, overwrite, verbose):
 @click.option("-o", "--out-dir", "out_dir", default="./result_align/",
               type=click.Path(path_type=Path))
 @click.option("--freeze-atoms", default="")
-def align_cmd(inputs, out_dir, freeze_atoms):
+@click.option("--relax", type=BOOL, default="False", callback=_bool_cb,
+              help="Relax between drag-refine steps with the calculator "
+                   "(reference align_freeze_atoms.py:390-517 LBFGS hooks).")
+@click.option("-q", "--charge", type=int, default=None)
+@click.option("-s", "--spin", type=int, default=None)
+@click.option("--calc-mode", default="uma",
+              type=click.Choice(["uma", "morse", "lj"]))
+@click.option("--model", default="uma-s-1p1")
+@click.option("--relax-max-cycles", type=int, default=200)
+def align_cmd(inputs, out_dir, freeze_atoms, relax, charge, spin,
+              calc_mode, model, relax_max_cycles):
     from .workflows import common
     from .bio.align import align_sequence_inplace
     from .core import io_xyz, io_pdb
     structs = [common.load_structure(p) for p in inputs]
     for st in structs:
         st.freeze = common.merge_freeze(st, parse_freeze(freeze_atoms), True)
-    align_sequence_inplace(structs)
+
+    relax_fn = None
+    if relax:
+        from .constants import BOHR2ANG
+        from .workflows.opt import optimize_structure
+        q, s = common.resolve_charge_spin(structs[0], charge, spin)
+
+        def relax_fn(st, pinned_idx):
+            import numpy as np
+            st2 = st.copy()
+            st2.freeze = sorted(set(st.freeze) | set(pinned_idx))
+            calc = common.make_calculator(
+                st2, calc_mode=calc_mode, charge=q, spin=s,
+                freeze_atoms=st2.freeze, model=model)
+            coords_bohr, _, _, _ = optimize_structure(
+                st2, calc, opt_mode="lbfgs", thresh="gau_loose",
+                max_cycles=relax_max_cycles)
+            return np.asarray(coords_bohr) * BOHR2ANG
+
+    align_sequence_inplace(structs, relax_fn=relax_fn)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     for p, st in zip(inputs, structs):
