@@ -367,12 +367,17 @@ def energy_fn_pallas(coords_ang, system, params, cfg) -> jnp.ndarray:
         W_s, W_vv, W_vs = jnp.split(W, 3, axis=-1)
         phi = _apply_mlp(lp["phi"], s)
         phi_s, phi_vv, phi_vs = jnp.split(phi, 3, axis=-1)
-        T_s = radial_contract(x, mask, phi_s, cfg.cutoff, cfg.n_radial)
+        # scalar + vector A-streams CONCATENATED into one kernel call:
+        # each radial_contract call-site costs a separate Mosaic kernel
+        # compile through the custom VJP (~5 s each on the axon relay)
+        feats_v = (phi_vv[:, None, :] * v).reshape(P, 3 * C)
+        T_sv = radial_contract(x, mask,
+                               jnp.concatenate([phi_s, feats_v], axis=1),
+                               cfg.cutoff, cfg.n_radial)
+        T_s = T_sv[..., :C]
+        T_v = T_sv[..., C:].reshape(P, -1, 3, C)
         ds = jnp.einsum("irc,rc->ic", T_s, W_s,
                         preferred_element_type=dt)
-        feats_v = (phi_vv[:, None, :] * v).reshape(P, 3 * C)
-        T_v = radial_contract(x, mask, feats_v, cfg.cutoff,
-                              cfg.n_radial).reshape(P, -1, 3, C)
         dv = jnp.einsum("irkc,rc->ikc", T_v, W_vv,
                         preferred_element_type=dt)
         featsB = jnp.concatenate(

@@ -24,17 +24,22 @@ blocks. The backward kernels use the same fusion. Set
 (f32 accumulation via preferred_element_type).
 
 Measured (v5e, R = 24, F = 384, fwd+bwd through a scalar loss; 2026-08):
-vs round 1 the kernel is ~115x faster (P=1024: 1.3 s -> 11.3 ms). It
-reaches 0.68x XLA-dense at P = 1024 and 0.56x at P = 2048 — XLA's einsum
+vs round 1 the kernel is ~115x faster (P=1024: 1.3 s -> 9.7 ms). It
+reaches 0.76x XLA-dense at P = 1024 and 0.74x at P = 2048 — XLA's einsum
 schedule still wins where its O(P^2 R) adjacency fits — and runs
-P = 4096 fwd+bwd in 90 ms (was 108 before the fused-gradient kernel)
-where the dense path's ~1.6 GB-per-stream A tensors do not fit:
+P = 4096 fwd+bwd in 72 ms (was 108 before the fused-gradient kernel +
+retune) where the dense path's ~1.6 GB-per-stream A tensors do not fit:
 ``mp_mode="pallas"`` is the large-system path, dense stays the default
-below ~2048 atoms. The recurrence-built basis deviates from XLA's sin by
-<~1e-4 relative (f32), grads verified to the same level. The coordinate
+below ~2048 atoms. END-TO-END at P = 4096 and full uma-s width the
+Pallas calculator runs 1.07 s/force-call warm and drives on-device
+L-BFGS. The recurrence-built basis deviates from XLA's sin by <~1e-4
+relative (f32), grads verified to the same level. The coordinate
 gradient is ONE fused kernel: receiver and sender contributions to the
 same output rows share one pair-geometry/ladder build per (i, j) tile
-(see _grad_coords_fused_kernel).
+(_grad_coords_fused_kernel). The feature axis of every kernel is a GRID
+DIMENSION, never a python chunk loop: each chunk call-site is a separate
+Mosaic kernel compile (~5 s each on the axon relay), which made the
+full-width model uncompilable within a 10 min budget.
 
 The ``div_d`` variant uses A/d, which is exactly what the edge-direction
 message stream needs after the split
@@ -176,8 +181,10 @@ def _radial_contract_impl(coords, mask, feats, cutoff, n_radial, div_d):
     P, F = feats.shape
     TI = min(128, P)
     TJ = min(128, P)
-    FT = min(512, F)   # one F block up to 512 channels: the radial tile
-                       # is built once instead of once per F block
+    FT = min(384, F)   # F blocked at 384: the double-buffered out block
+                       # (R1 x TI x FT) + radial tile must fit the 16 MB
+                       # scoped VMEM stack — FT=512 overflows it by 3 MB
+                       # at the uma-s width (featsB stream F=1024)
     Pp = -(-P // TI) * TI
     Fp = -(-F // FT) * FT
     R1 = n_radial + 1
@@ -261,7 +268,8 @@ def _grad_coords_fused_kernel(ci_ref, mi_ref, cj_ref, mj_ref, gi_ref,
     sender/receiver coordinate-gradient kernels').
     """
     i_blk = pl.program_id(0)
-    j_blk = pl.program_id(1)
+    f_blk = pl.program_id(1)
+    j_blk = pl.program_id(2)
     gi = i_blk * ti + jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)[:, 0]
     gj = j_blk * tj + jax.lax.broadcasted_iota(jnp.int32, (tj, 1), 0)[:, 0]
     ci = ci_ref[:]
@@ -279,7 +287,7 @@ def _grad_coords_fused_kernel(ci_ref, mi_ref, cj_ref, mj_ref, gi_ref,
     unit = (ci[:, None, :] - cj[None, :, :]) * inv_d[:, :, None]
     contrib = jnp.sum(G[:, :, None] * unit, axis=1)     # [TI,3]
 
-    @pl.when(j_blk == 0)
+    @pl.when((j_blk == 0) & (f_blk == 0))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -289,26 +297,24 @@ def _grad_coords_fused_kernel(ci_ref, mi_ref, cj_ref, mj_ref, gi_ref,
 def _grad_coords_fused(coords, mask, feats, g_r1pf, cutoff, n_radial,
                        div_d):
     """g_r1pf: [R1, P, F] gradient (kernel-friendly layout). Returns the
-    TOTAL coordinate gradient (receiver + sender) in one grid pass."""
+    TOTAL coordinate gradient (receiver + sender) in one grid pass.
+
+    The feature axis is a GRID DIMENSION (not a python chunk loop): every
+    chunk call-site would be a separate Mosaic kernel compile (~5 s each
+    on the axon relay), and the full model instantiates this VJP for
+    three streams x four layers. Small row tiles (TI=TJ=64) keep the two
+    g blocks + both S accumulators inside the 16 MB scoped VMEM."""
     P, F = feats.shape
-    FT = 160   # slightly smaller F chunk: the fused kernel holds TWO
-               # g blocks + two feats tiles in scoped VMEM
-    if F > FT:
-        out = None
-        for f0 in range(0, F, FT):
-            part = _grad_coords_fused(coords, mask, feats[:, f0:f0 + FT],
-                                      g_r1pf[:, :, f0:f0 + FT], cutoff,
-                                      n_radial, div_d)
-            out = part if out is None else out + part
-        return out
-    TI = min(128, P)
+    FT = min(256, F)
+    TI = min(64, P)
     TJ = min(64, P)
     Pp = -(-P // max(TI, TJ)) * max(TI, TJ)
+    Fp = -(-F // FT) * FT
     R1 = n_radial + 1
     c = _pad_to(coords.astype(jnp.float32), Pp)
     m = _pad_to(mask.astype(jnp.float32).reshape(-1, 1), Pp)
-    f = _pad_to(feats.astype(jnp.float32), Pp)
-    gg = _pad_to(g_r1pf.astype(jnp.float32), Pp, axis=1)
+    f = _pad_to(_pad_to(feats.astype(jnp.float32), Pp, 0), Fp, 1)
+    gg = _pad_to(_pad_to(g_r1pf.astype(jnp.float32), Pp, 1), Fp, 2)
 
     kern = functools.partial(_grad_coords_fused_kernel, cutoff=float(cutoff),
                              n_radial=int(n_radial), div_d=bool(div_d),
@@ -316,26 +322,28 @@ def _grad_coords_fused(coords, mask, feats, g_r1pf, cutoff, n_radial,
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((Pp, 3), jnp.float32),
-        grid=(Pp // TI, Pp // TJ),
+        # out block depends only on i (outer), so the two inner dims (f, j)
+        # both accumulate into it — contiguous revisits, init at (0, 0)
+        grid=(Pp // TI, Fp // FT, Pp // TJ),
         in_specs=[
-            pl.BlockSpec((TI, 3), lambda i, j: (i, 0),
+            pl.BlockSpec((TI, 3), lambda i, fb, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((TI, 1), lambda i, fb, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TJ, 3), lambda i, j: (j, 0),
+            pl.BlockSpec((TJ, 3), lambda i, fb, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TJ, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((TJ, 1), lambda i, fb, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R1, TI, F), lambda i, j: (0, i, 0),
+            pl.BlockSpec((R1, TI, FT), lambda i, fb, j: (0, i, fb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R1, TJ, F), lambda i, j: (0, j, 0),
+            pl.BlockSpec((R1, TJ, FT), lambda i, fb, j: (0, j, fb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, F), lambda i, j: (i, 0),
+            pl.BlockSpec((TI, FT), lambda i, fb, j: (i, fb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TJ, F), lambda i, j: (j, 0),
+            pl.BlockSpec((TJ, FT), lambda i, fb, j: (j, fb),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TI, 3), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((TI, 3), lambda i, fb, j: (i, 0),
                                memory_space=pltpu.VMEM),
     )(c, m, c, m, gg, gg, f, f)
     return out[:P]
@@ -349,7 +357,7 @@ def _transpose_kernel(ci_ref, mi_ref, cj_ref, mj_ref, g_ref, out_ref, *,
     (r, i) axes fuse into ONE [TJ, R1*TI] x [R1*TI, F] MXU dot.
     """
     j_blk = pl.program_id(0)
-    i_blk = pl.program_id(1)
+    i_blk = pl.program_id(2)
     gi = i_blk * ti + jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)[:, 0]
     gj = j_blk * tj + jax.lax.broadcasted_iota(jnp.int32, (tj, 1), 0)[:, 0]
     # geometry with j as rows: d [TJ, TI]
@@ -371,44 +379,43 @@ def _transpose_kernel(ci_ref, mi_ref, cj_ref, mj_ref, g_ref, out_ref, *,
 
 
 def _grad_feats(coords, mask, g_r1pf, cutoff, n_radial, div_d, F):
-    FT = 192
-    if F > FT:
-        parts = [_grad_feats(coords, mask, g_r1pf[:, :, f0:f0 + FT],
-                             cutoff, n_radial, div_d, min(FT, F - f0))
-                 for f0 in range(0, F, FT)]
-        return jnp.concatenate(parts, axis=1)
+    """dfeats via the transposed contraction. The feature axis is a grid
+    dimension (see _grad_coords_fused: chunk call-sites each cost a
+    Mosaic compile)."""
     P = coords.shape[0]
+    FT = min(256, F)
     TI = min(128, P)
     TJ = min(128, P)
     Pp = -(-P // TI) * TI
+    Fp = -(-F // FT) * FT
     R1 = n_radial + 1
     c = _pad_to(coords.astype(jnp.float32), Pp)
     m = _pad_to(mask.astype(jnp.float32).reshape(-1, 1), Pp)
-    gg = _pad_to(g_r1pf.astype(jnp.float32), Pp, axis=1)
+    gg = _pad_to(_pad_to(g_r1pf.astype(jnp.float32), Pp, 1), Fp, 2)
 
     kern = functools.partial(_transpose_kernel, cutoff=float(cutoff),
                              n_radial=int(n_radial), div_d=bool(div_d),
                              ti=TI, tj=TJ)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((Pp, F), jnp.float32),
-        grid=(Pp // TJ, Pp // TI),
+        out_shape=jax.ShapeDtypeStruct((Pp, Fp), jnp.float32),
+        grid=(Pp // TJ, Fp // FT, Pp // TI),
         in_specs=[
-            pl.BlockSpec((TI, 3), lambda j, i: (i, 0),
+            pl.BlockSpec((TI, 3), lambda j, fb, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, 1), lambda j, i: (i, 0),
+            pl.BlockSpec((TI, 1), lambda j, fb, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TJ, 3), lambda j, i: (j, 0),
+            pl.BlockSpec((TJ, 3), lambda j, fb, i: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TJ, 1), lambda j, i: (j, 0),
+            pl.BlockSpec((TJ, 1), lambda j, fb, i: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R1, TI, F), lambda j, i: (0, i, 0),
+            pl.BlockSpec((R1, TI, FT), lambda j, fb, i: (0, i, fb),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TJ, F), lambda j, i: (j, 0),
+        out_specs=pl.BlockSpec((TJ, FT), lambda j, fb, i: (j, fb),
                                memory_space=pltpu.VMEM),
     )(c, m, c, m, gg)
-    return out[:P]
+    return out[:P, :F]
 
 
 def _rc_fwd(coords, mask, feats, cutoff, n_radial, div_d):
