@@ -243,6 +243,7 @@ class Calculator:
         fd_step: float = 1.0e-3,
         pad_multiple: int = 8,
         mesh=None,
+        weights_source: str = "analytic",
     ):
         if freeze_atoms is not None:
             structure = structure.copy()
@@ -258,6 +259,9 @@ class Calculator:
         self.hessian_double = hessian_double
         self.fd_step = float(fd_step)
         self.mesh = mesh
+        # provenance tag for summary.yaml ("which weights produced this"):
+        # surrogate-seeded(...) / checkpoint:... / converted:... / analytic
+        self.weights_source = str(weights_source)
         self.force_calls = 0          # bench contract: count every force eval
         self.energy_calls = 0
         self._build()

@@ -386,6 +386,9 @@ def run_all(
     # ---- aggregation: diagrams + summary (all.py:4387-4449) --------------
     summary = segments_summary(segments)
     summary["stage4"] = seg_results
+    from ..mlip import uma as _uma
+    summary["weights"] = (_uma.last_weights_source()
+                          or f"analytic:{calc_mode}")
     write_summary_yaml(out / "summary.yaml", summary)
     write_summary_log(out / "summary.log", summary,
                       elapsed=format_elapsed(t0),

@@ -184,4 +184,5 @@ def run_opt(
         "energy": e, "converged": conv, "cycles": cycles,
         "force_calls": calc.force_calls, "outputs": paths,
         "structure": struct, "calculator": calc,
+        "weights": calc.weights_source,
     }

@@ -412,6 +412,7 @@ def run_path_search(
     from .summary import (write_summary_yaml, write_summary_log,
                           build_energy_diagram)
     summary = segments_summary(all_segments)
+    summary["weights"] = calc.weights_source
     paths.append(write_summary_yaml(out / "summary.yaml", summary))
     paths.append(write_summary_log(out / "summary.log", summary,
                                    elapsed=format_elapsed(t0)))

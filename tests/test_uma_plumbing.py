@@ -69,3 +69,28 @@ def test_convert_raises_on_unmappable(tmp_path):
     torch.save({"state_dict": {"unrelated.weight": torch.zeros(2)}}, pt)
     with pytest.raises(KeyError):
         convert_checkpoint(pt)
+
+
+def test_surrogate_warning_and_provenance(water, capsys):
+    """VERDICT r2 weak #3: falling through to seeded surrogate weights must
+    warn loudly and record provenance on the calculator + module registry."""
+    from pdb2reaction_tpu.mlip import uma
+    calc = make_uma_calculator(water, model="small", charge=0, spin=1,
+                               seed=5)
+    err = capsys.readouterr().err
+    assert "SURROGATE" in err and "NOT chemically meaningful" in err
+    assert calc.weights_source.startswith("surrogate-seeded(")
+    assert uma.last_weights_source() == calc.weights_source
+
+
+def test_checkpoint_provenance_no_warning(water, tmp_path, capsys):
+    calc = make_uma_calculator(water, model="small", charge=0, spin=1,
+                               seed=3)
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(ckpt, calc.params)
+    capsys.readouterr()
+    calc2 = make_uma_calculator(water, model="small", charge=0, spin=1,
+                                seed=99, checkpoint=str(ckpt))
+    err = capsys.readouterr().err
+    assert "SURROGATE" not in err
+    assert calc2.weights_source == f"checkpoint:{ckpt}"
