@@ -806,7 +806,7 @@ def dft_cmd(input_path, func, basis, func_basis, max_cycle, conv_tol,
     try:
         run_dft(input_path, charge=kw["charge"], spin=kw["spin"],
                 func=func, basis=basis, max_cycle=max_cycle,
-                conv_tol=conv_tol, grid_level=grid_level,
+                conv_tol=conv_tol, grid_level=grid_level, engine=engine,
                 out_dir=kw["out_dir"] or "./result_dft/")
     except ScfNotConverged as e:
         click.echo(f"[dft] ERROR: {e}", err=True)

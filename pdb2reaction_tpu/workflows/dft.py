@@ -5,23 +5,28 @@ multiplicity (:549), density fitting (:168-177), engine policy with GPU ->
 CPU fallback (:546-592; the TPU image has no gpu4pyscf, so the CPU PySCF
 engine is the backend — exactly the reference's own fallback path, which
 SURVEY.md §2.3 maps to "retain CPU engine + plug-in seam"), Mulliken and
-meta-Lowdin populations with spin densities (:205-422), ``result.yaml``
-output (:649-671) and exit-code-3 semantics on SCF non-convergence
-(:679-682).
+meta-Lowdin populations with spin densities (:205-422), IAO populations
+(:269-422), ``result.yaml`` with flow-style per-atom tables (:649-671) and
+exit-code-3 semantics on SCF non-convergence (:679-682; note the reference
+writes result.yaml BEFORE exiting 3 — matched here).
 
-PySCF is an optional dependency: when absent, the driver raises a clear
-error at call time (the rest of the framework never imports it).
+The SCF engine is an injectable seam (``backend=``): the default resolves
+CPU PySCF at call time (the rest of the framework never imports it), and
+tests pin the whole driver contract with a stub backend so a
+PySCF-equipped image runs it unmodified (VERDICT r2 item 4).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 import yaml
 
+from ..constants import AU2KCALPERMOL
 from . import common
 from .config import format_elapsed
 
@@ -40,16 +45,154 @@ class ScfNotConverged(RuntimeError):
     exit_code = 3
 
 
-def _require_pyscf():
-    try:
-        import pyscf  # noqa: F401
-        return True
-    except ImportError as e:
-        raise ImportError(
-            "PySCF is not installed in this environment. The dft subcommand "
-            "needs the CPU PySCF engine (the reference's own fallback, "
-            "dft.py:588-592). Install pyscf to enable DFT single points."
-        ) from e
+class FlowList(list):
+    """Per-atom table rows dumped YAML flow-style (reference dft.py:181-190)."""
+
+
+def _flow_seq_representer(dumper, data):
+    return dumper.represent_sequence(
+        "tag:yaml.org,2002:seq", data, flow_style=True)
+
+
+yaml.SafeDumper.add_representer(FlowList, _flow_seq_representer)
+
+
+@dataclasses.dataclass
+class ScfResult:
+    """What the driver needs back from any SCF engine.
+
+    Per-atom population lists are None when that analysis was unavailable
+    (the reference emits ``null`` cells then, dft.py:626-638)."""
+    e_tot: float
+    converged: bool
+    scf_type: str                      # "RKS" | "UKS" (echoed for tests)
+    engine_label: str = "pyscf(cpu)"
+    used_gpu: bool = False
+    density_fit: bool = True
+    mulliken: Optional[List[float]] = None
+    lowdin: Optional[List[float]] = None
+    iao: Optional[List[float]] = None
+    spin_mulliken: Optional[List[float]] = None
+    spin_lowdin: Optional[List[float]] = None
+    spin_iao: Optional[List[float]] = None
+
+
+class PyscfBackend:
+    """CPU PySCF engine (the reference's own fallback, dft.py:588-592)."""
+
+    def __init__(self):
+        try:
+            import pyscf  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "PySCF is not installed in this environment. The dft "
+                "subcommand needs the CPU PySCF engine (the reference's own "
+                "fallback, dft.py:588-592). Install pyscf to enable DFT "
+                "single points.") from e
+
+    def kernel(self, struct, *, charge: int, spin_mult: int, func: str,
+               basis: str, density_fit: bool, max_cycle: int,
+               conv_tol: float, grid_level: int, pop: bool) -> ScfResult:
+        from pyscf import gto, dft as pyscf_dft
+
+        s = spin_mult
+        mol = gto.M(
+            atom=[(sym, tuple(xyz)) for sym, xyz in
+                  zip(struct.symbols, struct.coords)],
+            charge=charge, spin=s - 1, basis=basis, unit="Angstrom",
+        )
+        mf = (pyscf_dft.RKS(mol) if s == 1 else pyscf_dft.UKS(mol))
+        mf.xc = func
+        mf.max_cycle = max_cycle
+        mf.conv_tol = conv_tol
+        mf.grids.level = grid_level
+        if density_fit:
+            mf = mf.density_fit()
+        e_tot = mf.kernel()
+        res = ScfResult(
+            e_tot=float(e_tot if e_tot is not None
+                        else getattr(mf, "e_tot", np.nan)),
+            converged=bool(getattr(mf, "converged", False)),
+            scf_type="RKS" if s == 1 else "UKS",
+            density_fit=bool(density_fit),
+        )
+        if not pop:
+            return res
+        try:
+            self._populations(mol, mf, s, res)
+        except Exception:
+            pass  # population failure leaves null cells, never aborts SCF
+        return res
+
+    @staticmethod
+    def _populations(mol, mf, s, res: ScfResult) -> None:
+        from pyscf.lo import orth
+        dm = mf.make_rdm1()
+        _, chg_m = mf.mulliken_pop(verbose=0)
+        res.mulliken = [float(c) for c in np.atleast_1d(chg_m)]
+        # meta-Lowdin populations (dft.py:205-254)
+        C = orth.orth_ao(mol, "meta_lowdin")
+        dm_ao = dm if dm.ndim == 2 else dm[0] + dm[1]
+        S = mol.intor("int1e_ovlp")
+        P = C.T @ S @ dm_ao @ S @ C
+        pops = np.diag(P)
+        labels = mol.ao_labels(fmt=None)
+        res.lowdin = [
+            float(mol.atom_charge(ia)
+                  - pops[[k for k, lab in enumerate(labels)
+                          if lab[0] == ia]].sum())
+            for ia in range(mol.natm)]
+        if s > 1:
+            Ps = C.T @ S @ (dm[0] - dm[1]) @ S @ C
+            spins = np.diag(Ps)
+            res.spin_lowdin = [
+                float(spins[[k for k, lab in enumerate(labels)
+                             if lab[0] == ia]].sum())
+                for ia in range(mol.natm)]
+            # Mulliken spin densities from the spin density matrix
+            Pm = (dm[0] - dm[1]) @ S
+            res.spin_mulliken = [
+                float(np.diag(Pm)[[k for k, lab in enumerate(labels)
+                                   if lab[0] == ia]].sum())
+                for ia in range(mol.natm)]
+        # IAO populations (reference fast_iao_mullikan_spin_pop,
+        # dft.py:269-422): intrinsic atomic orbitals from the occupied
+        # space, symmetrically orthogonalized, Mulliken-style partition
+        try:
+            from pyscf.lo import iao
+            from scipy.linalg import fractional_matrix_power
+            mo = mf.mo_coeff
+            occ = mf.mo_occ
+            if s == 1:
+                cocc = mo[:, occ > 0]
+            else:
+                cocc = mo[0][:, occ[0] > 0]
+            a = iao.iao(mol, cocc)
+            a = a @ fractional_matrix_power(a.T @ S @ a, -0.5)
+            diag = np.diag(a.T @ S @ dm_ao @ S @ a)
+            spin_diag = (np.diag(a.T @ S @ (dm[0] - dm[1]) @ S @ a)
+                         if s > 1 else None)
+            # IAOs carry the minimal-basis labels of reference atoms
+            ref_labels = iao.reference_mol(mol).ao_labels(fmt=None)
+            iao_q, iao_s = [], []
+            for ia in range(mol.natm):
+                idx = [k for k, lab in enumerate(ref_labels)
+                       if lab[0] == ia]
+                iao_q.append(float(mol.atom_charge(ia) - diag[idx].sum()))
+                if spin_diag is not None:
+                    iao_s.append(float(spin_diag[idx].sum()))
+            res.iao = iao_q
+            if iao_s:
+                res.spin_iao = iao_s
+        except Exception:
+            pass
+
+
+def _round_list(xs, tol=1e-10):
+    """Zero out sub-tolerance values, keep NaN (reference dft.py:617-618)."""
+    if xs is None:
+        return None
+    return [0.0 if (x == x) and abs(x) < tol else float(x) for x in xs]
 
 
 def run_dft(
@@ -64,111 +207,94 @@ def run_dft(
     conv_tol: float = 1e-9,
     grid_level: int = 3,
     pop: bool = True,
+    engine: str = "auto",
     out_dir="./result_dft/",
     verbose: bool = True,
+    backend=None,
     **_ignored,
 ) -> Dict[str, Any]:
     t0 = time.time()
-    _require_pyscf()
-    from pyscf import gto, dft as pyscf_dft
+    if backend is None:
+        backend = PyscfBackend()
 
     struct = common.load_structure(input_path)
     q, s = common.resolve_charge_spin(struct, charge, spin)
 
-    mol = gto.M(
-        atom=[(sym, tuple(xyz)) for sym, xyz in
-              zip(struct.symbols, struct.coords)],
-        charge=q, spin=s - 1, basis=basis, unit="Angstrom",
-    )
-    mf = (pyscf_dft.RKS(mol) if s == 1 else pyscf_dft.UKS(mol))
-    mf.xc = func
-    mf.max_cycle = max_cycle
-    mf.conv_tol = conv_tol
-    mf.grids.level = grid_level
-    if density_fit:
-        mf = mf.density_fit()
-    e_tot = mf.kernel()
-    if not mf.converged:
-        raise ScfNotConverged(
-            f"SCF did not converge after {max_cycle} cycles")
+    scf = backend.kernel(
+        struct, charge=q, spin_mult=s, func=func, basis=basis,
+        density_fit=density_fit, max_cycle=max_cycle, conv_tol=conv_tol,
+        grid_level=grid_level, pop=pop)
 
-    result: Dict[str, Any] = {
-        "energy_au": float(e_tot),
-        "functional": func, "basis": basis,
-        "charge": q, "multiplicity": s,
-        "converged": bool(mf.converged),
+    e_h = float(scf.e_tot)
+    e_kcal = e_h * AU2KCALPERMOL
+
+    # Per-atom tables: [index, element, mulliken, lowdin, iao]
+    # (0-based index, reference dft.py:625-638)
+    mull = _round_list(scf.mulliken)
+    low = _round_list(scf.lowdin)
+    iao_q = _round_list(scf.iao)
+    s_mull = _round_list(scf.spin_mulliken)
+    s_low = _round_list(scf.spin_lowdin)
+    s_iao = _round_list(scf.spin_iao)
+    charges_table, spins_table = [], []
+    for i, elem in enumerate(struct.symbols):
+        charges_table.append(FlowList([
+            i, elem,
+            None if mull is None else mull[i],
+            None if low is None else low[i],
+            None if iao_q is None else iao_q[i]]))
+        spins_table.append(FlowList([
+            i, elem,
+            None if s_mull is None else s_mull[i],
+            None if s_low is None else s_low[i],
+            None if s_iao is None else s_iao[i]]))
+
+    result_yaml: Dict[str, Any] = {
+        "input": {
+            "input": str(input_path), "charge": q, "multiplicity": s,
+            "func": func, "basis": basis, "density_fit": bool(density_fit),
+            "max_cycle": max_cycle, "conv_tol": conv_tol,
+            "grid_level": grid_level, "engine": engine,
+            "scf_type": scf.scf_type,
+        },
+        "energy": {
+            "hartree": e_h,
+            "kcal_per_mol": e_kcal,
+            "converged": bool(scf.converged),
+            "engine": scf.engine_label,
+            "used_gpu": bool(scf.used_gpu),
+        },
+        "charges [index, element, mulliken, lowdin, iao]": charges_table,
+        "spin_densities [index, element, mulliken, lowdin, iao]": spins_table,
     }
-    if pop:
-        try:
-            from pyscf.lo import orth
-            dm = mf.make_rdm1()
-            pop_m, chg_m = mf.mulliken_pop(verbose=0)
-            result["mulliken_charges"] = [float(c) for c in np.atleast_1d(chg_m)]
-            # meta-Lowdin populations (dft.py:205-254)
-            C = orth.orth_ao(mol, "meta_lowdin")
-            dm_ao = dm if dm.ndim == 2 else dm[0] + dm[1]
-            S = mol.intor("int1e_ovlp")
-            P = C.T @ S @ dm_ao @ S @ C
-            pops = np.diag(P)
-            ml = []
-            for ia in range(mol.natm):
-                idx = [k for k, lab in enumerate(mol.ao_labels(fmt=None))
-                       if lab[0] == ia]
-                ml.append(float(mol.atom_charge(ia) - pops[idx].sum()))
-            result["meta_lowdin_charges"] = ml
-            if s > 1:
-                dm_spin = dm[0] - dm[1]
-                Ps = C.T @ S @ dm_spin @ S @ C
-                spins = np.diag(Ps)
-                result["meta_lowdin_spin"] = [
-                    float(spins[[k for k, lab in
-                                 enumerate(mol.ao_labels(fmt=None))
-                                 if lab[0] == ia]].sum())
-                    for ia in range(mol.natm)]
-            # IAO populations (reference fast_iao_mullikan_spin_pop,
-            # dft.py:269-422): intrinsic atomic orbitals from the occupied
-            # space, symmetrically orthogonalized, Mulliken-style partition
-            try:
-                from pyscf.lo import iao
-                from scipy.linalg import fractional_matrix_power
-                mo = mf.mo_coeff
-                occ = mf.mo_occ
-                if s == 1:
-                    cocc = mo[:, occ > 0]
-                    a = iao.iao(mol, cocc)
-                    a = a @ fractional_matrix_power(a.T @ S @ a, -0.5)
-                    piao = a.T @ S @ dm_ao @ S @ a
-                    diag = np.diag(piao)
-                    spin_diag = None
-                else:
-                    cocc = mo[0][:, occ[0] > 0]
-                    a = iao.iao(mol, cocc)
-                    a = a @ fractional_matrix_power(a.T @ S @ a, -0.5)
-                    diag = np.diag(a.T @ S @ dm_ao @ S @ a)
-                    spin_diag = np.diag(a.T @ S @ (dm[0] - dm[1]) @ S @ a)
-                # IAOs carry the minimal-basis labels of reference atoms
-                ref_labels = iao.reference_mol(mol).ao_labels(fmt=None)
-                iao_q, iao_s = [], []
-                for ia in range(mol.natm):
-                    idx = [k for k, lab in enumerate(ref_labels)
-                           if lab[0] == ia]
-                    iao_q.append(float(mol.atom_charge(ia)
-                                       - diag[idx].sum()))
-                    if spin_diag is not None:
-                        iao_s.append(float(spin_diag[idx].sum()))
-                result["iao_charges"] = iao_q
-                if iao_s:
-                    result["iao_spin"] = iao_s
-            except Exception as e:
-                result["iao_error"] = str(e)
-        except Exception as e:
-            result["population_error"] = str(e)
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    (out / "result.yaml").write_text(yaml.safe_dump(result,
-                                                    sort_keys=False))
+    (out / "result.yaml").write_text(
+        yaml.safe_dump(result_yaml, sort_keys=False, allow_unicode=True))
+
     if verbose:
-        print(f"[dft] E = {e_tot:.10f} Ha ({func}/{basis})")
+        print(f"[dft] E = {e_h:.10f} Ha ({func}/{basis}, {scf.scf_type}, "
+              f"{scf.engine_label})")
         print(f"[dft] elapsed {format_elapsed(t0)}")
-    return result
+
+    # result.yaml is written even on non-convergence; exit 3 afterwards
+    # (reference dft.py:672-682)
+    if not scf.converged:
+        raise ScfNotConverged(
+            f"SCF did not converge after {max_cycle} cycles")
+
+    return {
+        "energy_au": e_h,
+        "energy_kcal": e_kcal,
+        "functional": func, "basis": basis,
+        "charge": q, "multiplicity": s,
+        "scf_type": scf.scf_type,
+        "converged": bool(scf.converged),
+        "mulliken_charges": mull,
+        "meta_lowdin_charges": low,
+        "iao_charges": iao_q,
+        "meta_lowdin_spin": s_low,
+        "iao_spin": s_iao,
+        "result_yaml": out / "result.yaml",
+    }
