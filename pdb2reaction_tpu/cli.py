@@ -420,13 +420,18 @@ def freq_cmd(input_path, temperature, pressure, max_write_modes,
               help="Imaginary-mode index for the initial displacement.")
 @click.option("--forward", type=BOOL, default="True", callback=_bool_cb)
 @click.option("--backward", type=BOOL, default="True", callback=_bool_cb)
+@click.option("--hessian-recalc", type=int, default=None,
+              help="Recompute the exact Hessian every N cycles inside the "
+                   "branch loop (reference irc.py:119-146); default "
+                   "Bofill-only updates from the TS Hessian.")
 @common_options
 def irc_cmd(input_path, step_length, max_cycles, root, forward, backward,
-            **kw):
+            hessian_recalc, **kw):
     from .workflows.irc import run_irc
     cfg: Dict[str, Any] = dict(step_length=step_length,
                                max_cycles=max_cycles, root=root,
-                               forward=forward, backward=backward)
+                               forward=forward, backward=backward,
+                               hessian_recalc=hessian_recalc)
     yaml_overrides(kw.pop("args_yaml"), cfg, [("irc",)])
     run_irc(input_path, charge=kw["charge"], spin=kw["spin"],
             freeze_atoms=parse_freeze(kw["freeze_atoms"]),
