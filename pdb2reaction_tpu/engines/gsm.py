@@ -278,6 +278,15 @@ def make_device_growth(eforce_batch_fn, free_mask, max_step: float,
         k = jnp.arange(M)
 
         def reinterp(imgs, nl, nr):
+            # Documented deviation from pysisyphus (which extrapolates new
+            # frontier nodes along the current string tangent): the ungrown
+            # interior is re-interpolated LINEARLY between the frontier
+            # nodes each cycle. Measured on the Muller-Brown curved valley
+            # (tests/test_gsm.py::test_gsm_growth_fidelity_curved_valley):
+            # the grown-only string sits 0.078 Ang off the analytic MEP,
+            # the relax phase halves that (0.035) and the climbing image
+            # still lands 0.002 Ang from the true saddle - the relax-phase
+            # reparametrization repairs the growth-phase shortcut.
             li = nl
             ri = M - 1 - nr
             xli = imgs[li]

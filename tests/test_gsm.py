@@ -95,3 +95,96 @@ def test_lanczos_lowest_mode_matches_exact():
     full[: 3 * calc.n_atoms] = exact
     overlap = abs(float(np.dot(d, full)))
     assert overlap > 0.999, overlap
+
+
+def test_gsm_growth_fidelity_curved_valley():
+    """VERDICT r2 item 10: quantify the linear-reinterp growth deviation
+    (engines/gsm.py reinterp) on the Muller-Brown curved valley. The true
+    MEP bows far outside the straight line between the two minima, so the
+    growth shortcut is maximally stressed; the relax phase must repair it
+    and the climbing image must land on the analytic saddle."""
+    import jax
+    import jax.numpy as jnp
+    from pdb2reaction_tpu.engines.gsm import (make_device_growth,
+                                              _interp_linear)
+
+    SCALE = 0.02
+    A = jnp.array([-200., -100., -170., 15.])
+    a = jnp.array([-1., -1., -6.5, 0.7])
+    b = jnp.array([0., 0., 11., 0.6])
+    c = jnp.array([-10., -10., -6.5, 0.7])
+    x0v = jnp.array([1., 0., -0.5, -1.])
+    y0v = jnp.array([0., 0.5, 1.5, 1.])
+
+    def mb2d(x, y):
+        dx = x - x0v
+        dy = y - y0v
+        return SCALE * jnp.sum(A * jnp.exp(a * dx**2 + b * dx * dy
+                                           + c * dy**2))
+
+    def efn(coords, system):
+        return mb2d(coords[0, 0], coords[0, 1]) \
+            + 0.5 * SCALE * coords[0, 2] ** 2
+
+    g2 = jax.grad(lambda p: mb2d(p[0], p[1]))
+    H2 = jax.hessian(lambda p: mb2d(p[0], p[1]))
+
+    def newton(p0):
+        p = jnp.array(p0)
+        for _ in range(30):
+            p = p - jnp.linalg.solve(H2(p), g2(p))
+        return np.asarray(p)
+
+    mA = newton([-0.05, 0.47])
+    mB = newton([-0.56, 1.44])
+    sad = newton([-0.822, 0.624])
+
+    stA = Structure.from_symbols(["H"], [[mA[0], mA[1], 0.0]])
+    stB = Structure.from_symbols(["H"], [[mB[0], mB[1], 0.0]])
+    calc = Calculator(stA, efn)
+    x0 = calc.pad_bohr(stA.coords_bohr)
+    x1 = calc.pad_bohr(stB.coords_bohr)
+    fb = calc.au_energy_force_batch_fn()
+
+    res = gsm_mep(fb, x0, x1, calc.system.free_mask, max_nodes=12,
+                  max_cycles=600, stop_in_when_full=600,
+                  conv_perp_rms=4e-4, perp_thresh=2e-3, climb=True,
+                  hvp_fn=calc.au_hvp_fn())
+    assert res.converged
+    pts = res.images[:, 0, :2] * BOHR2ANG
+    # climbing image on the analytic saddle (measured 0.0018 Ang)
+    assert np.linalg.norm(pts[res.hei_idx] - sad) < 0.02
+
+    # grown-only string (growth loop alone, no relaxation)
+    grow = make_device_growth(fb, jnp.asarray(calc.system.free_mask), 0.1,
+                              "global", 2e-3, 10, True)
+    imgs_g, _, _, _, _ = grow(_interp_linear(x0, x1, 14), jnp.asarray(1),
+                              jnp.asarray(1), jnp.asarray(600))
+    pts_g = np.asarray(imgs_g)[:, 0, :2] * BOHR2ANG
+
+    # dense steepest-descent MEP from the saddle, both directions
+    gfull = jax.jit(jax.grad(lambda q: mb2d(q[0], q[1])))
+    w, V = np.linalg.eigh(np.asarray(H2(jnp.asarray(sad))))
+    mode = V[:, 0]
+
+    def dense(sign, ds=2e-4):
+        q = sad + sign * 1e-3 * mode
+        out = [q.copy()]
+        for _ in range(40000):
+            g = np.asarray(gfull(jnp.asarray(q)))
+            ng = np.linalg.norm(g)
+            if ng < 1e-4:
+                break
+            q = q - ds * g / ng
+            out.append(q.copy())
+        return np.array(out)
+
+    ref = np.vstack([dense(1.0), dense(-1.0), sad[None]])
+
+    def maxdev(p):
+        return np.sqrt(((p[:, None, :] - ref[None, :, :]) ** 2)
+                       .sum(-1)).min(1).max()
+
+    # relax repairs the growth shortcut (measured: 0.078 -> 0.035 Ang)
+    assert maxdev(pts) < 0.06
+    assert maxdev(pts) < maxdev(pts_g)
