@@ -60,16 +60,23 @@ def remap_indices(indices: Sequence[int], full_atoms, pocket_atoms
 
 def merge_pocket_into_full(full_struct: Structure,
                            pocket_struct: Structure,
-                           pocket_coords_ang: np.ndarray) -> Structure:
+                           pocket_coords_ang: np.ndarray,
+                           full_coords_ang: np.ndarray = None) -> Structure:
     """Overlay pocket coordinates onto the full structure.
 
     Pocket atoms (link hydrogens excluded) are matched into the template by
     identity key; the pocket frame is first rigid-aligned onto the template
     using the matched atoms (Kabsch), then matched template atoms take the
-    pocket coordinates (path_search.py:1483-1877 behavior)."""
+    pocket coordinates (path_search.py:1483-1877 behavior).
+
+    ``full_coords_ang`` overrides the template background coordinates —
+    multi-template merges blend the backgrounds of the pair's two templates
+    per frame (reference _merge_pair_to_full, path_search.py:1655-1658)."""
     assert full_struct.pdb_atoms is not None
     assert pocket_struct.pdb_atoms is not None
     pocket_coords = np.asarray(pocket_coords_ang, dtype=float).reshape(-1, 3)
+    bg = (full_struct.coords if full_coords_ang is None
+          else np.asarray(full_coords_ang, dtype=float).reshape(-1, 3))
 
     real = [i for i, a in enumerate(pocket_struct.pdb_atoms)
             if a["resname"] != LINK_H_RESNAME]
@@ -82,9 +89,10 @@ def merge_pocket_into_full(full_struct: Structure,
     f_idx = np.array(sorted(fmap))
     p_idx = np.array([fmap[i] for i in f_idx])
 
-    R, t = kabsch(p_xyz[p_idx], full_struct.coords[f_idx])
+    R, t = kabsch(p_xyz[p_idx], bg[f_idx])
     aligned = p_xyz @ R + t
 
     merged = full_struct.copy()
+    merged.coords = bg.copy()
     merged.coords[f_idx] = aligned[p_idx]
     return merged

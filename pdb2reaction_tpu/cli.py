@@ -452,13 +452,19 @@ def irc_cmd(input_path, step_length, max_cycles, root, forward, backward,
 @click.option("--kink-max-nodes", type=int, default=5)
 @click.option("--max-nodes", type=int, default=10)
 @click.option("--climb", type=BOOL, default="True", callback=_bool_cb)
-@click.option("--ref-full-pdb", default=None,
+@click.option("--ref-full-pdb", default=None, multiple=True,
               type=click.Path(path_type=Path, exists=True, dir_okay=False),
-              help="Full-system PDB template for merged MEP/HEI mirrors.")
+              help="Full-system PDB template(s) for merged MEP/HEI "
+                   "mirrors; repeat once per input (reaction order) for "
+                   "per-pair template backgrounds "
+                   "(reference path_search.py:2022).")
 @common_options
 def path_search_cmd(input_paths, mep_mode, max_depth, refine_mode,
                     kink_max_nodes, max_nodes, climb, ref_full_pdb, **kw):
     from .workflows.path_search import run_path_search
+    if isinstance(ref_full_pdb, tuple):
+        ref_full_pdb = (list(ref_full_pdb) if len(ref_full_pdb) > 1
+                        else (ref_full_pdb[0] if ref_full_pdb else None))
     cfg: Dict[str, Any] = dict(
         mep_mode=mep_mode,
         full_template=ref_full_pdb,

@@ -208,8 +208,10 @@ def run_all(
         work_inputs, charge=charge, spin=spin, calc_mode=calc_mode,
         model=model, mep_mode=mep_mode, out_dir=out / "stage2_path",
         full_template=(full_template if full_template is not None
-                       else (full_templates[0] if full_templates
-                             else None)),
+                       else (full_templates
+                             if full_templates and len(full_templates) > 1
+                             else (full_templates[0] if full_templates
+                                   else None))),
         freeze_atoms=freeze_atoms, auto_freeze_links=auto_freeze_links,
         mesh=mesh, verbose=verbose, gs_kw=gs_kw,
         search_kw=skw2, **calc_kw)

@@ -67,6 +67,7 @@ class SegmentReport:
     is_kink: bool = False
     bond_summary: str = ""
     converged: bool = True
+    pair_index: int = 0                # which adjacent-input pair produced it
 
     @property
     def barrier_au(self) -> float:
@@ -334,7 +335,7 @@ def run_path_search(
                           verbose=verbose, store=store)
     refine_path = skw.get("refine_path", True)
     all_segments: List[SegmentReport] = []
-    for a, b in zip(structs[:-1], structs[1:]):
+    for pi, (a, b) in enumerate(zip(structs[:-1], structs[1:])):
         searcher.kink_streak = 0
         if refine_path:
             segs = searcher.build(a.coords_bohr, b.coords_bohr, depth=0)
@@ -343,6 +344,8 @@ def run_path_search(
             # recursion (reference all.py:3335-3386 concatenation mode)
             imgs, es, h, cv = searcher._mep(a.coords_bohr, b.coords_bohr)
             segs = [searcher._segment(imgs, es, h, cv)]
+        for sg in segs:
+            sg.pair_index = pi
         all_segments.extend(segs)
 
     out = Path(out_dir)
@@ -350,21 +353,70 @@ def run_path_search(
     paths = []
 
     # full-system merge machinery (reference path_search.py:1483-1877):
-    # pocket trajectories written back into the full protein template
+    # pocket trajectories written back into the full protein template(s).
+    # Multi-template runs pass one template per input in reaction order
+    # (reference --ref-full-pdb, :2022 and _load_structures_and_chain_align
+    # :1519-1534): each pair uses ITS OWN pair of templates, with the
+    # full-system background linearly blended A->B across the pair's frames
+    # (_merge_pair_to_full :1655-1658).
     merge_full = None
     full_struct = None
     if full_template is not None:
         from ..core import io_pdb
         from ..bio import merge as bio_merge
-        full_struct = io_pdb.read_pdb(full_template)
+        from ..bio.align import kabsch
+        tmpl_paths = ([full_template]
+                      if isinstance(full_template, (str, Path))
+                      else list(full_template))
+        if len(tmpl_paths) not in (1, len(structs)):
+            raise ValueError(
+                f"--ref-full-pdb needs 1 or {len(structs)} templates "
+                f"(one per input), got {len(tmpl_paths)}")
+        tmpl_structs = [io_pdb.read_pdb(p) for p in tmpl_paths]
+        n0 = tmpl_structs[0].n_atoms
+        for ts_ in tmpl_structs[1:]:
+            if ts_.n_atoms != n0:
+                raise ValueError(
+                    "[merge] Atom count mismatch among --ref-full-pdb "
+                    f"templates: {n0} vs {ts_.n_atoms}")
+        # chain-align every template into the frame of the first
+        # (reference :1540-1546)
+        tmpl_coords = [tmpl_structs[0].coords.copy()]
+        for ts_ in tmpl_structs[1:]:
+            R, t = kabsch(ts_.coords, tmpl_coords[-1])
+            tmpl_coords.append(ts_.coords @ R + t)
+        full_struct = tmpl_structs[0]
 
-        def merge_full(frames_bohr):
-            return [bio_merge.merge_pocket_into_full(
-                full_struct, structs[0], np.asarray(f) * BOHR2ANG).coords
-                for f in frames_bohr]
+        def merge_full(frames_bohr, pair_idx=None):
+            nT = len(tmpl_coords)
+            if pair_idx is None:
+                pair_idx = [0] * len(frames_bohr)
+            out_coords = []
+            i = 0
+            while i < len(frames_bohr):
+                j = i
+                while (j < len(frames_bohr)
+                       and pair_idx[j] == pair_idx[i]):
+                    j += 1
+                pi = min(int(pair_idx[i]), nT - 2) if nT > 1 else 0
+                A = tmpl_coords[pi]
+                B = tmpl_coords[pi + 1] if nT > 1 else A
+                M = j - i
+                for k in range(M):
+                    tf = 0.0 if M == 1 else k / (M - 1.0)
+                    bg = (1.0 - tf) * A + tf * B
+                    out_coords.append(bio_merge.merge_pocket_into_full(
+                        full_struct, structs[0],
+                        np.asarray(frames_bohr[i + k]) * BOHR2ANG,
+                        full_coords_ang=bg).coords)
+                i = j
+            return out_coords
 
     mep_frames: List[np.ndarray] = []
     mep_energies: List[float] = []
+    mep_pairs: List[int] = []
+    from .summary import (write_summary_yaml, write_summary_log,
+                          build_energy_diagram)
     for si, seg in enumerate(all_segments):
         seg_dir = out / f"seg_{si:03d}_mep"
         paths += common.write_trajectory(seg_dir, "final_geometries",
@@ -374,18 +426,30 @@ def run_path_search(
             paths += common.write_outputs(seg_dir, "hei", structs[0],
                                           seg.images_bohr[seg.hei_idx],
                                           energy=seg.energies[seg.hei_idx])
+        # segment-level summary.yaml (reference writes run- AND
+        # segment-level summaries, path_search.py:2764-2839)
+        seg_summary = segments_summary([seg])
+        seg_summary["segments"][0]["index"] = si
+        seg_summary["pair_index"] = int(seg.pair_index)
+        seg_summary["weights"] = calc.weights_source
+        paths.append(write_summary_yaml(seg_dir / "summary.yaml",
+                                        seg_summary))
         if merge_full is not None:
             # per-segment merged full-system MEP + HEI PDBs (:1801-1876)
             try:
                 from ..core import io_pdb
+                n_img = len(seg.images_bohr)
                 io_pdb.write_pdb_frames(
                     seg_dir / "final_geometries_full.pdb", full_struct,
-                    merge_full(seg.images_bohr), energies=seg.energies)
+                    merge_full(seg.images_bohr,
+                               [seg.pair_index] * n_img),
+                    energies=seg.energies)
                 paths.append(seg_dir / "final_geometries_full.pdb")
                 if seg.is_reactive:
                     io_pdb.write_pdb_frames(
                         seg_dir / "hei_full.pdb", full_struct,
-                        merge_full([seg.images_bohr[seg.hei_idx]]),
+                        merge_full([seg.images_bohr[seg.hei_idx]],
+                                   [seg.pair_index]),
                         energies=[seg.energies[seg.hei_idx]])
                     paths.append(seg_dir / "hei_full.pdb")
             except Exception as e:
@@ -395,6 +459,7 @@ def run_path_search(
                                           seg.images_bohr[0]) < 1e-3) else 0
         mep_frames.extend(seg.images_bohr[start:])
         mep_energies.extend(seg.energies[start:])
+        mep_pairs.extend([seg.pair_index] * (len(seg.images_bohr) - start))
 
     paths += common.write_trajectory(out, "mep", structs[0], mep_frames,
                                      mep_energies)
@@ -402,15 +467,13 @@ def run_path_search(
         try:
             from ..core import io_pdb
             io_pdb.write_pdb_frames(out / "mep_full.pdb", full_struct,
-                                    merge_full(mep_frames),
+                                    merge_full(mep_frames, mep_pairs),
                                     energies=mep_energies)
             paths.append(out / "mep_full.pdb")
         except Exception as e:
             print(f"[path-search] WARNING: full MEP merge failed: {e}")
 
     # summary + diagram (:2575-2839)
-    from .summary import (write_summary_yaml, write_summary_log,
-                          build_energy_diagram)
     summary = segments_summary(all_segments)
     summary["weights"] = calc.weights_source
     paths.append(write_summary_yaml(out / "summary.yaml", summary))
@@ -443,6 +506,7 @@ def segments_summary(segments: List[SegmentReport]) -> Dict[str, Any]:
     for i, s in enumerate(segments):
         out["segments"].append({
             "index": i,
+            "pair_index": int(getattr(s, "pair_index", 0)),
             "reactive": bool(s.is_reactive),
             "kink": bool(s.is_kink),
             "barrier_kcal": round(s.barrier_au * AU2KCALPERMOL, 3),
