@@ -39,13 +39,39 @@ def _np(v):
     return np.asarray(v)
 
 
+# Tolerated spellings of real fairchem key layouts, normalized to the
+# canonical names this converter consumes. See docs/fairchem_name_map.md
+# for the audit of each rule against the published fairchem UMA source.
+_SYNONYMS = [
+    # fairchem SO2_Convolution holds m >= 1 pairs in a ModuleList
+    # ``so2_m_conv`` indexed from 0 (m = index + 1), with fc_r/fc_i
+    # members — normalize to the flat fc_m{m}_r/_i spelling
+    (re.compile(r"\.so2_m_conv\.(\d+)\.fc_r\."),
+     lambda m: f".fc_m{int(m.group(1)) + 1}_r."),
+    (re.compile(r"\.so2_m_conv\.(\d+)\.fc_i\."),
+     lambda m: f".fc_m{int(m.group(1)) + 1}_i."),
+    # embedding modules sometimes carry an inner ``.embedding`` attribute
+    (re.compile(r"(sphere|source|target|charge|spin|task)"
+                r"_embedding\.embedding\.weight"),
+     lambda m: f"{m.group(1)}_embedding.weight"),
+]
+
+
 def _strip(sd: Mapping[str, Any]) -> Dict[str, Any]:
-    """Unwrap {state_dict: ...} containers and 'module.' DDP prefixes."""
+    """Unwrap {state_dict: ...} containers, strip wrapper prefixes
+    ('module.' DDP, 'model.' trainer wrappers), apply spelling synonyms,
+    and ensure the 'backbone.' namespace."""
     if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
         sd = sd["state_dict"]
     out = {}
+    has_backbone = any(re.sub(r"^((module|model)\.)+", "", k)
+                       .startswith("backbone.") for k in sd)
     for k, v in sd.items():
-        k = re.sub(r"^(module\.)+", "", k)
+        k = re.sub(r"^((module|model)\.)+", "", k)
+        for pat, rep in _SYNONYMS:
+            k = pat.sub(rep, k)
+        if not has_backbone and hasattr(v, "shape"):
+            k = "backbone." + k
         out[k] = v
     return out
 
@@ -94,11 +120,15 @@ def infer_config(sd: Mapping[str, Any], **overrides):
     h = _np(sd["backbone.blocks.0.so2_conv_1.fc_m0.weight"]).shape[1] \
         // (lmax + 1)
     ffn_hidden = _np(sd["backbone.blocks.0.ffn.w1.weight"]).shape[1]
+    # gate weights present <=> the TPU-fast gate variant; their absence
+    # means the fairchem-faithful S2 activation (parameter-free)
+    edge_act = ("gate" if "backbone.blocks.0.gate.weight" in sd else "s2")
     kw = dict(lmax=lmax, mmax=mmax, sphere_channels=C, hidden_channels=h,
               edge_channels=edge_ch, ffn_hidden=ffn_hidden,
               num_layers=n_layers, num_experts=E, route_dim=route_dim,
               num_gauss=num_gauss, max_z=max_z, charge_range=charge_range,
-              spin_range=spin_range, num_tasks=num_tasks)
+              spin_range=spin_range, num_tasks=num_tasks,
+              edge_act=edge_act)
     kw.update(overrides)
     return ESCNConfig(**kw)
 
@@ -123,7 +153,8 @@ def _so2(sd, key, cfg):
     return p
 
 
-def convert_state_dict(sd: Mapping[str, Any], cfg=None) -> Dict[str, Any]:
+def convert_state_dict(sd: Mapping[str, Any], cfg=None, *,
+                       consumed_out=None) -> Dict[str, Any]:
     """Full fairchem-style eSCN-MoE state dict -> escn params pytree.
 
     ``cfg`` defaults to ``infer_config(sd)``. Raises KeyError naming the
@@ -134,7 +165,7 @@ def convert_state_dict(sd: Mapping[str, Any], cfg=None) -> Dict[str, Any]:
     sd = _strip(sd)
     if cfg is None:
         cfg = infer_config(sd)
-    consumed = set()
+    consumed = set() if consumed_out is None else consumed_out
 
     class Tracking(dict):
         def __getitem__(self, k):
@@ -162,14 +193,16 @@ def convert_state_dict(sd: Mapping[str, Any], cfg=None) -> Dict[str, Any]:
     }
     for i in range(cfg.num_layers):
         b = f"backbone.blocks.{i}"
-        params["blocks"].append({
+        blk = {
             "norm_1": _np(tsd[f"{b}.norm_1.weight"]),
             "so2_conv_1": _so2(tsd, f"{b}.so2_conv_1", cfg),
-            "gate": _mole(tsd, f"{b}.gate"),
             "so2_conv_2": _so2(tsd, f"{b}.so2_conv_2", cfg),
             "norm_2": _np(tsd[f"{b}.norm_2.weight"]),
             "ffn": [_mole(tsd, f"{b}.ffn.w1"), _mole(tsd, f"{b}.ffn.w2")],
-        })
+        }
+        if cfg.edge_act == "gate":
+            blk["gate"] = _mole(tsd, f"{b}.gate")
+        params["blocks"].append(blk)
     leftovers = [k for k in sd
                  if k not in consumed and hasattr(sd[k], "shape")]
     if leftovers:
@@ -185,3 +218,42 @@ def convert_checkpoint(path, **overrides):
     sd = load_torch_checkpoint(path)
     cfg = infer_config(sd, **overrides)
     return convert_state_dict(sd, cfg), cfg
+
+
+def audit_checkpoint(path) -> Dict[str, Any]:
+    """Non-fatal name-map audit of a .pt checkpoint.
+
+    Attempts a full conversion and reports, instead of raising:
+    - ``mapped``: tensors the conversion consumed,
+    - ``unmapped``: tensors present but not consumed (layout drift —
+      new fairchem module names needing a _SYNONYMS rule),
+    - ``missing``: the first tensor the conversion needed but could not
+      find (None when conversion succeeded),
+    - ``config``: the shape-inferred ESCNConfig (or the inference error).
+
+    Use this against a REAL fairchem checkpoint before trusting a
+    conversion: ok == (missing is None and not unmapped)."""
+    sd = load_torch_checkpoint(path)
+    report: Dict[str, Any] = {"mapped": [], "unmapped": [],
+                              "missing": None, "config": None}
+    try:
+        cfg = infer_config(sd)
+        report["config"] = cfg
+    except (KeyError, ValueError) as e:
+        report["missing"] = str(e)
+        report["unmapped"] = [k for k in sd if hasattr(sd[k], "shape")]
+        return report
+    consumed: set = set()
+    try:
+        convert_state_dict(sd, cfg, consumed_out=consumed)
+    except KeyError as e:
+        report["missing"] = str(e)
+    except ValueError:
+        pass  # leftover-tensor refusal: captured via the sets below
+    report["mapped"] = sorted(consumed)
+    stripped = _strip(sd)
+    report["unmapped"] = sorted(k for k in stripped
+                                if k not in consumed
+                                and hasattr(stripped[k], "shape"))
+    report["ok"] = report["missing"] is None and not report["unmapped"]
+    return report

@@ -27,14 +27,22 @@ reduction over K, every contraction an MXU matmul; no scatters, no dynamic
 shapes. Forces are exact gradients (conservative), Hessians batched HVPs via
 the shared Calculator.
 
-Deviations from fairchem (documented):
-- edge-message nonlinearity is an equivariant gate (scalar-channel SiLU +
-  sigmoid gates on l>0) instead of a per-edge S2 grid activation — the grid
-  variant costs O(E * G * h) HBM which is the wrong trade on TPU; the node
-  FFN keeps the full point-wise S2 grid nonlinearity.
+Edge-message nonlinearity (``ESCNConfig.edge_act``):
+- ``"s2"`` — the fairchem-faithful per-edge separable S2 grid activation
+  (SiLU on the l=0 scalars; the full coefficient vector projected to the
+  sphere grid, SiLU'd point-wise, projected back, keeping the l>0 rows —
+  fairchem SeparableS2Activation semantics). This is the DEFAULT for
+  checkpoint-loadable configs: a converted fairchem checkpoint reproduces
+  fairchem outputs only through this path.
+- ``"gate"`` — the TPU-fast equivariant gate (scalar-channel SiLU +
+  sigmoid gates on l>0): cheaper HBM (no per-edge grid tensors), kept as
+  an option for surrogate/training workloads.
+The node FFN keeps the full point-wise S2 grid nonlinearity in both modes.
+
+Other notes:
 - hyperparameters (lmax/mmax/channels/experts) are config, not hardcoded;
-  checkpoint conversion reads them from the checkpoint metadata
-  (convert.py).
+  checkpoint conversion reads them from the checkpoint tensor shapes
+  (convert.py), so the named registry entries only size surrogate runs.
 """
 
 from __future__ import annotations
@@ -49,8 +57,8 @@ import numpy as np
 
 from ..core.structure import PaddedSystem
 from ..core.neighbors import dense_neighbors_rows, neighbor_vectors
-from .so3 import (edge_rot_mat, num_coeffs, s2_grid_tables, wigner_blocks,
-                  wigner_full)
+from .so3 import (edge_rot_mat, num_coeffs, s2_grid_tables,
+                  s2_grid_tables_midpoint, wigner_blocks, wigner_full)
 
 
 @dataclass(frozen=True)
@@ -86,6 +94,9 @@ class ESCNConfig:
     # (escn-md measured 257 ms/force-call without remat vs 494 ms with);
     # enable only for image-batch workloads that vmap the model directly.
     remat_blocks: bool = False
+    # edge-message nonlinearity: "s2" = fairchem-faithful separable S2 grid
+    # activation; "gate" = TPU-fast equivariant gate (see module docstring)
+    edge_act: str = "s2"
     dtype: Any = jnp.float32
 
     @property
@@ -194,16 +205,18 @@ def init_escn_params(key, cfg: ESCNConfig) -> Dict[str, Any]:
     h = cfg.hidden_channels
     for _ in range(cfg.num_layers):
         k0, k1, k2, k3 = jax.random.split(next(ks), 4)
-        params["blocks"].append({
+        blk = {
             "norm_1": jnp.ones((cfg.lmax + 1, C), dt),
             "so2_conv_1": _so2_conv(k0, cfg, 2 * C, h, with_edge=True),
-            "gate": _mole_linear(k1, E, h, h, dt),
             "so2_conv_2": _so2_conv(k2, cfg, h, C, with_edge=False),
             "norm_2": jnp.ones((cfg.lmax + 1, C), dt),
             "ffn": [_mole_linear(k3, E, C, cfg.ffn_hidden, dt),
                     _mole_linear(jax.random.fold_in(k3, 1), E,
                                  cfg.ffn_hidden, C, dt)],
-        })
+        }
+        if cfg.edge_act == "gate":
+            blk["gate"] = _mole_linear(k1, E, h, h, dt)
+        params["blocks"].append(blk)
     return params
 
 
@@ -311,6 +324,55 @@ def _so2_apply_reduced(p, alpha, x_u, edge_scalar, cfg: ESCNConfig,
         outs.append(yn.reshape(batch + (nl, c_out)))
         off += 2 * nl
     return jnp.concatenate(outs, axis=-2)
+
+
+@lru_cache(maxsize=None)
+def _edge_grid_tables(lmax: int, mmax: int):
+    """S2 grid tables for the per-edge activation, restricted to the
+    |m| <= mmax coefficient subspace in the _used_indices order.
+
+    Resolution AND nodes follow fairchem's SO3_Grid(lmax, mmax)
+    convention: 2*(lmax+1) midpoint theta nodes (e3nn s2_grid /
+    Driscoll-Healy weights) x (2*mmax+1) uniform phi nodes — exact
+    quadrature for the band-limited projections; the from-grid map only
+    reconstructs |m| <= mmax rows (fairchem CoefficientMapping
+    semantics), so phi aliasing from the point-wise nonlinearity cannot
+    leak into high-m rows. (The nonlinearity itself still aliases WITHIN
+    |m| <= mmax — inherent to the architecture at this resolution;
+    fairchem's trained weights bake it in, so matching their nodes
+    matters more than suppressing it.)
+    Returns (to_grid [G, U], from_grid [U, G])."""
+    tg, fg = s2_grid_tables_midpoint(lmax, 2 * (lmax + 1), 2 * mmax + 1)
+    used = _used_indices(lmax, mmax)
+    return tg[:, used], fg[used, :]
+
+
+def _s2_sep_act(x, cfg: ESCNConfig, reduced: bool):
+    """Separable S2 activation on edge messages (fairchem
+    SeparableS2Activation): SiLU on the l=0 scalars; the coefficient
+    vector projected to the sphere grid, SiLU'd point-wise, projected
+    back; output keeps the activated scalars at the (0,0) row.
+
+    Works on both layouts: ``reduced`` = [..., U, C] rows in
+    _used_indices order (row 0 is (l=0,m=0)); full = [..., M, C] flat
+    (l,m) rows where the |m| > mmax rows are zero after the SO(2) conv
+    (the from-grid map keeps them zero)."""
+    dt = x.dtype
+    tg, fg = _edge_grid_tables(cfg.lmax, cfg.mmax)
+    if not reduced:
+        used = jnp.asarray(_used_indices(cfg.lmax, cfg.mmax))
+        x_u = x[..., used, :]
+    else:
+        x_u = x
+    s = x_u[..., 0, :]
+    grid = jnp.einsum("gu,...uc->...gc", jnp.asarray(tg, dt), x_u)
+    grid = jax.nn.silu(grid)
+    back = jnp.einsum("ug,...gc->...uc", jnp.asarray(fg, dt), grid)
+    back = back.at[..., 0, :].set(jax.nn.silu(s))
+    if not reduced:
+        out = jnp.zeros_like(x)
+        return out.at[..., used, :].set(back)
+    return back
 
 
 def _gate_act(p, alpha, x, cfg: ESCNConfig):
@@ -450,12 +512,17 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
                                (P_loc, cfg.max_neighbors, M, C))
         x_s = allg(xn)[idx]                               # [P_loc,K,M,C]
         pair = jnp.concatenate([x_s, x_t], axis=-1)       # [P,K,M,2C]
+        def edge_nonlin(m):
+            if cfg.edge_act == "gate":
+                return _gate_act(blk["gate"], alpha, m, cfg)
+            return _s2_sep_act(m, cfg, reduced)
+
         if reduced:
             pair_rot = jnp.einsum("...um,...mc->...uc", D_sel, pair)
             msg = _so2_apply_reduced(blk["so2_conv_1"], alpha, pair_rot,
                                      edge_scalar, cfg, 2 * C,
                                      cfg.hidden_channels)
-            msg = _gate_act(blk["gate"], alpha, msg, cfg)
+            msg = edge_nonlin(msg)
             msg = _so2_apply_reduced(blk["so2_conv_2"], alpha, msg, None,
                                      cfg, cfg.hidden_channels, C)
             msg = jnp.einsum("...um,...uc->...mc", D_sel, msg) \
@@ -464,7 +531,7 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
             pair_rot = _block_diag_rotate(Dl, pair)
             msg = _so2_apply(blk["so2_conv_1"], alpha, pair_rot,
                              edge_scalar, cfg, 2 * C, cfg.hidden_channels)
-            msg = _gate_act(blk["gate"], alpha, msg, cfg)
+            msg = edge_nonlin(msg)
             msg = _so2_apply(blk["so2_conv_2"], alpha, msg, None,
                              cfg, cfg.hidden_channels, C)
             msg = _block_diag_rotate(Dl, msg, transpose=True) \
@@ -501,17 +568,36 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
 
 
 # registry of named eSCN configs; conversion fills these from checkpoint
-# metadata (convert.py)
+# tensor shapes (convert.py), so these entries only size surrogate runs
 ESCN_CONFIGS: Dict[str, ESCNConfig] = {
     "escn-s": ESCNConfig(),
     "escn-md": ESCNConfig(lmax=4, mmax=2, sphere_channels=128,
                           hidden_channels=128, edge_channels=64,
                           ffn_hidden=256, num_layers=4, num_experts=8),
+    # gate-nonlinearity variants (TPU-fast mode; NOT checkpoint-loadable)
+    "escn-md-gate": ESCNConfig(lmax=4, mmax=2, sphere_channels=128,
+                               hidden_channels=128, edge_channels=64,
+                               ffn_hidden=256, num_layers=4, num_experts=8,
+                               edge_act="gate"),
+    # UMA-small-shaped surrogate sizing. PROVISIONAL: Meta has published
+    # no uma-s-1p1 architecture table in this offline image; these values
+    # follow the UMA paper's small-model description (lmax=4/mmax=2
+    # eSCN-MD-MoLE). A real checkpoint ignores this entry entirely —
+    # convert.infer_config reads every hyperparameter from tensor shapes.
+    "escn-uma-s": ESCNConfig(lmax=4, mmax=2, sphere_channels=128,
+                             hidden_channels=256, edge_channels=128,
+                             ffn_hidden=512, num_layers=8, num_experts=8,
+                             max_neighbors=64),
     # minimal config for tests/CI (single-core CPU jit budget)
     "escn-test": ESCNConfig(lmax=2, mmax=1, sphere_channels=8,
                             hidden_channels=8, edge_channels=8,
                             ffn_hidden=16, num_layers=2, num_experts=2,
                             route_dim=4, num_gauss=8, max_neighbors=16),
+    "escn-test-gate": ESCNConfig(lmax=2, mmax=1, sphere_channels=8,
+                                 hidden_channels=8, edge_channels=8,
+                                 ffn_hidden=16, num_layers=2,
+                                 num_experts=2, route_dim=4, num_gauss=8,
+                                 max_neighbors=16, edge_act="gate"),
 }
 
 

@@ -282,3 +282,29 @@ def s2_grid_tables(lmax: int, n_theta: int = 0, n_phi: int = 0):
     to_grid = Y
     from_grid = (Y * w[:, None]).T                    # [M, G]
     return to_grid, from_grid
+
+
+@lru_cache(maxsize=None)
+def s2_grid_tables_midpoint(lmax: int, n_theta: int, n_phi: int):
+    """(to_grid [G, M], from_grid [M, G]) on the MIDPOINT theta grid with
+    Driscoll-Healy quadrature weights — the e3nn ``s2_grid`` convention
+    fairchem's SO3_Grid is built on (theta_j = pi(2j+1)/(2 n_theta),
+    uniform phi). Exact for band-limited (<= lmax) signals like the
+    Gauss-Legendre tables (verified to 1e-15 in tests); used for the
+    per-edge S2 activation so converted fairchem checkpoints see the same
+    grid nodes their weights were trained through."""
+    j = np.arange(n_theta)
+    theta = np.pi * (2 * j + 1) / (2.0 * n_theta)
+    b = n_theta // 2
+    k = np.arange(b)
+    w = np.array([(2.0 / b) * np.sin(t)
+                  * np.sum(np.sin((2 * k + 1) * t) / (2 * k + 1))
+                  for t in theta])
+    phi = np.arange(n_phi) * (2.0 * np.pi / n_phi)
+    tt, pp = np.meshgrid(theta, phi, indexing="ij")
+    xyz = np.stack([np.sin(tt) * np.cos(pp),
+                    np.sin(tt) * np.sin(pp),
+                    np.cos(tt)], axis=-1).reshape(-1, 3)
+    Y = real_sph_harm(lmax, xyz)                      # [G, M]
+    wq = np.repeat(w, n_phi) * (2.0 * np.pi / n_phi)  # [G]
+    return Y, (Y * wq[:, None]).T

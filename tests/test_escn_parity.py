@@ -98,7 +98,7 @@ def test_unconsumed_tensor_raises(converted):
 def test_missing_tensor_raises(converted):
     model, _ = converted
     sd = dict(model.state_dict())
-    del sd["backbone.blocks.1.gate.weight"]
+    del sd["backbone.blocks.1.so2_conv_1.fc_m0.weight"]
     with pytest.raises(KeyError):
         convert_state_dict(sd, CFG)
 

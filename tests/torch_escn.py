@@ -22,8 +22,9 @@ import numpy as np
 import torch
 import torch.nn as nn
 
-from pdb2reaction_tpu.mlip.so3 import _ir_next, s2_grid_tables
-from pdb2reaction_tpu.mlip.escn import ESCNConfig, _m_indices
+from pdb2reaction_tpu.mlip.so3 import (_ir_next, s2_grid_tables,
+                                       s2_grid_tables_midpoint)
+from pdb2reaction_tpu.mlip.escn import ESCNConfig, _m_indices, _used_indices
 
 
 class _TorchXP:
@@ -165,7 +166,8 @@ class Block(nn.Module):
         C, h = cfg.sphere_channels, cfg.hidden_channels
         self.norm_1 = EquiRMSNorm(cfg)
         self.so2_conv_1 = SO2Conv(cfg, 2 * C, h, with_edge=True)
-        self.gate = MoLELinear(cfg.num_experts, h, h)
+        if cfg.edge_act == "gate":
+            self.gate = MoLELinear(cfg.num_experts, h, h)
         self.so2_conv_2 = SO2Conv(cfg, h, C, with_edge=False)
         self.norm_2 = EquiRMSNorm(cfg)
         self.ffn = FFN(cfg)
@@ -229,6 +231,26 @@ class ESCNTorch(nn.Module):
         out[..., 0, :] = torch.nn.functional.silu(s)
         return out
 
+    def _s2_act(self, x):
+        """Separable S2 activation on the |m| <= mmax subspace (fairchem
+        SeparableS2Activation with SO3_Grid(lmax, mmax) resolution)."""
+        cfg = self.cfg
+        tg, fg = s2_grid_tables_midpoint(cfg.lmax, 2 * (cfg.lmax + 1),
+                                         2 * cfg.mmax + 1)
+        used = _used_indices(cfg.lmax, cfg.mmax)
+        tg = torch.as_tensor(tg[:, used], dtype=x.dtype)
+        fg = torch.as_tensor(fg[used, :], dtype=x.dtype)
+        x_u = x[..., used, :]
+        s = x_u[..., 0, :]
+        grid = torch.einsum("gu,...uc->...gc", tg, x_u)
+        grid = torch.nn.functional.silu(grid)
+        back = torch.einsum("ug,...gc->...uc", fg, grid)
+        back = back.clone()
+        back[..., 0, :] = torch.nn.functional.silu(s)
+        out = torch.zeros_like(x)
+        out[..., used, :] = back
+        return out
+
     def forward(self, numbers, coords, charge=0, spin=1, task=0):
         cfg = self.cfg
         bb = self.backbone
@@ -289,7 +311,10 @@ class ESCNTorch(nn.Module):
             pair = torch.cat([x_s, x_t], dim=-1)
             pair_rot = self._rotate(Dl, pair)
             msg = blk.so2_conv_1(alpha, pair_rot, edge_scalar)
-            msg = self._gate(blk.gate, alpha, msg)
+            if cfg.edge_act == "gate":
+                msg = self._gate(blk.gate, alpha, msg)
+            else:
+                msg = self._s2_act(msg)
             msg = blk.so2_conv_2(alpha, msg, None)
             msg = self._rotate(Dl, msg, transpose=True) * env[..., None]
             x = x + msg.sum(dim=1) / cfg.avg_degree
