@@ -125,15 +125,23 @@ def _shard_mapped(body, mesh, n_in: int, batch_arg: int = 0):
                      out_specs=P("data"))
 
 
-def _get_kernels(efn: Callable, chunk: int, mesh=None) -> Dict[str, Callable]:
+def _get_kernels(efn: Callable, chunk: int, mesh=None,
+                 efn_h: Callable = None) -> Dict[str, Callable]:
     """``mesh`` (data axis > 1, model axis == 1) makes the batched kernels
     shard_map over 'data'. Tensor-parallel calculators (model > 1) keep the
     plain jit kernels: their params are feature-sharded and GSPMD places
-    the collectives."""
+    the collectives.
+
+    ``efn_h`` overrides the energy function for the forward-over-reverse
+    (HVP / analytic-Hessian) kernels: energy functions built on custom_vjp
+    Pallas paths (escn edge_kernel="pallas") support reverse-mode only, so
+    their calculators pass the XLA-path variant here."""
     if mesh is not None and (mesh.shape.get("data", 1) < 2
                              or mesh.shape.get("model", 1) > 1):
         mesh = None
-    key = (efn, chunk, mesh)
+    if efn_h is None:
+        efn_h = efn
+    key = (efn, chunk, mesh, efn_h)
     hit = _KERNELS.get(key)
     if hit is not None:
         return hit
@@ -164,7 +172,7 @@ def _get_kernels(efn: Callable, chunk: int, mesh=None) -> Dict[str, Callable]:
     def _hvp_map(coords_pad, tangents, system, params):
         def hvp(v):
             return jax.jvp(
-                lambda c: jax.grad(efn)(c, system, params),
+                lambda c: jax.grad(efn_h)(c, system, params),
                 (coords_pad,), (v.astype(coords_pad.dtype),))[1]
         return jax.lax.map(hvp, tangents, batch_size=chunk)
 
@@ -211,7 +219,7 @@ def _get_kernels(efn: Callable, chunk: int, mesh=None) -> Dict[str, Callable]:
         coords_ang = coords_bohr_pad * BOHR2ANG
 
         def grad(c):
-            return jax.grad(efn)(c, system, params)
+            return jax.grad(efn_h)(c, system, params)
 
         hv = jax.jvp(grad, (coords_ang,),
                      (v_pad.astype(coords_ang.dtype),))[1]
@@ -244,6 +252,7 @@ class Calculator:
         pad_multiple: int = 8,
         mesh=None,
         weights_source: str = "analytic",
+        energy_fn_hessian: Callable = None,
     ):
         if freeze_atoms is not None:
             structure = structure.copy()
@@ -253,6 +262,9 @@ class Calculator:
         self.n_atoms = structure.n_atoms
         self.n_pad = self.system.n_pad
         self.energy_fn = _normalize_energy_fn(energy_fn)
+        self.energy_fn_hessian = (
+            _normalize_energy_fn(energy_fn_hessian)
+            if energy_fn_hessian is not None else None)
         self.params = params
         self.hessian_calc_mode = hessian_calc_mode or "FiniteDifference"
         self.return_partial_hessian = return_partial_hessian
@@ -269,7 +281,8 @@ class Calculator:
     # -- compiled kernels ---------------------------------------------------
     def _build(self):
         chunk = int(os.environ.get("PDB2R_TPU_BATCH_CHUNK", "1"))
-        k = _get_kernels(self.energy_fn, chunk, self.mesh)
+        k = _get_kernels(self.energy_fn, chunk, self.mesh,
+                         efn_h=self.energy_fn_hessian)
         self._energy_j = k["energy"]
         self._eforce_j = k["eforce"]
         self._eforce_batch_j = k["eforce_batch"]

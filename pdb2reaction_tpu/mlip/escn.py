@@ -97,6 +97,13 @@ class ESCNConfig:
     # edge-message nonlinearity: "s2" = fairchem-faithful separable S2 grid
     # activation; "gate" = TPU-fast equivariant gate (see module docstring)
     edge_act: str = "s2"
+    # "pallas" runs the fused conv1->S2act->conv2 edge chain as a VMEM
+    # Pallas kernel (escn_edge_kernel.py): bf16 matmuls / f32 accumulation
+    # (~1e-3 relative — below MLIP force-error floors), s2 + reduced
+    # (mmax < lmax) layout only. Reverse-mode AD flows through its custom
+    # VJP; forward-over-reverse (HVP/Hessian) paths must use the "xla"
+    # variant (mlip/uma.py builds Hessian kernels with it automatically).
+    edge_kernel: str = "xla"
     dtype: Any = jnp.float32
 
     @property
@@ -143,13 +150,16 @@ def _used_indices(lmax: int, mmax: int):
 
 def _mole_linear(key, experts, n_in, n_out, dtype):
     kw, _ = jax.random.split(key)
+    # scale with a python float: dividing by np.sqrt (a numpy f64 scalar)
+    # silently promotes the weights to f64 under the x64 test policy
     return {"w": jax.random.normal(kw, (experts, n_in, n_out), dtype)
-            / np.sqrt(n_in),
+            * float(1.0 / np.sqrt(n_in)),
             "b": jnp.zeros((experts, n_out), dtype)}
 
 
 def _linear(key, n_in, n_out, dtype):
-    return {"w": jax.random.normal(key, (n_in, n_out), dtype) / np.sqrt(n_in),
+    return {"w": jax.random.normal(key, (n_in, n_out), dtype)
+            * float(1.0 / np.sqrt(n_in)),
             "b": jnp.zeros((n_out,), dtype)}
 
 
@@ -470,10 +480,14 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
     reduced = cfg.mmax < cfg.lmax
     if reduced:
         used = jnp.asarray(_used_indices(cfg.lmax, cfg.mmax))
-        D_sel = wigner_full(rot, cfg.lmax)[..., used, :]   # [P,K,U,M]
+        # pin the config dtype: the recursion's f64 coefficient tables
+        # would otherwise promote everything downstream under x64
+        D_sel = wigner_full(rot, cfg.lmax)[..., used, :].astype(dt)
     else:
         Dl = (wigner_full(rot, cfg.lmax) if cfg.lmax >= 3
               else wigner_blocks(rot, cfg.lmax))
+        Dl = (Dl.astype(dt) if not isinstance(Dl, (list, tuple))
+              else [d.astype(dt) for d in Dl])
 
     # ---- invariant edge scalars -------------------------------------------
     gauss = _gauss_basis(dist, cfg)                       # [P,K,G]
@@ -508,17 +522,77 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
     # ---- message-passing blocks --------------------------------------------
     def block_fn(x, blk):
         xn = _equi_rms_norm(x, blk["norm_1"], cfg)
-        x_t = jnp.broadcast_to(xn[:, None],
-                               (P_loc, cfg.max_neighbors, M, C))
         x_s = allg(xn)[idx]                               # [P_loc,K,M,C]
-        pair = jnp.concatenate([x_s, x_t], axis=-1)       # [P,K,M,2C]
+
+        def make_pair():
+            x_t = jnp.broadcast_to(xn[:, None],
+                                   (P_loc, cfg.max_neighbors, M, C))
+            return jnp.concatenate([x_s, x_t], axis=-1)   # [P,K,M,2C]
+
         def edge_nonlin(m):
             if cfg.edge_act == "gate":
                 return _gate_act(blk["gate"], alpha, m, cfg)
             return _s2_sep_act(m, cfg, reduced)
 
-        if reduced:
-            pair_rot = jnp.einsum("...um,...mc->...uc", D_sel, pair)
+        if reduced and cfg.edge_kernel == "pallas" \
+                and cfg.edge_act == "s2":
+            # fused VMEM chain: rotate (XLA, transposed-layout einsums) ->
+            # [conv1 -> S2 act -> conv2] (Pallas) -> one contraction
+            # folding rotate-back x envelope x K-sum
+            from .escn_edge_kernel import fused_edge_chain, _bf
+            bf = _bf()
+            K = cfg.max_neighbors
+            E_ = P_loc * K
+            U = D_sel.shape[-2]
+            D16 = D_sel.astype(bf)
+            xs16 = x_s.astype(bf)
+            xn16 = xn.astype(bf)
+            # rotated pair rows, (u-major, channel-minor) x edges:
+            # source channels then target channels along c
+            rot_s = jnp.einsum("pkum,pkmc->ucpk", D16, xs16,
+                               preferred_element_type=dt).astype(bf)
+            rot_t = jnp.einsum("pkum,pmc->ucpk", D16, xn16,
+                               preferred_element_type=dt).astype(bf)
+            pr_t = jnp.concatenate([rot_s, rot_t], axis=1) \
+                .reshape(U * 2 * C, E_)
+            es_t = edge_scalar.reshape(E_, cfg.edge_channels).T
+
+            def mw(p):
+                return (jnp.einsum("e,eio->io", alpha, p["w"]),
+                        jnp.einsum("e,eo->o", alpha, p["b"]))
+
+            c1, c2 = blk["so2_conv_1"], blk["so2_conv_2"]
+            W0, b0 = mw(c1["fc_m0"])
+            V0, c0 = mw(c2["fc_m0"])
+            Wrs, Wis, brs, bis = [], [], [], []
+            Vrs, Vis, crs, cis = [], [], [], []
+            for mm in range(1, cfg.mmax + 1):
+                wr, br = mw(c1[f"fc_m{mm}_r"])
+                wi, bi = mw(c1[f"fc_m{mm}_i"])
+                Wrs.append(wr), Wis.append(wi)
+                # _so2_apply_reduced semantics: each _mole adds its own
+                # bias, so yp carries (br - bi) and yn carries (br + bi)
+                brs.append(br - bi), bis.append(br + bi)
+                vr, cr = mw(c2[f"fc_m{mm}_r"])
+                vi, ci = mw(c2[f"fc_m{mm}_i"])
+                Vrs.append(vr), Vis.append(vi)
+                crs.append(cr - ci), cis.append(cr + ci)
+            weights = (W0, tuple(Wrs), tuple(Wis), b0, tuple(brs),
+                       tuple(bis), V0, tuple(Vrs), tuple(Vis), c0,
+                       tuple(crs), tuple(cis))
+            tg_e, fg_e = _edge_grid_tables(cfg.lmax, cfg.mmax)
+            out = fused_edge_chain(
+                cfg, pr_t, es_t, weights,
+                (jnp.asarray(tg_e, dt), jnp.asarray(fg_e, dt)))
+            # rotate-back + envelope + K-sum in ONE contraction:
+            # msg[p,m,c] = sum_{k,u} D[p,k,u,m] out[u,c,p,k] env[p,k]
+            out4 = out.reshape(U, C, P_loc, K) \
+                * env[..., 0].astype(bf)[None, None]
+            msg_sum = jnp.einsum("pkum,ucpk->pmc", D16, out4,
+                                 preferred_element_type=dt)
+        elif reduced:
+            pair_rot = jnp.einsum("...um,...mc->...uc", D_sel,
+                                  make_pair())
             msg = _so2_apply_reduced(blk["so2_conv_1"], alpha, pair_rot,
                                      edge_scalar, cfg, 2 * C,
                                      cfg.hidden_channels)
@@ -527,8 +601,9 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
                                      cfg, cfg.hidden_channels, C)
             msg = jnp.einsum("...um,...uc->...mc", D_sel, msg) \
                 * env[..., None]
+            msg_sum = jnp.sum(msg, axis=1)
         else:
-            pair_rot = _block_diag_rotate(Dl, pair)
+            pair_rot = _block_diag_rotate(Dl, make_pair())
             msg = _so2_apply(blk["so2_conv_1"], alpha, pair_rot,
                              edge_scalar, cfg, 2 * C, cfg.hidden_channels)
             msg = edge_nonlin(msg)
@@ -536,7 +611,8 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
                              cfg, cfg.hidden_channels, C)
             msg = _block_diag_rotate(Dl, msg, transpose=True) \
                 * env[..., None]
-        x = x + jnp.sum(msg, axis=1) / cfg.avg_degree
+            msg_sum = jnp.sum(msg, axis=1)
+        x = x + msg_sum / cfg.avg_degree
         x = x * atom_mask[:, None, None]
 
         # point-wise S2 FFN on the sphere grid

@@ -1,0 +1,426 @@
+"""Fused eSCN edge-chain Pallas kernel: SO(2) conv -> separable S2
+activation -> SO(2) conv, per edge, entirely in VMEM.
+
+The eSCN message chain is the FLOP and HBM hot spot of the UMA-class
+backbone (fairchem ships custom CUDA for exactly this chain — SURVEY.md
+§2.3 fairchem row). The XLA path materializes per-edge intermediates in
+HBM ([E, U, h] conv hiddens, [E, G, h] activation grids — ~350 MB/layer at
+300 atoms) and is HBM-bound. This kernel keeps the whole chain in VMEM,
+reading ONE bf16 tensor per edge tile and writing one bf16 tensor.
+
+Layout: FEATURES x EDGES. Every tensor is 2-D with the edge index in the
+lane (last) dimension, so every step is a plain 2-D MXU matmul (Mosaic has
+no batched dot), every slice is a contiguous row range, and the per-|m|
+blocks concatenate along rows:
+
+    pr [U*2C, E]   rows = (u-major, channel-minor) rotated pair features
+    es [Ce, E]     invariant edge scalars
+    x0cat = rows[0 : nl0*2C] ++ es  --W0t-->  y0 [nl0*h, E]
+    xp_m, xn_m row slices           --Wr/Wi-> yp/yn [nl*h, E]
+    msg = rows [U, h*E]  --tg--> grid [G, h*E] --silu/fg--> act [U, h*E]
+    act row 0 := silu(msg row 0)              (separable-S2 semantics)
+    conv2 the same pattern                    -> out [U*C, E] bf16
+
+The caller (mlip/escn.py) produces ``pr`` directly from the Wigner-rotate
+einsums in transposed layout (no standalone transpose pass) and folds the
+envelope x rotate-back x K-sum into a single contraction on the output.
+
+Matmuls run in bf16 with f32 accumulation (preferred_element_type):
+~1e-3 relative precision — below the force-error floor of UMA-class MLIPs
+(tens of meV/A) and switchable off via ``ESCNConfig.edge_kernel``.
+
+Backward: ``jax.custom_vjp``. Input cotangents come from a mirrored
+Pallas kernel (conv2^T -> act VJP -> conv1^T, recomputing the cheap
+activation intermediates from the saved conv-1 output). Weight cotangents
+are produced by an XLA replay of the chain — a separate subgraph that
+force-only calls (grad w.r.t. coordinates) DCE away entirely; training
+pays it knowingly. Forward-mode AD (analytic-Hessian HVPs) does NOT flow
+through a custom_vjp — the calculator keeps the XLA path for Hessian
+kernels (mlip/uma.py wires this).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dims(cfg):
+    nl0 = cfg.lmax + 1
+    nls = [cfg.lmax + 1 - m for m in range(1, cfg.mmax + 1)]
+    U = nl0 + 2 * sum(nls)
+    G = 2 * (cfg.lmax + 1) * (2 * cfg.mmax + 1)
+    return nl0, nls, U, G
+
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
+# ---------------------------------------------------------------------------
+
+def _conv(x_rows, es, Wt, bs, nl0, nls, c_in, h, T):
+    """One SO(2) conv on row-sliced input [U*c_in(+Ce via es), T].
+    Wt = (W0t, Wrt list, Wit list); bs = (b0, brs, bis) column biases.
+    Returns [U, h*T] f32."""
+    W0t, Wrt, Wit = Wt
+    b0, brs, bis = bs
+    x0 = x_rows[0:nl0 * c_in, :]
+    if es is not None:
+        x0 = jnp.concatenate([x0, es], axis=0)
+    parts = [(_dot(W0t, x0) + b0).reshape(nl0, h * T)]
+    off = nl0 * c_in
+    for i, nl in enumerate(nls):
+        xp = x_rows[off:off + nl * c_in, :]
+        xn = x_rows[off + nl * c_in:off + 2 * nl * c_in, :]
+        yp = _dot(Wrt[i], xp) - _dot(Wit[i], xn) + brs[i]
+        yn = _dot(Wit[i], xp) + _dot(Wrt[i], xn) + bis[i]
+        parts.append(yp.reshape(nl, h * T))
+        parts.append(yn.reshape(nl, h * T))
+        off += 2 * nl * c_in
+    return jnp.concatenate(parts, axis=0)
+
+
+def _fwd_kernel(cfg, T, refs):
+    nl0, nls, U, G = _dims(cfg)
+    h, C = cfg.hidden_channels, cfg.sphere_channels
+    it = iter(refs)
+    pr = next(it)                       # [U*2C, T] bf16
+    es = next(it)                       # [Ce, T] bf16
+    W0t = next(it)
+    Wrt = [next(it) for _ in nls]
+    Wit = [next(it) for _ in nls]
+    b0 = next(it)
+    brs = [next(it) for _ in nls]
+    bis = [next(it) for _ in nls]
+    V0t = next(it)
+    Vrt = [next(it) for _ in nls]
+    Vit = [next(it) for _ in nls]
+    c0 = next(it)
+    crs = [next(it) for _ in nls]
+    cis = [next(it) for _ in nls]
+    tg = next(it)                       # [G, U] bf16
+    fg = next(it)                       # [U, G] bf16
+    out_ref = next(it)                  # [U*C, T] bf16
+    msg_ref = next(it)                  # [U, h*T] bf16 (saved for bwd)
+
+    msg = _conv(pr[:], es[:],
+                (W0t[:], [w[:] for w in Wrt], [w[:] for w in Wit]),
+                (b0[:], [b[:] for b in brs], [b[:] for b in bis]),
+                nl0, nls, 2 * C, h, T)
+    msg_ref[:] = msg.astype(msg_ref.dtype)
+
+    grid = _dot(tg[:], msg.astype(tg.dtype))    # [G, h*T] f32
+    act = _dot(fg[:], _silu(grid).astype(fg.dtype))
+    act = jnp.concatenate([_silu(msg[0:1, :]), act[1:, :]], axis=0)
+
+    out = _conv(act.astype(pr.dtype).reshape(U * h, T), None,
+                (V0t[:], [w[:] for w in Vrt], [w[:] for w in Vit]),
+                (c0[:], [b[:] for b in crs], [b[:] for b in cis]),
+                nl0, nls, h, C, T)
+    out_ref[:] = out.reshape(U * C, T).astype(out_ref.dtype)
+
+
+def _bwd_kernel(cfg, T, refs):
+    """Input-cotangent tile: conv2^T -> activation VJP -> conv1^T."""
+    nl0, nls, U, G = _dims(cfg)
+    h, C = cfg.hidden_channels, cfg.sphere_channels
+    Ce = cfg.edge_channels
+    it = iter(refs)
+    msg_s = next(it)                    # [U, h*T] bf16 saved
+    g_out = next(it)                    # [U*C, T] f32 cotangent
+    W0 = next(it)                       # fwd orientation [d0, nl0*h]
+    Wrs = [next(it) for _ in nls]
+    Wis = [next(it) for _ in nls]
+    V0 = next(it)
+    Vrs = [next(it) for _ in nls]
+    Vis = [next(it) for _ in nls]
+    tg = next(it)                       # [G, U] bf16
+    tgT = next(it)                      # [U, G] bf16
+    fgT = next(it)                      # [G, U] bf16
+    gpr_ref = next(it)                  # [U*2C, T] f32
+    ges_ref = next(it)                  # [Ce, T] f32
+
+    msg = msg_s[:]
+    grid = _dot(tg[:], msg)
+    sig = jax.nn.sigmoid(grid)
+    dsilu = sig * (1.0 + grid * (1.0 - sig))
+
+    # conv2 transpose
+    g16 = g_out[:].astype(msg.dtype)
+    parts = [_dot(V0[:], g16[0:nl0 * C, :]).reshape(nl0, h * T)]
+    off = nl0 * C
+    for i, nl in enumerate(nls):
+        gp = g16[off:off + nl * C, :]
+        gn = g16[off + nl * C:off + 2 * nl * C, :]
+        parts.append((_dot(Vrs[i][:], gp)
+                      + _dot(Vis[i][:], gn)).reshape(nl, h * T))
+        parts.append((-_dot(Vis[i][:], gp)
+                      + _dot(Vrs[i][:], gn)).reshape(nl, h * T))
+        off += 2 * nl * C
+    g_act = jnp.concatenate(parts, axis=0)          # [U, h*T] f32
+
+    # activation VJP: out[0] = silu(msg[0]); out[1:] = (fg silu(tg msg))[1:]
+    g_back = jnp.concatenate(
+        [jnp.zeros((1, h * T), jnp.float32), g_act[1:, :]], axis=0)
+    g_grid = _dot(fgT[:], g_back.astype(fgT.dtype)) * dsilu
+    g_msg = _dot(tgT[:], g_grid.astype(tgT.dtype))
+    m0 = msg[0:1, :].astype(jnp.float32)
+    s_sig = jax.nn.sigmoid(m0)
+    g_msg = jnp.concatenate(
+        [g_msg[0:1, :] + g_act[0:1, :] * s_sig * (1.0 + m0 * (1.0 - s_sig)),
+         g_msg[1:, :]], axis=0)
+
+    # conv1 transpose
+    gm16 = g_msg.astype(msg.dtype)
+    gx0 = _dot(W0[:], gm16[:nl0].reshape(nl0 * h, T))   # [d0, T]
+    gpr_parts = [gx0[0:nl0 * 2 * C, :]]
+    ges_ref[:] = gx0[nl0 * 2 * C:, :]
+    off = nl0
+    for i, nl in enumerate(nls):
+        gyp = gm16[off:off + nl].reshape(nl * h, T)
+        gyn = gm16[off + nl:off + 2 * nl].reshape(nl * h, T)
+        gpr_parts.append(_dot(Wrs[i][:], gyp) + _dot(Wis[i][:], gyn))
+        gpr_parts.append(-_dot(Wis[i][:], gyp) + _dot(Wrs[i][:], gyn))
+        off += 2 * nl
+    gpr_ref[:] = jnp.concatenate(gpr_parts, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference chain (weight grads + CPU fallback + parity tests)
+# ---------------------------------------------------------------------------
+
+def chain_xla(cfg, pr, es, weights, tables):
+    """The same math in plain jnp (f32), features-x-edges layout.
+    pr [U*2C, E]; es [Ce, E]; returns [U*C, E]."""
+    nl0, nls, U, G = _dims(cfg)
+    h, C = cfg.hidden_channels, cfg.sphere_channels
+    (W0, Wrs, Wis, b0, brs, bis, V0, Vrs, Vis, c0, crs, cis) = weights
+    tg, fg = tables
+    T = pr.shape[1]
+    f32 = jnp.float32
+
+    def dot(a, b):
+        return jax.lax.dot_general(a.astype(f32), b.astype(f32),
+                                   (((1,), (0,)), ((), ())))
+
+    x0 = jnp.concatenate([pr[:nl0 * 2 * C], es], axis=0)
+    parts = [(dot(W0.T, x0) + b0[:, None]).reshape(nl0, h * T)]
+    off = nl0 * 2 * C
+    for i, nl in enumerate(nls):
+        xp = pr[off:off + nl * 2 * C]
+        xn = pr[off + nl * 2 * C:off + 2 * nl * 2 * C]
+        yp = dot(Wrs[i].T, xp) - dot(Wis[i].T, xn) + brs[i][:, None]
+        yn = dot(Wis[i].T, xp) + dot(Wrs[i].T, xn) + bis[i][:, None]
+        parts += [yp.reshape(nl, h * T), yn.reshape(nl, h * T)]
+        off += 2 * nl * 2 * C
+    msg = jnp.concatenate(parts, axis=0)
+    grid = dot(tg, msg)
+    act = dot(fg, _silu(grid))
+    act = jnp.concatenate([_silu(msg[0:1]), act[1:]], axis=0)
+    act2 = act.reshape(U * h, T)
+    outs = [dot(V0.T, act2[:nl0 * h]) + c0[:, None]]
+    off = nl0 * h
+    for i, nl in enumerate(nls):
+        ap = act2[off:off + nl * h]
+        an = act2[off + nl * h:off + 2 * nl * h]
+        outs.append(dot(Vrs[i].T, ap) - dot(Vis[i].T, an)
+                    + crs[i][:, None])
+        outs.append(dot(Vis[i].T, ap) + dot(Vrs[i].T, an)
+                    + cis[i][:, None])
+        off += 2 * nl * h
+    # pin f32 regardless of the x64 promotion mode (the replay's vjp
+    # cotangent must match the kernel output dtype)
+    return jnp.concatenate(outs, axis=0).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
+
+_TILE = 128
+
+
+def _pad_cols(x, T):
+    E = x.shape[-1]
+    Ep = ((E + T - 1) // T) * T
+    if Ep == E:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Ep - E)])
+
+
+def _col_spec(rows, T):
+    return pl.BlockSpec((rows, T), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
+
+def _full_spec(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _bf():
+    """bf16 on TPU; f32 elsewhere (CPU's dot thunk cannot mix
+    bf16 x bf16 -> f32, and interpret-mode tests run on CPU)."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+def _weight_specs(cfg, transposed):
+    nl0, nls, U, G = _dims(cfg)
+    h, C, Ce = cfg.hidden_channels, cfg.sphere_channels, cfg.edge_channels
+    d0 = nl0 * 2 * C + Ce
+
+    def sh(i, o):
+        return (o, i) if transposed else (i, o)
+
+    specs = [_full_spec(sh(d0, nl0 * h))]
+    specs += [_full_spec(sh(nl * 2 * C, nl * h)) for nl in nls] * 2
+    if transposed:      # biases only travel with the fwd kernel
+        specs += [_full_spec((nl0 * h, 1))]
+        specs += [_full_spec((nl * h, 1)) for nl in nls] * 2
+    specs += [_full_spec(sh(nl0 * h, nl0 * C))]
+    specs += [_full_spec(sh(nl * h, nl * C)) for nl in nls] * 2
+    if transposed:
+        specs += [_full_spec((nl0 * C, 1))]
+        specs += [_full_spec((nl * C, 1)) for nl in nls] * 2
+    return specs
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_call(cfg, E):
+    nl0, nls, U, G = _dims(cfg)
+    h, C, Ce = cfg.hidden_channels, cfg.sphere_channels, cfg.edge_channels
+    T = _TILE
+    Ep = ((E + T - 1) // T) * T
+    in_specs = ([_col_spec(U * 2 * C, T), _col_spec(Ce, T)]
+                + _weight_specs(cfg, transposed=True)
+                + [_full_spec((G, U)), _full_spec((U, G))])
+    out_shape = (jax.ShapeDtypeStruct((U * C, Ep), _bf()),
+                 jax.ShapeDtypeStruct((U, h * Ep), _bf()))
+    out_specs = (_col_spec(U * C, T),
+                 pl.BlockSpec((U, h * T), lambda i: (0, i),
+                              memory_space=pltpu.VMEM))
+
+    def kernel(*refs):
+        _fwd_kernel(cfg, T, refs)
+
+    return pl.pallas_call(
+        kernel, grid=(Ep // T,), in_specs=in_specs, out_shape=out_shape,
+        out_specs=out_specs, interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_call(cfg, E):
+    nl0, nls, U, G = _dims(cfg)
+    h, C, Ce = cfg.hidden_channels, cfg.sphere_channels, cfg.edge_channels
+    T = _TILE
+    Ep = ((E + T - 1) // T) * T
+    in_specs = ([pl.BlockSpec((U, h * T), lambda i: (0, i),
+                              memory_space=pltpu.VMEM),
+                 _col_spec(U * C, T)]
+                + _weight_specs(cfg, transposed=False)
+                + [_full_spec((G, U)), _full_spec((U, G)),
+                   _full_spec((G, U))])
+    out_shape = (jax.ShapeDtypeStruct((U * 2 * C, Ep), jnp.float32),
+                 jax.ShapeDtypeStruct((Ce, Ep), jnp.float32))
+    out_specs = (_col_spec(U * 2 * C, T), _col_spec(Ce, T))
+
+    def kernel(*refs):
+        _bwd_kernel(cfg, T, refs)
+
+    return pl.pallas_call(
+        kernel, grid=(Ep // T,), in_specs=in_specs,
+        out_shape=out_shape, out_specs=out_specs,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
+
+
+def _flat_weights(weights, transposed, with_bias):
+    (W0, Wrs, Wis, b0, brs, bis, V0, Vrs, Vis, c0, crs, cis) = weights
+    bf = _bf()
+
+    def w(x):
+        return (x.T if transposed else x).astype(bf)
+
+    def col(b):
+        return b.astype(jnp.float32)[:, None]
+
+    out = [w(W0)] + [w(x) for x in Wrs] + [w(x) for x in Wis]
+    if with_bias:
+        out += [col(b0)] + [col(b) for b in brs] + [col(b) for b in bis]
+    out += [w(V0)] + [w(x) for x in Vrs] + [w(x) for x in Vis]
+    if with_bias:
+        out += [col(c0)] + [col(b) for b in crs] + [col(b) for b in cis]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_edge_chain(cfg, pr, es, weights, tables):
+    """pr [U*2C, E] (u-major rotated pair rows), es [Ce, E]; weights =
+    merged per-layer MoLE mats (fwd orientation [in, out], f32); tables =
+    (tg [G, U], fg [U, G]). Returns [U*C, E] bf16."""
+    out, _ = _fwd_impl(cfg, pr, es, weights, tables)
+    return out
+
+
+def _fwd_impl(cfg, pr, es, weights, tables):
+    E = pr.shape[1]
+    bf = _bf()
+    ins = ([_pad_cols(pr, _TILE).astype(bf),
+            _pad_cols(es, _TILE).astype(bf)]
+           + _flat_weights(weights, True, True)
+           + [tables[0].astype(bf), tables[1].astype(bf)])
+    out, msg = _fwd_call(cfg, E)(*ins)
+    return out[:, :E], msg
+
+
+def _vjp_fwd(cfg, pr, es, weights, tables):
+    out, msg = _fwd_impl(cfg, pr, es, weights, tables)
+    return out, (pr, es, weights, tables, msg)
+
+
+def _vjp_bwd(cfg, res, g):
+    pr, es, weights, tables, msg = res
+    E = pr.shape[1]
+    bf = _bf()
+    ins = ([msg, _pad_cols(g, _TILE).astype(jnp.float32)]
+           + _flat_weights(weights, False, False)
+           + [tables[0].astype(bf), tables[0].T.astype(bf),
+              tables[1].T.astype(bf)])
+    gpr, ges = _bwd_call(cfg, E)(*ins)
+    gpr = gpr[:, :E]
+    ges = ges[:, :E]
+
+    # weight cotangents via XLA replay: an independent subgraph that
+    # force-only (coordinate-grad) calls DCE away entirely
+    _, wvjp = jax.vjp(lambda w: chain_xla(cfg, pr, es, w, tables), weights)
+    (gw,) = wvjp(g.astype(jnp.float32))
+
+    g_tables = (jnp.zeros_like(tables[0]), jnp.zeros_like(tables[1]))
+    return (gpr, ges, gw, g_tables)
+
+
+fused_edge_chain.defvjp(_vjp_fwd, _vjp_bwd)

@@ -175,6 +175,14 @@ def make_uma_calculator(
                 max_neighbors=int(max_neigh) if max_neigh
                 else ecfg.max_neighbors,
                 cutoff=float(radius) if radius else ecfg.cutoff)
+        # fused Pallas edge chain for the force path (bf16 matmuls in
+        # VMEM, escn_edge_kernel.py); Hessian/HVP kernels keep the XLA
+        # variant (custom_vjp has no forward-mode). Opt-in via the factory
+        # kw or PDB2R_TPU_ESCN_KERNEL=pallas.
+        ek = (_ignored.get("edge_kernel")
+              or os.environ.get("PDB2R_TPU_ESCN_KERNEL"))
+        if ek:
+            ecfg = dataclasses.replace(ecfg, edge_kernel=str(ek))
         if ckpt_params is not None:
             # converted/restored weights: skip the (large) random init
             fn = ESCN_FN_FOR(ecfg)
@@ -190,6 +198,11 @@ def make_uma_calculator(
             fn, params, ecfg = make_escn_model(ecfg, seed=seed,
                                                charge=charge, spin=spin)
             weights_source = _warn_surrogate(model, seed)
+        fn_h = None
+        if ecfg.edge_kernel == "pallas":
+            fn_h = ESCN_FN_FOR(dataclasses.replace(ecfg,
+                                                   edge_kernel="xla"))
+            fn = ESCN_FN_FOR(ecfg)
         pad_multiple = 8
         if spatial > 1:
             fn, mesh, pad_multiple = _spatialize(ecfg, mesh, spatial)
@@ -204,6 +217,7 @@ def make_uma_calculator(
             pad_multiple=pad_multiple,
             mesh=mesh,
             weights_source=weights_source,
+            energy_fn_hessian=fn_h,
         )
 
     cfg = CONFIGS[model]

@@ -130,3 +130,38 @@ def test_escn_through_calculator():
     assert calc.force_calls == 1
     batch = calc.get_forces_batch(np.stack([c, c]))
     assert np.allclose(batch["energy"][0], res["energy"], atol=1e-12)
+
+
+def test_edge_kernel_pallas_parity():
+    """Fused Pallas edge chain (escn_edge_kernel.py) vs the XLA path:
+    exact in f32 interpret mode (CPU) — energies, forces, and the
+    weight-cotangent XLA-replay path (training grads)."""
+    import dataclasses
+    import jax.tree_util as jtu
+    rng = np.random.default_rng(3)
+    zs = np.array([8, 1, 1, 6, 1, 1], np.int32)
+    st = Structure(zs, rng.normal(scale=1.4, size=(6, 3)))
+    sysp = pad_to(st, n_pad=8)
+    cfg = ESCN_CONFIGS["escn-test"]
+    fn_x, p, _ = make_escn_model(cfg, seed=0)
+    fn_p, _, _ = make_escn_model(
+        dataclasses.replace(cfg, edge_kernel="pallas"), seed=0)
+    # perturb params so biases are nonzero (the effective-bias combination
+    # for the +-m pairs is part of what this pins)
+    k = jax.random.PRNGKey(9)
+    leaves, tree = jtu.tree_flatten(p)
+    keys = jax.random.split(k, len(leaves))
+    p = jtu.tree_unflatten(tree, [
+        l + 0.05 * jax.random.normal(kk, l.shape, l.dtype)
+        if l.dtype == jnp.float32 else l
+        for l, kk in zip(leaves, keys)])
+    c = jnp.asarray(sysp.coords, jnp.float32)
+    e_x, g_x = jax.value_and_grad(lambda cc: fn_x(cc, sysp, p))(c)
+    e_p, g_p = jax.value_and_grad(lambda cc: fn_p(cc, sysp, p))(c)
+    assert abs(float(e_x) - float(e_p)) < 1e-5
+    assert np.abs(np.asarray(g_x) - np.asarray(g_p)).max() < 1e-5
+    ge_x = jax.grad(lambda pp: fn_x(c, sysp, pp))(p)
+    ge_p = jax.grad(lambda pp: fn_p(c, sysp, pp))(p)
+    m = max(np.abs(np.asarray(a) - np.asarray(b)).max()
+            for a, b in zip(jtu.tree_leaves(ge_x), jtu.tree_leaves(ge_p)))
+    assert m < 1e-5
