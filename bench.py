@@ -1,22 +1,31 @@
 """Benchmark: MLIP force-call throughput + converged-GSM-MEP wall-clock +
 MFU on a ~300-atom cluster (BASELINE.md's driver-defined metrics).
 
+TIMING METHODOLOGY (round-3 correction): every throughput loop CHAINS its
+inputs (next coordinates depend on the previous forces). The axon TPU
+relay memoizes identical (program, args) executions — a loop over
+identical inputs measures cache hits, not compute (measured: 10 identical
+8k x 8k matmuls "complete" in 0.02 ms; chained, 47 ms each). Round-2
+numbers recorded with identical-input loops are therefore optimistic;
+every number below survives the chained-input test. Real optimizer loops
+are chained by construction (each step consumes the last forces), so the
+chained rate is the one production sees.
+
 The reference publishes no numbers (BASELINE.md) and its A100/fairchem
 stack cannot run in this offline image, so the baseline denominator is
-MEASURED, not assumed: the same MLIP evaluated the way the reference
-operates — one image per call, host round-trip and array conversion every
-call (uma_pysis.py:292-327 rebuilds the graph host-side and ships one batch
-per force call) — versus this framework's operating mode (device-resident
-batched calls feeding every hot loop). Same chip, same weights, same
-precision: the ratio isolates the architectural speedup and is reproducible
-from this script alone.
+MEASURED: the same MLIP evaluated the way the reference operates — one
+image per call, host round-trip and array conversion every call
+(uma_pysis.py:292-327) — versus this framework's device-resident mode.
 
-Also measured:
-- wall-clock of a GSM MEP run to convergence (conv RMS matched to the gau
-  preset's rms_force, 3.0e-4 Ha/Bohr) on the 300-atom cluster, 12 images;
-- MFU: XLA cost-analysis FLOPs of the batched force program / wall-clock /
-  peak (v5e bf16 peak 197 TFLOP/s; reported for the f32 program, so it is
-  a conservative lower bound).
+Sections:
+- surrogate (PaiNN-class uma-s-1p1): batched + single chained rates, MFU,
+  measured serial host-synced baseline;
+- eSCN (UMA-class escn-md, fused Pallas edge kernel — the backbone that
+  corresponds to the reference's fairchem operating point): chained
+  force-call rate and MFU, Pallas vs XLA edge chain;
+- GSM MEP wall-clock: surrogate-calibrated criterion AND the reference's
+  real gau contract (rms_force 3.0e-4 Ha/Bohr, opt.py:176-187) on the
+  analytic Morse backend where that force scale is physical.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
@@ -29,6 +38,22 @@ import time
 import numpy as np
 
 V5E_PEAK_FLOPS = 197e12      # bf16 peak per chip (public TPU v5e spec)
+BOHR2ANG = 0.529177210903
+EV2AU = 0.03674932217565499
+
+
+def _chained_rate(eforce, params, coords, iters=10):
+    """calls/sec with input chaining (defeats relay memoization)."""
+    import jax  # noqa: F401
+    c = coords
+    e, f = eforce(params, c)
+    f.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        c = c + 1e-6 * f
+        e, f = eforce(params, c)
+    f.block_until_ready()
+    return iters / (time.perf_counter() - t0)
 
 
 def main():
@@ -47,10 +72,6 @@ def main():
 
     B = 64  # image batch (GSM strings + FD-Hessian displacement batching)
 
-    # the product schedule (mlip/calculator.py): sequential lax.map inside
-    # ONE compiled program — at 300 atoms a single image saturates the
-    # chip, so this is 2.6x faster than vmap (630 vs 244 calls/s measured
-    # on v5e: the vmapped dense path is HBM-bound on its [B,P,P,R] temps)
     @jax.jit
     def eforce_batch(params, coords_b):
         def one(c):
@@ -63,48 +84,32 @@ def main():
         np.asarray(coords)[None] + 0.01 * np.random.default_rng(0)
         .normal(size=(B,) + coords.shape).astype(np.float32))
 
-    # warmup / compile
-    e, f = eforce(params, coords)
-    e.block_until_ready()
+    # ---- (1) batched throughput (chained) --------------------------------
     eb, fb = eforce_batch(params, batch)
-    eb.block_until_ready()
-
-    # ---- (1) batched throughput: the framework's operating mode ----------
-    iters = 30
+    fb.block_until_ready()
+    bt = batch
     t0 = time.perf_counter()
+    iters = 5
     for _ in range(iters):
-        eb, fb = eforce_batch(params, batch)
-    eb.block_until_ready()
-    dt = time.perf_counter() - t0
-    calls_per_sec = iters * B / dt
+        bt = bt + 1e-6 * fb
+        eb, fb = eforce_batch(params, bt)
+    fb.block_until_ready()
+    calls_per_sec = iters * B / (time.perf_counter() - t0)
 
-    # ---- (2) measured baseline denominators ------------------------------
-    # (a) single-image DEVICE-RESIDENT calls: the stable, conservative
-    #     denominator (pure batching/pipelining gain; used for vs_baseline)
-    n_single = 20
-    t0 = time.perf_counter()
-    for _ in range(n_single):
-        e1, f1 = eforce(params, coords)
-    e1.block_until_ready()
-    single_calls_per_sec = n_single / (time.perf_counter() - t0)
-    # (b) reference-style serial host-synced calls (one image per call,
-    #     numpy in / numpy out — uma_pysis.py:292-327); on the axon relay
-    #     this is dominated by relay latency, so it is reported as an extra
-    #     rather than the headline denominator
+    # ---- (2) denominators -------------------------------------------------
+    single_calls_per_sec = _chained_rate(eforce, params, coords, 20)
+    # reference-style serial host-synced calls (one image per call, numpy
+    # in / numpy out — uma_pysis.py:292-327); input varies per call
     base_np = np.asarray(coords)
     n_serial = 20
     t0 = time.perf_counter()
     for k in range(n_serial):
-        c_host = base_np + 1e-4 * k            # host-side update
+        c_host = base_np + 1e-4 * (k + 1)
         e1, f1 = eforce(params, jnp.asarray(c_host))
-        _ = float(e1), np.asarray(f1)          # host consumption
-    dt_serial = time.perf_counter() - t0
-    serial_calls_per_sec = n_serial / dt_serial
+        _ = float(e1), np.asarray(f1)
+    serial_calls_per_sec = n_serial / (time.perf_counter() - t0)
 
-    # ---- (3) MFU of the force program --------------------------------------
-    # flops from the SINGLE-image program (XLA cost analysis counts a
-    # lax.map/scan body once, so the batched program under-reports by B);
-    # MFU = per-image flops x measured images/sec / peak.
+    # ---- (3) MFU ----------------------------------------------------------
     mfu = None
     flops = None
     try:
@@ -117,104 +122,216 @@ def main():
     except Exception:
         pass
 
-    # ---- (4) wall-clock to a converged GSM MEP (BASELINE.md metric) ------
-    # guarded: a GSM failure must not lose the throughput record (the
-    # driver keeps only this script's one JSON line)
-    gsm_extras = {}
+    extras = {
+        "timing": "chained inputs (relay memoizes identical executions; "
+                  "see bench.py docstring)",
+        "baseline_single_device_calls_per_sec":
+            round(single_calls_per_sec, 2),
+        "baseline_serial_hostsync_calls_per_sec":
+            round(serial_calls_per_sec, 2),
+        "baseline_derivation": "vs_baseline = batched rate / measured "
+                               "serial host-synced rate (the reference's "
+                               "operating mode, uma_pysis.py:292-327)",
+        "batched_program_flops": flops,
+        "mfu_vs_v5e_bf16_peak": round(mfu, 4) if mfu else None,
+    }
+
+    # ---- (4) UMA-class eSCN backbone (the reference's operating point) ---
+    # one retry: the axon relay's remote-compile endpoint occasionally
+    # drops long-lived connections (observed: broken pipe mid-compile)
+    for attempt in (1, 2):
+        try:
+            extras["escn"] = _escn_section(sys_, coords)
+            break
+        except Exception as e:                  # pragma: no cover
+            extras["escn"] = {"error": f"{type(e).__name__}: {e}"}
+
+    # ---- (5) GSM MEP wall-clocks -----------------------------------------
     try:
-        gsm_extras = _gsm_section(fn, params, sys_, coords)
+        extras.update(_gsm_section(fn, params, sys_, coords))
     except Exception as e:                      # pragma: no cover
-        gsm_extras = {"gsm_error": f"{type(e).__name__}: {e}"}
+        extras["gsm_error"] = f"{type(e).__name__}: {e}"
+    try:
+        extras.update(_gsm_matched_criteria(sys_, coords))
+    except Exception as e:                      # pragma: no cover
+        extras["gsm_gau_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps({
         "metric": "mlip_force_calls_per_sec_300atom",
         "value": round(calls_per_sec, 2),
         "unit": "force-calls/sec",
         "vs_baseline": round(calls_per_sec / serial_calls_per_sec, 2),
-        "extras": {
-            "baseline_single_device_calls_per_sec":
-                round(single_calls_per_sec, 2),
-            "baseline_serial_hostsync_calls_per_sec":
-                round(serial_calls_per_sec, 2),
-            "baseline_derivation": "vs_baseline = batched rate / measured "
-                                   "serial host-synced rate: one image per "
-                                   "call, numpy in/out — the reference's "
-                                   "operating mode (uma_pysis.py:292-327 "
-                                   "rebuilds the graph host-side and ships "
-                                   "one batch per force call; every "
-                                   "optimizer cycle crosses the host). The "
-                                   "single-image DEVICE-RESIDENT rate (a "
-                                   "mode the reference has no analogue of "
-                                   "— it exists here because the whole "
-                                   "optimizer loop lives on device) is "
-                                   "reported separately; at 300 atoms one "
-                                   "image already fills the chip, so "
-                                   "batched/single-device ~ 1.",
-            "batched_program_flops": flops,
-            "mfu_vs_v5e_bf16_peak": round(mfu, 4) if mfu else None,
-            **gsm_extras,
-        },
+        "extras": extras,
     }))
 
 
-def _gsm_section(fn, params, sys_, coords):
-    import time
+def _escn_section(sys_, coords):
+    """escn-md (UMA-class) with the fused Pallas edge kernel: the number
+    that corresponds to the reference's fairchem backbone (VERDICT r2
+    item 2)."""
+    import dataclasses
 
     import jax
     import jax.numpy as jnp
 
-    from pdb2reaction_tpu.engines.gsm import gsm_mep
+    from pdb2reaction_tpu.mlip.escn import ESCN_CONFIGS, make_escn_model
 
-    BOHR2ANG = 0.529177210903
-    EV2AU_ = 0.03674932217565499
+    out = {}
+    for name, cfg in [
+        ("escn-md-pallas", dataclasses.replace(
+            ESCN_CONFIGS["escn-md"], edge_kernel="pallas")),
+        ("escn-md-xla", ESCN_CONFIGS["escn-md"]),
+    ]:
+        fn, params, cfg = make_escn_model(cfg, seed=0)
+
+        @jax.jit
+        def eforce(params, c):
+            e, g = jax.value_and_grad(
+                lambda cc: fn(cc, sys_, params))(c)
+            return e, -g
+
+        rate = _chained_rate(eforce, params, coords, 10)
+        entry = {"force_calls_per_sec": round(rate, 2),
+                 "ms_per_force_call": round(1e3 / rate, 1)}
+        try:
+            ca = eforce.lower(params, coords).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            fl = float(ca.get("flops", 0.0))
+            if fl:
+                entry["mfu_vs_v5e_bf16_peak"] = round(
+                    fl * rate / V5E_PEAK_FLOPS, 4)
+        except Exception:
+            pass
+        out[name] = entry
+    # NOTE: no eSCN-GSM segment — the batched-string eSCN program compiles
+    # ~35 min through the axon remote-compile relay (measured), far too
+    # heavy for the driver-run bench. The eSCN per-call rate above times
+    # the surrogate GSM's force-call count bounds the MEP wall-clock.
+    out["speedup_pallas_vs_xla"] = round(
+        out["escn-md-pallas"]["force_calls_per_sec"]
+        / out["escn-md-xla"]["force_calls_per_sec"], 2)
+    return out
+
+
+def _gsm_run(fn, params, sys_, coords, *, conv_rms, max_cycles, label):
+    import jax
+    import jax.numpy as jnp
+
+    from pdb2reaction_tpu.engines.gsm import gsm_mep
 
     @jax.jit
     def eb_fn(coords_b):
         def one(c_bohr):
             e, g = jax.value_and_grad(
                 lambda cc: fn(cc * BOHR2ANG, sys_, params))(c_bohr)
-            f = -g * BOHR2ANG * EV2AU_ * sys_.free_mask[:, None]
-            return e * EV2AU_, f
+            f = -g * BOHR2ANG * EV2AU * sys_.free_mask[:, None]
+            return e * EV2AU, f
         return jax.lax.map(one, coords_b, batch_size=1)
 
     rng = np.random.default_rng(1)
-    # endpoint B: a genuine displacement (~0.14 Ang RMSD) so the string
-    # spans two distinct geometries, not numerical noise
     disp = rng.normal(scale=0.08, size=np.asarray(coords).shape) \
         .astype(np.float32)
-    disp[:, :] *= np.asarray(sys_.free_mask)[:, None]
-    xA = coords * 1.8897259886     # Ang -> Bohr endpoint A
+    disp *= np.asarray(sys_.free_mask)[:, None]
+    xA = coords * 1.8897259886
     xB = (coords + disp) * 1.8897259886
-    t0 = time.perf_counter()
-    # Criterion calibrated to the surrogate's force scale: random-init
-    # weights produce O(2e-2 au) perpendicular RMS at the relaxed string
-    # (measured plateau 1.3e-2), ~20x a trained potential's landscape, so
-    # the gau-equivalent threshold is scaled by the same factor. With real
-    # converted weights (mlip/convert.py) drop this to 1e-3.
-    conv_rms = 2.0e-2
-    res = gsm_mep(eb_fn, xA, xB, jnp.asarray(sys_.free_mask),
-                  max_nodes=10, max_cycles=800, stop_in_when_full=800,
-                  conv_perp_rms=conv_rms, climb=False)
-    dt_mep_cold = time.perf_counter() - t0
-    # warm run (programs cached): the steady-state number — the cold run
-    # is dominated by the one-time XLA compile (~30 s on axon), which a
-    # production pipeline pays once across ALL segments/stages
+    # warm the programs (compile excluded from the recorded wall-clock;
+    # a production pipeline pays it once across all segments)
+    gsm_mep(eb_fn, xA, xB, jnp.asarray(sys_.free_mask), max_nodes=10,
+            max_cycles=2, stop_in_when_full=2, conv_perp_rms=conv_rms,
+            climb=False)
     t0 = time.perf_counter()
     res = gsm_mep(eb_fn, xA, xB, jnp.asarray(sys_.free_mask),
-                  max_nodes=10, max_cycles=800, stop_in_when_full=800,
+                  max_nodes=10, max_cycles=max_cycles,
+                  stop_in_when_full=max_cycles,
                   conv_perp_rms=conv_rms, climb=False)
-    dt_mep = time.perf_counter() - t0
-
+    dt = time.perf_counter() - t0
     return {
-        "gsm_conv_criterion": f"perp-force RMS < {conv_rms} Ha/Bohr "
-                              "(surrogate-calibrated; see bench.py)",
-        "gsm_mep_wallclock_s": round(dt_mep, 2),
-        "gsm_mep_wallclock_cold_s": round(dt_mep_cold, 2),
-        "gsm_mep_converged": bool(res.converged),
-        "gsm_mep_final_perp_rms": float(res.perp_rms),
-        "gsm_mep_cycles": int(res.cycles),
-        "gsm_mep_force_calls": int(res.force_calls),
+        "label": label,
+        "criterion": f"perp-force RMS < {conv_rms} Ha/Bohr",
+        "wallclock_s": round(dt, 2),
+        "converged": bool(res.converged),
+        "final_perp_rms": float(res.perp_rms),
+        "cycles": int(res.cycles),
+        "force_calls": int(res.force_calls),
     }
+
+
+def _gsm_section(fn, params, sys_, coords):
+    """Surrogate-calibrated GSM (random-init weights produce O(2e-2 au)
+    perp RMS at the relaxed string — ~20x a trained potential's
+    landscape; with real converted weights drop to 1e-3)."""
+    r = _gsm_run(fn, params, sys_, coords, conv_rms=2.0e-2,
+                 max_cycles=800, label="uma-s surrogate, calibrated")
+    return {"gsm_mep_wallclock_s": r["wallclock_s"],
+            "gsm_mep_converged": r["converged"],
+            "gsm_mep_final_perp_rms": r["final_perp_rms"],
+            "gsm_mep_cycles": r["cycles"],
+            "gsm_mep_force_calls": r["force_calls"],
+            "gsm_conv_criterion": r["criterion"] + " (surrogate-"
+                                  "calibrated; see bench.py)"}
+
+
+def _gsm_matched_criteria(sys_, coords):
+    """GSM wall-clock at the reference's ACTUAL convergence contract: gau
+    rms_force 3.0e-4 Ha/Bohr (/root/reference/pdb2reaction/opt.py:176-187)
+    on the analytic Morse backend — a real barrier crossing (the H3
+    exchange double-well) whose force scale is physical (VERDICT r2
+    item 6).
+
+    Why not the 300-atom Morse cluster: a jittered 300-atom Morse glass
+    has no well-conditioned MEP — linear initial strings cross steep
+    repulsive walls and the perp-force RMS plateaus ~1e-1 au regardless
+    of step policy (measured; pysisyphus would face the same PES
+    pathology). The matched-criteria record therefore uses the
+    well-conditioned reaction; the 300-atom wall-clock is recorded at the
+    surrogate-calibrated criterion above."""
+    import jax
+    import jax.numpy as jnp
+
+    from pdb2reaction_tpu.core.structure import Structure, pad_to
+    from pdb2reaction_tpu.engines.gsm import gsm_mep
+    from pdb2reaction_tpu.mlip import potentials
+
+    L = 2.4
+    stA = Structure.from_symbols(
+        ["H", "H", "H"], [[0, 0, 0], [0.686, 0, 0], [L, 0, 0]],
+        freeze=[0, 2])
+    sysp = pad_to(stA, multiple=8)
+    morse = potentials.make_morse()
+
+    @jax.jit
+    def eb(cb):
+        def one(c):
+            e, g = jax.value_and_grad(
+                lambda cc: morse(cc * BOHR2ANG, sysp))(c)
+            return e * EV2AU, -g * BOHR2ANG * EV2AU \
+                * sysp.free_mask[:, None]
+        return jax.lax.map(one, cb, batch_size=1)
+
+    A = np.zeros((sysp.n_pad, 3), np.float32)
+    A[:3] = stA.coords
+    B = A.copy()
+    B[1, 0] = L - 0.686
+    xa = jnp.asarray(A) * 1.8897259886
+    xb = jnp.asarray(B) * 1.8897259886
+    fm = jnp.asarray(sysp.free_mask)
+    gsm_mep(eb, xa, xb, fm, max_nodes=10, max_cycles=2,
+            stop_in_when_full=2, conv_perp_rms=3e-4, climb=True)
+    t0 = time.perf_counter()
+    r = gsm_mep(eb, xa, xb, fm, max_nodes=10, max_cycles=5000,
+                stop_in_when_full=5000, conv_perp_rms=3e-4, climb=True)
+    dt = time.perf_counter() - t0
+    return {"gsm_gau_wallclock_s": round(dt, 3),
+            "gsm_gau_converged": bool(r.converged),
+            "gsm_gau_final_perp_rms": float(r.perp_rms),
+            "gsm_gau_cycles": int(r.cycles),
+            "gsm_gau_barrier_au": float(r.energies[r.hei_idx]
+                                        - r.energies[0]),
+            "gsm_gau_criterion": "perp-force RMS < 3.0e-4 Ha/Bohr with "
+                                 "climbing image (the reference gau "
+                                 "rms_force contract, opt.py:176-187; "
+                                 "Morse H3 exchange barrier)"}
 
 
 if __name__ == "__main__":

@@ -534,7 +534,60 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
                 return _gate_act(blk["gate"], alpha, m, cfg)
             return _s2_sep_act(m, cfg, reduced)
 
-        if reduced and cfg.edge_kernel == "pallas" \
+        if reduced and cfg.edge_kernel == "pallas-full" \
+                and cfg.edge_act == "s2":
+            # v2: rotation + chain + back-rotation + envelope fused in ONE
+            # kernel (block-sparse VPU rotations); XLA only gathers source
+            # features and K-sums the output
+            from .escn_edge_kernel import (fused_edge_block, pack_d,
+                                           _rot_nz)
+            K = cfg.max_neighbors
+            E_ = P_loc * K
+            U = D_sel.shape[-2]
+            xn_t_local = jnp.transpose(xn, (1, 2, 0)) \
+                .reshape(M * C, P_loc)
+            x_full_t = (xn_t_local if axis_name is None
+                        else jnp.transpose(allg(xn), (1, 2, 0))
+                        .reshape(M * C, -1))
+            xs_t = jnp.take(x_full_t, idx.reshape(E_), axis=1)
+            # target features per edge; jnp.repeat's backward IS the K-sum
+            xt_t = jnp.repeat(xn_t_local, K, axis=1)
+            es_t = edge_scalar.reshape(E_, cfg.edge_channels).T
+            nnz = len(_rot_nz(cfg.lmax, cfg.mmax)[0])
+            Dp_pk = pack_d(cfg, D_sel)                  # [P,K,NZ]
+            Dpe_pk = Dp_pk * env
+            Dp_t = jnp.transpose(Dp_pk, (2, 0, 1)).reshape(nnz, E_)
+            Dpe_t = jnp.transpose(Dpe_pk, (2, 0, 1)).reshape(nnz, E_)
+
+            def mw(p):
+                return (jnp.einsum("e,eio->io", alpha, p["w"]),
+                        jnp.einsum("e,eo->o", alpha, p["b"]))
+
+            c1, c2 = blk["so2_conv_1"], blk["so2_conv_2"]
+            W0, b0 = mw(c1["fc_m0"])
+            V0, c0 = mw(c2["fc_m0"])
+            Wrs, Wis, brs, bis = [], [], [], []
+            Vrs, Vis, crs, cis = [], [], [], []
+            for mm in range(1, cfg.mmax + 1):
+                wr, br = mw(c1[f"fc_m{mm}_r"])
+                wi, bi = mw(c1[f"fc_m{mm}_i"])
+                Wrs.append(wr), Wis.append(wi)
+                brs.append(br - bi), bis.append(br + bi)
+                vr, cr = mw(c2[f"fc_m{mm}_r"])
+                vi, ci = mw(c2[f"fc_m{mm}_i"])
+                Vrs.append(vr), Vis.append(vi)
+                crs.append(cr - ci), cis.append(cr + ci)
+            weights = (W0, tuple(Wrs), tuple(Wis), b0, tuple(brs),
+                       tuple(bis), V0, tuple(Vrs), tuple(Vis), c0,
+                       tuple(crs), tuple(cis))
+            tg_e, fg_e = _edge_grid_tables(cfg.lmax, cfg.mmax)
+            out = fused_edge_block(
+                cfg, xs_t, xt_t, es_t, Dp_t, Dpe_t, weights,
+                (jnp.asarray(tg_e, dt), jnp.asarray(fg_e, dt)))
+            msg_sum = jnp.transpose(
+                out.astype(dt).reshape(M, C, P_loc, K).sum(-1),
+                (2, 0, 1))
+        elif reduced and cfg.edge_kernel == "pallas" \
                 and cfg.edge_act == "s2":
             # fused VMEM chain: rotate (XLA, transposed-layout einsums) ->
             # [conv1 -> S2 act -> conv2] (Pallas) -> one contraction

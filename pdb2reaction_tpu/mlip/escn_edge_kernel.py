@@ -424,3 +424,477 @@ def _vjp_bwd(cfg, res, g):
 
 
 fused_edge_chain.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ===========================================================================
+# v2: rotation-fused kernel ("pallas-full") — the Wigner rotation, edge
+# chain, and envelope all run in VMEM. The per-edge rotation is applied as
+# block-sparse VPU FMAs: D(R) is block-diagonal per l, so only
+# sum_u (2 l_u + 1) of the U x M entries are nonzero (115/475 at
+# lmax=4/mmax=2); each nonzero contributes one [C, T] fused multiply-add
+# with a per-edge scalar row. This removes the XLA batched-tiny-matmul
+# rotations (the dominant glue cost measured after v1: ~15 ms of 25.7).
+# ===========================================================================
+
+@functools.lru_cache(maxsize=None)
+def _rot_nz(lmax, mmax):
+    """Static sparsity of the reduced Wigner selection D_sel [U, M]:
+    (u_list, m_list) of nonzero entries in packed-row order, plus the
+    per-u and per-m groupings used by the kernels."""
+    ls = [l for l in range(lmax + 1)]                 # noqa: E741
+    u_l = list(ls)                                    # m0 rows
+    for m in range(1, mmax + 1):
+        u_l += list(range(m, lmax + 1))               # +m rows
+        u_l += list(range(m, lmax + 1))               # -m rows
+    u_list, m_list = [], []
+    for u, l in enumerate(u_l):                       # noqa: E741
+        for mf in range(l * l, (l + 1) ** 2):
+            u_list.append(u)
+            m_list.append(mf)
+    by_u = {}
+    by_m = {}
+    for j, (u, mf) in enumerate(zip(u_list, m_list)):
+        by_u.setdefault(u, []).append(j)
+        by_m.setdefault(mf, []).append(j)
+    return tuple(u_list), tuple(m_list), \
+        tuple(tuple(by_u[u]) for u in sorted(by_u)), \
+        tuple(tuple(by_m.get(mf, ())) for mf in range((lmax + 1) ** 2))
+
+
+def pack_d(cfg, D_sel):
+    """[..., U, M] -> packed nonzero rows [..., NZ] (last dim = packed
+    index j). Used by the caller to build the Dp/Dpe kernel inputs."""
+    u_list, m_list, _, _ = _rot_nz(cfg.lmax, cfg.mmax)
+    return D_sel[..., jnp.asarray(u_list), jnp.asarray(m_list)]
+
+
+def _rotate_rows(Dp, x, idx_groups, C, cast):
+    """parts[g] = sum_{j in group g} Dp[j] * x[m_j*C:(m_j+1)*C]  — the
+    block-sparse rotation. ``idx_groups`` maps output group -> (j, src)
+    pairs."""
+    outs = []
+    for pairs in idx_groups:
+        acc = None
+        for (j, src) in pairs:
+            term = Dp[j:j + 1, :].astype(jnp.float32) \
+                * x[src * C:(src + 1) * C, :].astype(jnp.float32)
+            acc = term if acc is None else acc + term
+        outs.append(cast(acc))
+    return outs
+
+
+def _fwd_kernel_full(cfg, T, refs):
+    nl0, nls, U, G = _dims(cfg)
+    M = (cfg.lmax + 1) ** 2
+    h, C = cfg.hidden_channels, cfg.sphere_channels
+    K = cfg.max_neighbors
+    A = T // K
+    u_list, m_list, by_u, by_m = _rot_nz(cfg.lmax, cfg.mmax)
+    it = iter(refs)
+    xs = next(it)                       # [M*C, T] bf16 gathered source
+    xt_ref = next(it)                   # [M*C, T] bf16 target features
+    es = next(it)                       # [Ce, T] bf16
+    Dp = next(it)                       # [NZp, T] bf16 packed rotation
+    Dpe = next(it)                      # [NZp, T] bf16 packed rot x env
+    W0t = next(it)
+    Wrt = [next(it) for _ in nls]
+    Wit = [next(it) for _ in nls]
+    b0 = next(it)
+    brs = [next(it) for _ in nls]
+    bis = [next(it) for _ in nls]
+    V0t = next(it)
+    Vrt = [next(it) for _ in nls]
+    Vit = [next(it) for _ in nls]
+    c0 = next(it)
+    crs = [next(it) for _ in nls]
+    cis = [next(it) for _ in nls]
+    tg = next(it)
+    fg = next(it)
+    out_ref = next(it)                  # [M*C, T] bf16 (back-rotated,
+    msg_ref = next(it)                  # env-weighted, per edge)
+
+    bf = xs.dtype
+    xt = xt_ref[:]                                  # [M*C, T]
+
+    # ---- rotation into the reduced edge frame (VPU, block-sparse) ------
+    groups = [[(j, m_list[j]) for j in by_u[u]] for u in range(U)]
+    rs = _rotate_rows(Dp[:], xs[:], groups, C, lambda a: a)
+    rt = _rotate_rows(Dp[:], xt, groups, C, lambda a: a)
+    pr = jnp.concatenate(
+        [blk for u in range(U) for blk in (rs[u], rt[u])],
+        axis=0).astype(bf)                          # [U*2C, T]
+
+    # ---- conv1 -> S2 act -> conv2 (as v1) -------------------------------
+    msg = _conv(pr, es[:],
+                (W0t[:], [w[:] for w in Wrt], [w[:] for w in Wit]),
+                (b0[:], [b[:] for b in brs], [b[:] for b in bis]),
+                nl0, nls, 2 * C, h, T)
+    msg_ref[:] = msg.astype(msg_ref.dtype)
+    grid = _dot(tg[:], msg.astype(tg.dtype))
+    act = _dot(fg[:], _silu(grid).astype(fg.dtype))
+    act = jnp.concatenate([_silu(msg[0:1, :]), act[1:, :]], axis=0)
+    out = _conv(act.astype(bf).reshape(U * h, T), None,
+                (V0t[:], [w[:] for w in Vrt], [w[:] for w in Vit]),
+                (c0[:], [b[:] for b in crs], [b[:] for b in cis]),
+                nl0, nls, h, C, T).reshape(U * C, T)
+
+    # ---- back-rotation x envelope (VPU, block-sparse transpose) ---------
+    out16 = out.astype(bf)
+    groups_t = [[(j, u_list[j]) for j in by_m[mf]] for mf in range(M)]
+    back = _rotate_rows(Dpe[:], out16, groups_t, C,
+                        lambda a: a.astype(bf))
+    out_ref[:] = jnp.concatenate(back, axis=0)      # [M*C, T]
+
+
+def _bwd_kernel_full(cfg, T, refs):
+    """Input cotangents for the v2 kernel. Recomputes the rotation and the
+    act/conv2 forward from the saved conv-1 output."""
+    nl0, nls, U, G = _dims(cfg)
+    M = (cfg.lmax + 1) ** 2
+    h, C = cfg.hidden_channels, cfg.sphere_channels
+    K = cfg.max_neighbors
+    A = T // K
+    u_list, m_list, by_u, by_m = _rot_nz(cfg.lmax, cfg.mmax)
+    it = iter(refs)
+    xs = next(it)                       # [M*C, T] bf16
+    xt_ref = next(it)                   # [M*C, T] bf16
+    Dp = next(it)
+    Dpe = next(it)
+    msg_s = next(it)                    # [U, h*T] bf16 saved
+    g_back = next(it)                   # [M*C, T] f32 incoming cotangent
+    W0 = next(it)                       # conv1 fwd orientation
+    Wrs = [next(it) for _ in nls]
+    Wis = [next(it) for _ in nls]
+    V0 = next(it)                       # conv2 fwd orientation
+    Vrs = [next(it) for _ in nls]
+    Vis = [next(it) for _ in nls]
+    V0t = next(it)                      # conv2 transposed (recompute)
+    Vrt = [next(it) for _ in nls]
+    Vit = [next(it) for _ in nls]
+    c0 = next(it)
+    crs = [next(it) for _ in nls]
+    cis = [next(it) for _ in nls]
+    tg = next(it)                       # [G, U]
+    fg = next(it)                       # [U, G]
+    tgT = next(it)                      # [U, G]
+    fgT = next(it)                      # [G, U]
+    gxs_ref = next(it)                  # [M*C, T] bf16
+    gxt_ref = next(it)                  # [M*C, T] bf16
+    ges_ref = next(it)                  # [Ce, T] f32
+    gdp_ref = next(it)                  # [NZp, T] f32
+    gdpe_ref = next(it)                 # [NZp, T] f32
+
+    bf = xs.dtype
+    i = pl.program_id(0)
+    NZp = gdp_ref.shape[0]
+    nnz = len(u_list)
+
+    msg = msg_s[:]
+    # recompute act + conv2 forward (for out, needed by g_Dpe)
+    grid = _dot(tg[:], msg)
+    sig_g = jax.nn.sigmoid(grid)
+    act = _dot(fg[:], _silu(grid).astype(bf))
+    # sigmoid must see f32 (Mosaic missing a bf16 logistic lowering)
+    act = jnp.concatenate(
+        [_silu(msg[0:1, :].astype(jnp.float32)), act[1:, :]], axis=0)
+    out = _conv(act.astype(bf).reshape(U * h, T), None,
+                (V0t[:], [w[:] for w in Vrt], [w[:] for w in Vit]),
+                (c0[:], [b[:] for b in crs], [b[:] for b in cis]),
+                nl0, nls, h, C, T).reshape(U * C, T)
+
+    # ---- back-rotation transpose + g_Dpe --------------------------------
+    # g_out[u] = sum_{j: u_j=u} Dpe[j] * g_back[m_j]
+    groups_o = [[(j, m_list[j]) for j in by_u[u]] for u in range(U)]
+    g_out_parts = _rotate_rows(Dpe[:], g_back[:], groups_o, C,
+                               lambda a: a)
+    g_out = jnp.concatenate(g_out_parts, axis=0)    # [U*C, T] f32
+    # g_Dpe[j] = sum_c out[u_j C + c] * g_back[m_j C + c]
+    gdpe_rows = []
+    for j in range(nnz):
+        u, mf = u_list[j], m_list[j]
+        prod = out[u * C:(u + 1) * C, :].astype(jnp.float32) \
+            * g_back[mf * C:(mf + 1) * C, :]
+        gdpe_rows.append(jnp.sum(prod, axis=0, keepdims=True))
+    gdpe_rows.append(jnp.zeros((NZp - nnz, T), jnp.float32))
+    gdpe_ref[:] = jnp.concatenate(gdpe_rows, axis=0)
+
+    # ---- conv2^T -> act VJP -> conv1^T (as v1) --------------------------
+    dsilu = sig_g * (1.0 + grid * (1.0 - sig_g))
+    g16 = g_out.astype(bf)
+    parts = [_dot(V0[:], g16[0:nl0 * C, :]).reshape(nl0, h * T)]
+    off = nl0 * C
+    for i2, nl in enumerate(nls):
+        gp = g16[off:off + nl * C, :]
+        gn = g16[off + nl * C:off + 2 * nl * C, :]
+        parts.append((_dot(Vrs[i2][:], gp)
+                      + _dot(Vis[i2][:], gn)).reshape(nl, h * T))
+        parts.append((-_dot(Vis[i2][:], gp)
+                      + _dot(Vrs[i2][:], gn)).reshape(nl, h * T))
+        off += 2 * nl * C
+    g_act = jnp.concatenate(parts, axis=0)
+    g_b = jnp.concatenate(
+        [jnp.zeros((1, h * T), jnp.float32), g_act[1:, :]], axis=0)
+    g_grid = _dot(fgT[:], g_b.astype(bf)) * dsilu
+    g_msg = _dot(tgT[:], g_grid.astype(bf))
+    m0 = msg[0:1, :].astype(jnp.float32)
+    s_sig = jax.nn.sigmoid(m0)
+    g_msg = jnp.concatenate(
+        [g_msg[0:1, :] + g_act[0:1, :] * s_sig * (1.0 + m0 * (1.0 - s_sig)),
+         g_msg[1:, :]], axis=0)
+
+    gm16 = g_msg.astype(bf)
+    gx0 = _dot(W0[:], gm16[:nl0].reshape(nl0 * h, T))   # [d0, T]
+    gpr_parts = [gx0[0:nl0 * 2 * C, :]]
+    ges_ref[:] = gx0[nl0 * 2 * C:, :]
+    off = nl0
+    for i2, nl in enumerate(nls):
+        gyp = gm16[off:off + nl].reshape(nl * h, T)
+        gyn = gm16[off + nl:off + 2 * nl].reshape(nl * h, T)
+        gpr_parts.append(_dot(Wrs[i2][:], gyp) + _dot(Wis[i2][:], gyn))
+        gpr_parts.append(-_dot(Wis[i2][:], gyp) + _dot(Wrs[i2][:], gyn))
+        off += 2 * nl
+    g_pr = jnp.concatenate(gpr_parts, axis=0)       # [U*2C, T] f32
+
+    # ---- rotation transpose + g_Dp --------------------------------------
+    # rows of g_pr: u-major, [source C | target C]
+    # g_xs[m] = sum_{j: m_j=m} Dp[j] * g_pr[u_j source block]
+    groups_s = [[(j, u_list[j]) for j in by_m[mf]] for mf in range(M)]
+
+    def src_block(x, u):
+        return x[u * 2 * C:u * 2 * C + C, :]
+
+    def tgt_block(x, u):
+        return x[u * 2 * C + C:(u + 1) * 2 * C, :]
+
+    gxs_parts, gxt_parts = [], []
+    for mf in range(M):
+        acc_s = None
+        acc_t = None
+        for j in by_m[mf]:
+            u = u_list[j]
+            d = Dp[j:j + 1, :].astype(jnp.float32)
+            ts_ = d * src_block(g_pr, u)
+            tt_ = d * tgt_block(g_pr, u)
+            acc_s = ts_ if acc_s is None else acc_s + ts_
+            acc_t = tt_ if acc_t is None else acc_t + tt_
+        gxs_parts.append(acc_s.astype(bf))
+        gxt_parts.append(acc_t.astype(bf))
+    gxs_ref[:] = jnp.concatenate(gxs_parts, axis=0)
+    gxt_ref[:] = jnp.concatenate(gxt_parts, axis=0)
+
+    # g_Dp[j] = sum_c xs[m_j]*g_pr_s[u_j] + xt[m_j]*g_pr_t[u_j]
+    xt = xt_ref[:]
+    gdp_rows = []
+    for j in range(nnz):
+        u, mf = u_list[j], m_list[j]
+        ps = xs[mf * C:(mf + 1) * C, :].astype(jnp.float32) \
+            * src_block(g_pr, u)
+        pt = xt[mf * C:(mf + 1) * C, :].astype(jnp.float32) \
+            * tgt_block(g_pr, u)
+        gdp_rows.append(jnp.sum(ps + pt, axis=0, keepdims=True))
+    gdp_rows.append(jnp.zeros((NZp - nnz, T), jnp.float32))
+    gdp_ref[:] = jnp.concatenate(gdp_rows, axis=0)
+
+
+def _nzp(cfg):
+    u_list, _, _, _ = _rot_nz(cfg.lmax, cfg.mmax)
+    n = len(u_list)
+    return ((n + 7) // 8) * 8
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_call_full(cfg, E):
+    nl0, nls, U, G = _dims(cfg)
+    M = (cfg.lmax + 1) ** 2
+    h, C, Ce = cfg.hidden_channels, cfg.sphere_channels, cfg.edge_channels
+    T = _TILE
+    Ep = ((E + T - 1) // T) * T
+    NZp = _nzp(cfg)
+    in_specs = ([_col_spec(M * C, T),                # xs
+                 _col_spec(M * C, T),                # xt (edge-level)
+                 _col_spec(Ce, T),                   # es
+                 _col_spec(NZp, T),                  # Dp
+                 _col_spec(NZp, T)]                  # Dpe
+                + _weight_specs(cfg, transposed=True)
+                + [_full_spec((G, U)), _full_spec((U, G))])
+    out_shape = (jax.ShapeDtypeStruct((M * C, Ep), _bf()),
+                 jax.ShapeDtypeStruct((U, h * Ep), _bf()))
+    out_specs = (_col_spec(M * C, T),
+                 pl.BlockSpec((U, h * T), lambda i: (0, i),
+                              memory_space=pltpu.VMEM))
+
+    def kernel(*refs):
+        _fwd_kernel_full(cfg, T, refs)
+
+    return pl.pallas_call(
+        kernel, grid=(Ep // T,), in_specs=in_specs, out_shape=out_shape,
+        out_specs=out_specs, interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
+
+
+def _bwd_weight_flats(cfg, weights):
+    """conv1 fwd-orientation, conv2 fwd-orientation, conv2 transposed
+    (+ conv2 biases) — what the v2 backward kernel consumes."""
+    (W0, Wrs, Wis, b0, brs, bis, V0, Vrs, Vis, c0, crs, cis) = weights
+    bf = _bf()
+
+    def col(b):
+        return b.astype(jnp.float32)[:, None]
+
+    out = [W0.astype(bf)] + [w.astype(bf) for w in Wrs] \
+        + [w.astype(bf) for w in Wis]
+    out += [V0.astype(bf)] + [w.astype(bf) for w in Vrs] \
+        + [w.astype(bf) for w in Vis]
+    out += [V0.T.astype(bf)] + [w.T.astype(bf) for w in Vrs] \
+        + [w.T.astype(bf) for w in Vis]
+    out += [col(c0)] + [col(b) for b in crs] + [col(b) for b in cis]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_call_full(cfg, E):
+    nl0, nls, U, G = _dims(cfg)
+    M = (cfg.lmax + 1) ** 2
+    h, C, Ce = cfg.hidden_channels, cfg.sphere_channels, cfg.edge_channels
+    T = _TILE
+    Ep = ((E + T - 1) // T) * T
+    NZp = _nzp(cfg)
+    d0 = nl0 * 2 * C + Ce
+
+    def sh(i, o):
+        return (i, o)
+
+    wspecs = [_full_spec(sh(d0, nl0 * h))]
+    wspecs += [_full_spec(sh(nl * 2 * C, nl * h)) for nl in nls] * 2
+    wspecs += [_full_spec(sh(nl0 * h, nl0 * C))]
+    wspecs += [_full_spec(sh(nl * h, nl * C)) for nl in nls] * 2
+    wspecs += [_full_spec((nl0 * C, nl0 * h))]
+    wspecs += [_full_spec((nl * C, nl * h)) for nl in nls] * 2
+    wspecs += [_full_spec((nl0 * C, 1))]
+    wspecs += [_full_spec((nl * C, 1)) for nl in nls] * 2
+    in_specs = ([_col_spec(M * C, T),                # xs
+                 _col_spec(M * C, T),                # xt (edge-level)
+                 _col_spec(NZp, T),                  # Dp
+                 _col_spec(NZp, T),                  # Dpe
+                 pl.BlockSpec((U, h * T), lambda i: (0, i),
+                              memory_space=pltpu.VMEM),   # msg
+                 _col_spec(M * C, T)]                # g
+                + wspecs
+                + [_full_spec((G, U)), _full_spec((U, G)),
+                   _full_spec((U, G)), _full_spec((G, U))])
+    out_shape = (jax.ShapeDtypeStruct((M * C, Ep), _bf()),
+                 jax.ShapeDtypeStruct((M * C, Ep), _bf()),
+                 jax.ShapeDtypeStruct((Ce, Ep), jnp.float32),
+                 jax.ShapeDtypeStruct((NZp, Ep), jnp.float32),
+                 jax.ShapeDtypeStruct((NZp, Ep), jnp.float32))
+    out_specs = (_col_spec(M * C, T), _col_spec(M * C, T),
+                 _col_spec(Ce, T), _col_spec(NZp, T), _col_spec(NZp, T))
+
+    def kernel(*refs):
+        _bwd_kernel_full(cfg, T, refs)
+
+    return pl.pallas_call(
+        kernel, grid=(Ep // T,), in_specs=in_specs,
+        out_shape=out_shape, out_specs=out_specs,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_edge_block(cfg, xs_t, xt_t, es, Dp, Dpe, weights, tables):
+    """Whole per-edge message block in one kernel.
+
+    xs_t [M*C, E]: gathered source node features (transposed rows,
+    m-major); xt_t [M*C, E]: target node features repeated per edge
+    (``jnp.repeat`` along columns in the caller — its backward is the
+    K-sum); es [Ce, E]; Dp / Dpe [nnz, E]: packed nonzero
+    Wigner-selection values (Dpe scaled by the cutoff envelope — see
+    pack_d); weights as in fused_edge_chain.
+    Returns the back-rotated, envelope-weighted per-edge messages
+    [M*C, E] (caller K-sums into node updates)."""
+    out, _ = _fwd_impl_full(cfg, xs_t, xt_t, es, Dp, Dpe, weights, tables)
+    return out
+
+
+def _pad_rows(x, n):
+    if x.shape[0] == n:
+        return x
+    return jnp.pad(x, ((0, n - x.shape[0]), (0, 0)))
+
+
+def _fwd_impl_full(cfg, xs_t, xt_t, es, Dp, Dpe, weights, tables):
+    E = xs_t.shape[1]
+    T = _TILE
+    bf = _bf()
+    NZp = _nzp(cfg)
+    ins = ([_pad_cols(xs_t, T).astype(bf),
+            _pad_cols(xt_t, T).astype(bf),
+            _pad_cols(es, T).astype(bf),
+            _pad_cols(_pad_rows(Dp, NZp), T).astype(bf),
+            _pad_cols(_pad_rows(Dpe, NZp), T).astype(bf)]
+           + _flat_weights(weights, True, True)
+           + [tables[0].astype(bf), tables[1].astype(bf)])
+    out, msg = _fwd_call_full(cfg, E)(*ins)
+    return out[:, :E], msg
+
+
+def _vjp_fwd_full(cfg, xs_t, xt_t, es, Dp, Dpe, weights, tables):
+    out, msg = _fwd_impl_full(cfg, xs_t, xt_t, es, Dp, Dpe, weights,
+                              tables)
+    return out, (xs_t, xt_t, es, Dp, Dpe, weights, tables, msg)
+
+
+def _vjp_bwd_full(cfg, res, g):
+    xs_t, xt_t, es, Dp, Dpe, weights, tables, msg = res
+    E = xs_t.shape[1]
+    T = _TILE
+    bf = _bf()
+    nl0, nls, U, G = _dims(cfg)
+    M = (cfg.lmax + 1) ** 2
+    C = cfg.sphere_channels
+    tg, fg = tables
+    NZp = _nzp(cfg)
+    ins = ([_pad_cols(xs_t, T).astype(bf),
+            _pad_cols(xt_t, T).astype(bf),
+            _pad_cols(_pad_rows(Dp, NZp), T).astype(bf),
+            _pad_cols(_pad_rows(Dpe, NZp), T).astype(bf),
+            msg, _pad_cols(g, T).astype(jnp.float32)]
+           + _bwd_weight_flats(cfg, weights)
+           + [tg.astype(bf), fg.astype(bf),
+              tg.T.astype(bf), fg.T.astype(bf)])
+    gxs, gxt, ges, gdp, gdpe = _bwd_call_full(cfg, E)(*ins)
+    gxs = gxs[:, :E].astype(jnp.float32)
+    gxn = gxt[:, :E].astype(jnp.float32)
+    ges = ges[:, :E]
+    nnz = len(_rot_nz(cfg.lmax, cfg.mmax)[0])
+    gdp = gdp[:nnz, :E]
+    gdpe = gdpe[:nnz, :E]
+
+    # ---- weight cotangents via XLA replay (DCE'd on force-only calls) ---
+    u_list, m_list, _, _ = _rot_nz(cfg.lmax, cfg.mmax)
+    ui = jnp.asarray(u_list)
+    mi = jnp.asarray(m_list)
+    Dd = jnp.zeros((U, M, E), jnp.float32).at[ui, mi].set(
+        Dp[:nnz].astype(jnp.float32))
+    Dde = jnp.zeros((U, M, E), jnp.float32).at[ui, mi].set(
+        Dpe[:nnz].astype(jnp.float32))
+    xs3 = xs_t.astype(jnp.float32).reshape(M, C, E)
+    xt3 = xt_t.astype(jnp.float32).reshape(M, C, E)
+    rot_s = jnp.einsum("ume,mce->uce", Dd, xs3)
+    rot_t = jnp.einsum("ume,mce->uce", Dd, xt3)
+    pr = jnp.concatenate([rot_s, rot_t], axis=1).reshape(U * 2 * C, E)
+    g_chain = jnp.einsum("ume,mce->uce", Dde,
+                         g.astype(jnp.float32).reshape(M, C, E)) \
+        .reshape(U * C, E)
+    _, wvjp = jax.vjp(
+        lambda w: chain_xla(cfg, pr, es.astype(jnp.float32), w, tables),
+        weights)
+    (gw,) = wvjp(g_chain)
+
+    g_tables = (jnp.zeros_like(tg), jnp.zeros_like(fg))
+    return (gxs, gxn, ges, gdp, gdpe, gw, g_tables)
+
+
+fused_edge_block.defvjp(_vjp_fwd_full, _vjp_bwd_full)

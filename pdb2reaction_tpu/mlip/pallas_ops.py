@@ -459,3 +459,333 @@ def radial_contract_reference(coords, mask, feats, cutoff, n_radial,
         [jnp.sin(d_safe[..., None] * freqs) * scale[..., None],
          env_ch[..., None]], -1)
     return jnp.einsum("ijr,jf->irf", A, feats)
+
+
+# ===========================================================================
+# Rectangular (row-block x global-cols) radial contraction — the SPATIAL
+# PARTITIONING form: under shard_map each device owns a contiguous block
+# of atom ROWS and contracts against the full (gathered) column set.
+# T[i, r, f] = sum_j A[i+off, j, r] feats[j, f] for local rows i.
+# The row block's GLOBAL offset arrives as a traced SMEM scalar so
+# self-pair exclusion stays correct on every shard (the kernel is
+# compiled once under SPMD).
+# ===========================================================================
+
+def _fwd_kernel_rect(off_ref, ci_ref, mi_ref, cj_ref, mj_ref, feats_ref,
+                     out_ref, *, cutoff, n_radial, div_d, ti, tj):
+    i_blk = pl.program_id(0)
+    j_blk = pl.program_id(2)
+    gi = off_ref[0, 0] + i_blk * ti \
+        + jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)[:, 0]
+    gj = j_blk * tj + jax.lax.broadcasted_iota(jnp.int32, (tj, 1), 0)[:, 0]
+    d, within, env, _, s1, c1 = _pair_geometry(
+        ci_ref[:], cj_ref[:], mi_ref[:, 0], mj_ref[:, 0], gi, gj, cutoff)
+    R1 = n_radial + 1
+    a = _a_stack(d, env, s1, c1, cutoff, n_radial, div_d)
+    cd = _compute_dtype()
+    res = jnp.dot(a.reshape(R1 * ti, tj).astype(cd),
+                  feats_ref[:].astype(cd),
+                  preferred_element_type=jnp.float32)
+
+    @pl.when(j_blk == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += res.reshape(R1, ti, -1)
+
+
+def _smem_scalar_spec():
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def radial_contract_rect_tpu(coords_rows, mask_rows, row_offset,
+                             coords_cols, mask_cols, feats,
+                             cutoff, n_radial, div_d=False):
+    """Rectangular radial contraction (Pallas). coords_rows [Pr,3],
+    coords_cols [Pc,3], feats [Pc,F], row_offset: traced int32 scalar
+    (global index of row 0). Returns [Pr, n_radial+1, F]."""
+    return _rc_rect_impl(coords_rows, mask_rows, row_offset, coords_cols,
+                         mask_cols, feats, cutoff, n_radial, div_d)
+
+
+def radial_contract_rect(coords_rows, mask_rows, row_offset, coords_cols,
+                         mask_cols, feats, cutoff, n_radial, div_d=False):
+    """Backend dispatch for the rectangular contraction."""
+    import jax as _jax
+    if _jax.default_backend() in ("tpu", "axon"):
+        return radial_contract_rect_tpu(
+            coords_rows, mask_rows, row_offset, coords_cols, mask_cols,
+            feats, cutoff, n_radial, div_d)
+    return radial_contract_rect_reference(
+        coords_rows, mask_rows, row_offset, coords_cols, mask_cols,
+        feats, cutoff, n_radial, div_d)
+
+
+def _rc_rect_impl(cr, mr, off, cc, mc, feats, cutoff, n_radial, div_d):
+    Pr = cr.shape[0]
+    Pc, F = feats.shape
+    TI = min(128, Pr)
+    TJ = min(128, Pc)
+    FT = min(384, F)
+    Prp = -(-Pr // TI) * TI
+    Pcp = -(-Pc // TJ) * TJ
+    Fp = -(-F // FT) * FT
+    R1 = n_radial + 1
+    ci = _pad_to(cr.astype(jnp.float32), Prp)
+    mi = _pad_to(mr.astype(jnp.float32).reshape(-1, 1), Prp)
+    cj = _pad_to(cc.astype(jnp.float32), Pcp)
+    mj = _pad_to(mc.astype(jnp.float32).reshape(-1, 1), Pcp)
+    f = _pad_to(_pad_to(feats.astype(jnp.float32), Pcp, 0), Fp, 1)
+    offs = jnp.asarray(off, jnp.int32).reshape(1, 1)
+
+    kern = functools.partial(_fwd_kernel_rect, cutoff=float(cutoff),
+                             n_radial=int(n_radial), div_d=bool(div_d),
+                             ti=TI, tj=TJ)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((R1, Prp, Fp), jnp.float32),
+        grid=(Prp // TI, Fp // FT, Pcp // TJ),
+        in_specs=[
+            _smem_scalar_spec(),
+            pl.BlockSpec((TI, 3), lambda i, fb, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, 1), lambda i, fb, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, 3), lambda i, fb, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, 1), lambda i, fb, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, FT), lambda i, fb, j: (j, fb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R1, TI, FT), lambda i, fb, j: (0, i, fb),
+                               memory_space=pltpu.VMEM),
+    )(offs, ci, mi, cj, mj, f)
+    return jnp.transpose(out[:, :Pr, :F], (1, 0, 2))
+
+
+def _transpose_kernel_rect(off_ref, ci_ref, mi_ref, cj_ref, mj_ref, g_ref,
+                           out_ref, *, cutoff, n_radial, div_d, ti, tj):
+    """dfeats[j,f] = sum_{i,r} A[i+off, j, r] g[i, r, f] — output over
+    COLS, inner axis over the row block."""
+    j_blk = pl.program_id(0)
+    i_blk = pl.program_id(2)
+    gi = off_ref[0, 0] + i_blk * ti \
+        + jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)[:, 0]
+    gj = j_blk * tj + jax.lax.broadcasted_iota(jnp.int32, (tj, 1), 0)[:, 0]
+    d, within, env, _, s1, c1 = _pair_geometry(
+        cj_ref[:], ci_ref[:], mj_ref[:, 0], mi_ref[:, 0], gj, gi, cutoff)
+    R1 = n_radial + 1
+    a = _a_stack(d, env, s1, c1, cutoff, n_radial, div_d,
+                 row_major_ti=False)                 # [TJ, R1, TI]
+    cd = _compute_dtype()
+    g2 = g_ref[:].reshape(R1 * ti, -1).astype(cd)
+    res = jnp.dot(a.reshape(tj, R1 * ti).astype(cd), g2,
+                  preferred_element_type=jnp.float32)
+
+    @pl.when(i_blk == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += res
+
+
+def _grad_rows_kernel(off_ref, ci_ref, mi_ref, cj_ref, mj_ref, gi_ref,
+                      fj_ref, out_ref, *, cutoff, n_radial, div_d,
+                      ti, tj):
+    """Receiver-side coordinate gradient for the ROW block:
+    dx_I = sum_j G[i,j] (x_i - x_j)/d, G from (g at I, feats at J)."""
+    i_blk = pl.program_id(0)
+    f_blk = pl.program_id(1)
+    j_blk = pl.program_id(2)
+    gi = off_ref[0, 0] + i_blk * ti \
+        + jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)[:, 0]
+    gj = j_blk * tj + jax.lax.broadcasted_iota(jnp.int32, (tj, 1), 0)[:, 0]
+    ci = ci_ref[:]
+    cj = cj_ref[:]
+    d, within, env, denv, s1, c1 = _pair_geometry(
+        ci, cj, mi_ref[:, 0], mj_ref[:, 0], gi, gj, cutoff)
+    R1 = n_radial + 1
+    S = _g_dot_feats(gi_ref, fj_ref, R1, ti)            # [R1,TI,TJ]
+    G = _accum_G(d, env, denv, s1, c1, S, cutoff, n_radial, div_d)
+    inv_d = 1.0 / d
+    unit = (ci[:, None, :] - cj[None, :, :]) * inv_d[:, :, None]
+    contrib = jnp.sum(G[:, :, None] * unit, axis=1)
+
+    @pl.when((j_blk == 0) & (f_blk == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += contrib
+
+
+def _grad_cols_kernel(off_ref, ci_ref, mi_ref, cj_ref, mj_ref, gi_ref,
+                      fj_ref, out_ref, *, cutoff, n_radial, div_d,
+                      ti, tj):
+    """Sender-side coordinate gradient for the COL block:
+    dx_J = sum_i G[i,j] (x_j - x_i)/d (dA symmetric in i,j)."""
+    j_blk = pl.program_id(0)
+    f_blk = pl.program_id(1)
+    i_blk = pl.program_id(2)
+    gi = off_ref[0, 0] + i_blk * ti \
+        + jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)[:, 0]
+    gj = j_blk * tj + jax.lax.broadcasted_iota(jnp.int32, (tj, 1), 0)[:, 0]
+    ci = ci_ref[:]
+    cj = cj_ref[:]
+    # geometry with j as rows: d [TJ, TI]
+    d, within, env, denv, s1, c1 = _pair_geometry(
+        cj, ci, mj_ref[:, 0], mi_ref[:, 0], gj, gi, cutoff)
+    R1 = n_radial + 1
+    # S[r,i,j] from (g at I, feats at J) -> [R1, TJ, TI] for j-rows
+    S = jnp.swapaxes(_g_dot_feats(gi_ref, fj_ref, R1, ti), 1, 2)
+    G = _accum_G(d, env, denv, s1, c1, S, cutoff, n_radial, div_d)
+    inv_d = 1.0 / d
+    unit = (cj[:, None, :] - ci[None, :, :]) * inv_d[:, :, None]
+    contrib = jnp.sum(G[:, :, None] * unit, axis=1)     # [TJ,3]
+
+    @pl.when((i_blk == 0) & (f_blk == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += contrib
+
+
+def _rc_rect_fwd(cr, mr, off, cc, mc, feats, cutoff, n_radial, div_d):
+    T = _rc_rect_impl(cr, mr, off, cc, mc, feats, cutoff, n_radial, div_d)
+    return T, (cr, mr, off, cc, mc, feats)
+
+
+def _rc_rect_bwd(cutoff, n_radial, div_d, res, g):
+    cr, mr, off, cc, mc, feats = res
+    Pr = cr.shape[0]
+    Pc, F = feats.shape
+    R1 = n_radial + 1
+    g_r1pf = jnp.transpose(g, (1, 0, 2))                # [R1, Pr, F]
+    TI = min(64, Pr)
+    TJ = min(64, Pc)
+    FT = min(256, F)
+    Prp = -(-Pr // TI) * TI
+    Pcp = -(-Pc // TJ) * TJ
+    Fp = -(-F // FT) * FT
+    ci = _pad_to(cr.astype(jnp.float32), Prp)
+    mi = _pad_to(mr.astype(jnp.float32).reshape(-1, 1), Prp)
+    cj = _pad_to(cc.astype(jnp.float32), Pcp)
+    mj = _pad_to(mc.astype(jnp.float32).reshape(-1, 1), Pcp)
+    f = _pad_to(_pad_to(feats.astype(jnp.float32), Pcp, 0), Fp, 1)
+    gg = _pad_to(_pad_to(g_r1pf.astype(jnp.float32), Prp, 1), Fp, 2)
+    offs = jnp.asarray(off, jnp.int32).reshape(1, 1)
+
+    # feats gradient (cols): grid (j, f, i)
+    kern_f = functools.partial(_transpose_kernel_rect, cutoff=float(cutoff),
+                               n_radial=int(n_radial), div_d=bool(div_d),
+                               ti=TI, tj=TJ)
+    dfeats = pl.pallas_call(
+        kern_f,
+        out_shape=jax.ShapeDtypeStruct((Pcp, Fp), jnp.float32),
+        grid=(Pcp // TJ, Fp // FT, Prp // TI),
+        in_specs=[
+            _smem_scalar_spec(),
+            pl.BlockSpec((TI, 3), lambda j, fb, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, 1), lambda j, fb, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, 3), lambda j, fb, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, 1), lambda j, fb, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R1, TI, FT), lambda j, fb, i: (0, i, fb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TJ, FT), lambda j, fb, i: (j, fb),
+                               memory_space=pltpu.VMEM),
+    )(offs, ci, mi, cj, mj, gg)[:Pc, :F]
+
+    # row-coordinate gradient: grid (i, f, j)
+    kern_r = functools.partial(_grad_rows_kernel, cutoff=float(cutoff),
+                               n_radial=int(n_radial), div_d=bool(div_d),
+                               ti=TI, tj=TJ)
+    dcr = pl.pallas_call(
+        kern_r,
+        out_shape=jax.ShapeDtypeStruct((Prp, 3), jnp.float32),
+        grid=(Prp // TI, Fp // FT, Pcp // TJ),
+        in_specs=[
+            _smem_scalar_spec(),
+            pl.BlockSpec((TI, 3), lambda i, fb, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, 1), lambda i, fb, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, 3), lambda i, fb, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, 1), lambda i, fb, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R1, TI, FT), lambda i, fb, j: (0, i, fb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, FT), lambda i, fb, j: (j, fb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TI, 3), lambda i, fb, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(offs, ci, mi, cj, mj, gg, f)[:Pr]
+
+    # col-coordinate gradient: grid (j, f, i)
+    kern_c = functools.partial(_grad_cols_kernel, cutoff=float(cutoff),
+                               n_radial=int(n_radial), div_d=bool(div_d),
+                               ti=TI, tj=TJ)
+    dcc = pl.pallas_call(
+        kern_c,
+        out_shape=jax.ShapeDtypeStruct((Pcp, 3), jnp.float32),
+        grid=(Pcp // TJ, Fp // FT, Prp // TI),
+        in_specs=[
+            _smem_scalar_spec(),
+            pl.BlockSpec((TI, 3), lambda j, fb, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, 1), lambda j, fb, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, 3), lambda j, fb, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, 1), lambda j, fb, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R1, TI, FT), lambda j, fb, i: (0, i, fb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, FT), lambda j, fb, i: (j, fb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TJ, 3), lambda j, fb, i: (j, 0),
+                               memory_space=pltpu.VMEM),
+    )(offs, ci, mi, cj, mj, gg, f)[:Pc]
+
+    return (dcr.astype(cr.dtype), None, None, dcc.astype(cc.dtype),
+            None, dfeats.astype(feats.dtype))
+
+
+radial_contract_rect_tpu.defvjp(_rc_rect_fwd, _rc_rect_bwd)
+
+
+def radial_contract_rect_reference(coords_rows, mask_rows, row_offset,
+                                   coords_cols, mask_cols, feats,
+                                   cutoff, n_radial, div_d=False):
+    """Pure-jnp rectangular reference (CPU / tests)."""
+    from .radial import cosine_envelope
+    Pr = coords_rows.shape[0]
+    Pc = coords_cols.shape[0]
+    diff = coords_rows[:, None, :] - coords_cols[None, :, :]
+    d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-12))
+    gi = jnp.arange(Pr) + jnp.asarray(row_offset, jnp.int32)
+    gj = jnp.arange(Pc)
+    not_self = gi[:, None] != gj[None, :]
+    within = ((d <= cutoff) & not_self
+              & (mask_rows[:, None] > 0) & (mask_cols[None, :] > 0))
+    d_safe = jnp.where(within, d, 1.0)
+    env = jnp.where(within, cosine_envelope(d, cutoff), 0.0)
+    inv = 1.0 / d_safe
+    scale = env * inv * np.sqrt(2.0 / cutoff)
+    env_ch = env
+    if div_d:
+        scale = scale * inv
+        env_ch = env * inv
+    freqs = jnp.arange(1, n_radial + 1) * (np.pi / cutoff)
+    A = jnp.concatenate(
+        [jnp.sin(d_safe[..., None] * freqs) * scale[..., None],
+         env_ch[..., None]], -1)
+    return jnp.einsum("ijr,jf->irf", A, feats)

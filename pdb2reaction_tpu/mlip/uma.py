@@ -176,11 +176,16 @@ def make_uma_calculator(
                 else ecfg.max_neighbors,
                 cutoff=float(radius) if radius else ecfg.cutoff)
         # fused Pallas edge chain for the force path (bf16 matmuls in
-        # VMEM, escn_edge_kernel.py); Hessian/HVP kernels keep the XLA
-        # variant (custom_vjp has no forward-mode). Opt-in via the factory
-        # kw or PDB2R_TPU_ESCN_KERNEL=pallas.
+        # VMEM, escn_edge_kernel.py): the TPU default (3.2x measured on
+        # escn-md at 300 atoms); Hessian/HVP kernels keep the XLA variant
+        # (custom_vjp has no forward-mode). Override via the factory kw or
+        # PDB2R_TPU_ESCN_KERNEL=pallas|pallas-full|xla.
+        import jax
         ek = (_ignored.get("edge_kernel")
               or os.environ.get("PDB2R_TPU_ESCN_KERNEL"))
+        if ek is None and spatial == 1 \
+                and jax.default_backend() == "tpu":
+            ek = "pallas"
         if ek:
             ecfg = dataclasses.replace(ecfg, edge_kernel=str(ek))
         if ckpt_params is not None:
@@ -228,8 +233,10 @@ def make_uma_calculator(
             cutoff=float(radius) if radius else cfg.cutoff,
         )
     pad_multiple = 8
-    if spatial > 1:
-        # atom-axis sharding requires the [P,K] gather layout (block rows)
+    if spatial > 1 and cfg.mp_mode not in ("pallas",):
+        # atom-axis sharding runs the [P,K] gather layout (block rows);
+        # mp_mode="pallas" composes directly (rectangular kernel — the
+        # O(P/n)-memory full-complex path, parallel/spatial.py)
         cfg = dataclasses.replace(cfg, mp_mode="gather")
     fn, params, cfg = make_model(cfg, seed=seed, charge=charge, spin=spin)
     if spatial > 1:

@@ -60,7 +60,16 @@ def make_spatial_energy_fn(cfg, mesh: Mesh, axis: str = "model"):
     if hit is not None:
         return hit
 
-    if isinstance(cfg, ModelConfig):
+    if isinstance(cfg, ModelConfig) and cfg.mp_mode == "pallas":
+        # spatial x Pallas composition (VERDICT r2 item 5): each shard
+        # runs the RECTANGULAR O(P/n)-memory kernel on its row block;
+        # the per-layer tiled all_gather of feature streams stays
+        from ..mlip.model import energy_fn_pallas
+
+        def body(coords, system, params):
+            return energy_fn_pallas(coords, system, params, cfg,
+                                    axis_name=axis, n_shards=n)
+    elif isinstance(cfg, ModelConfig):
         def body(coords, system, params):
             return gather_energy_core(coords, system, params, cfg,
                                       axis_name=axis, n_shards=n)

@@ -132,10 +132,12 @@ def test_escn_through_calculator():
     assert np.allclose(batch["energy"][0], res["energy"], atol=1e-12)
 
 
-def test_edge_kernel_pallas_parity():
-    """Fused Pallas edge chain (escn_edge_kernel.py) vs the XLA path:
-    exact in f32 interpret mode (CPU) — energies, forces, and the
-    weight-cotangent XLA-replay path (training grads)."""
+@pytest.mark.parametrize("kernel", ["pallas", "pallas-full"])
+def test_edge_kernel_pallas_parity(kernel):
+    """Fused Pallas edge chains (escn_edge_kernel.py: "pallas" = conv
+    chain fused; "pallas-full" = rotations + chain + envelope fused) vs
+    the XLA path: exact in f32 interpret mode (CPU) — energies, forces,
+    and the weight-cotangent XLA-replay path (training grads)."""
     import dataclasses
     import jax.tree_util as jtu
     rng = np.random.default_rng(3)
@@ -145,7 +147,7 @@ def test_edge_kernel_pallas_parity():
     cfg = ESCN_CONFIGS["escn-test"]
     fn_x, p, _ = make_escn_model(cfg, seed=0)
     fn_p, _, _ = make_escn_model(
-        dataclasses.replace(cfg, edge_kernel="pallas"), seed=0)
+        dataclasses.replace(cfg, edge_kernel=kernel), seed=0)
     # perturb params so biases are nonzero (the effective-bias combination
     # for the +-m pairs is part of what this pins)
     k = jax.random.PRNGKey(9)

@@ -128,3 +128,46 @@ def test_spatial_batched_forces():
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(r1["forces"], r0["forces"],
                                rtol=1e-5, atol=1e-7)
+
+
+def test_spatial_pallas_composition():
+    """VERDICT r2 item 5: the two large-system mechanisms COMPOSE — each
+    shard runs the O(P/n)-memory rectangular Pallas/radial kernel on its
+    row block (atom-axis sharding for memory across chips; Pallas for
+    O(P) memory per chip)."""
+    import dataclasses
+    mesh = make_mesh(data=1, model=8)
+    cfg = dataclasses.replace(_cfg(), mp_mode="pallas")
+    fn0, wts, cfg = make_model(cfg, seed=0)
+    st = _random_structure(n=60, seed=5)
+    sys_ = pad_to(st, n_pad=64)             # 64 atoms / 8 shards
+    coords = jnp.asarray(sys_.coords)
+
+    fn_sp = make_spatial_energy_fn(cfg, mesh, axis="model")
+    e0, g0 = jax.value_and_grad(lambda c: fn0(c, sys_, wts))(coords)
+    e1, g1 = jax.jit(
+        jax.value_and_grad(lambda c: fn_sp(c, sys_, wts)))(coords)
+    assert float(abs(e1 - e0)) < 1e-5 * max(1.0, abs(float(e0)))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_rect_kernel_matches_square():
+    """The rectangular radial contraction (rows block x global cols) must
+    reproduce the square kernel's rows, including self-pair exclusion via
+    the global row offset, and its gradients."""
+    from pdb2reaction_tpu.mlip.pallas_ops import (
+        radial_contract_rect_reference, radial_contract_reference)
+    rng = np.random.default_rng(2)
+    Pc, F, R = 40, 12, 5
+    cc = jnp.asarray(rng.normal(scale=2.0, size=(Pc, 3)), jnp.float32)
+    mc = jnp.ones(Pc, jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(Pc, F)), jnp.float32)
+    T_sq = radial_contract_reference(cc, mc, feats, 4.0, R)
+    for off, Pr in [(0, 8), (16, 8), (32, 8)]:
+        T_r = radial_contract_rect_reference(
+            cc[off:off + Pr], mc[off:off + Pr], off, cc, mc, feats,
+            4.0, R)
+        np.testing.assert_allclose(np.asarray(T_r),
+                                   np.asarray(T_sq[off:off + Pr]),
+                                   rtol=1e-6, atol=1e-7)
