@@ -68,6 +68,10 @@ class SegmentReport:
     bond_summary: str = ""
     converged: bool = True
     pair_index: int = 0                # which adjacent-input pair produced it
+    # "seg" | "bridge" | "kink" — the reference's segment kinds
+    # (path_search.py:2614-2621); only plain reactive "seg"s open TS groups
+    # in the compressed diagram, "bridge" barriers become diagram-only peaks
+    kind: str = "seg"
 
     @property
     def barrier_au(self) -> float:
@@ -208,6 +212,7 @@ class PathSearch:
             imgs, es, h, cv = self._mep(c_from, c_to)
             seg = self._segment(imgs, es, h, cv)
             seg.is_kink = True
+            seg.kind = "bridge"
             return [seg]
         return []
 
@@ -227,7 +232,8 @@ class PathSearch:
         hei = int(np.argmax(energies))
         seg = SegmentReport(images_bohr=images, energies=energies,
                             hei_idx=hei, is_reactive=False, is_kink=True,
-                            bond_summary="(kink: no covalent change)")
+                            bond_summary="(kink: no covalent change)",
+                            kind="kink")
         self._log("kink segment inserted")
         return seg
 
@@ -264,7 +270,7 @@ class PathSearch:
                         hei_idx=max(seg.hei_idx - 1, 0),
                         is_reactive=seg.is_reactive, is_kink=seg.is_kink,
                         bond_summary=seg.bond_summary,
-                        converged=seg.converged)
+                        converged=seg.converged, kind=seg.kind)
                 elif gap > self.kw["bridge_rmsd_thresh"]:
                     bc = self._bond_change(prev_end, seg.images_bohr[0])
                     self._log(f"stitch: interface gap RMSD {gap:.4f} Bohr -> "
@@ -273,6 +279,7 @@ class PathSearch:
                     imgs, es, h, cv = self._mep(prev_end, seg.images_bohr[0])
                     bridge = self._segment(imgs, es, h, cv)
                     bridge.is_kink = not bc.any_change
+                    bridge.kind = "bridge"
                     out.append(bridge)
             out.append(seg)
         return out
@@ -476,14 +483,21 @@ def run_path_search(
     # summary + diagram (:2575-2839)
     summary = segments_summary(all_segments)
     summary["weights"] = calc.weights_source
+    try:
+        diag = build_energy_diagram(out / "energy_diagram.png",
+                                    all_segments)
+        summary["diagram"] = {"labels": diag["labels"],
+                              "energies_kcal": [round(float(e), 6)
+                                                for e in diag["energies_kcal"]],
+                              "chain": diag["chain"]}
+        paths.append(out / "energy_diagram.png")
+        if verbose:
+            print(f"[diagram] State label sequence: {diag['chain']}")
+    except Exception as e:
+        print(f"[path-search] WARNING: diagram failed: {e}")
     paths.append(write_summary_yaml(out / "summary.yaml", summary))
     paths.append(write_summary_log(out / "summary.log", summary,
                                    elapsed=format_elapsed(t0)))
-    try:
-        paths.append(build_energy_diagram(out / "energy_diagram.png",
-                                          all_segments))
-    except Exception as e:
-        print(f"[path-search] WARNING: diagram failed: {e}")
     try:
         from .trj2fig import plot_profile
         paths.append(plot_profile(out / "mep_plot.png", mep_energies))
@@ -509,6 +523,7 @@ def segments_summary(segments: List[SegmentReport]) -> Dict[str, Any]:
             "pair_index": int(getattr(s, "pair_index", 0)),
             "reactive": bool(s.is_reactive),
             "kink": bool(s.is_kink),
+            "kind": getattr(s, "kind", "seg"),
             "barrier_kcal": round(s.barrier_au * AU2KCALPERMOL, 3),
             "delta_e_kcal": round(s.delta_e_au * AU2KCALPERMOL, 3),
             "e_start_au": float(s.energies[0]),

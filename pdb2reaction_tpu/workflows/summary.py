@@ -128,8 +128,9 @@ def build_levels_diagram(path, names: List[str], levels_au: List[float],
 
 
 def segment_levels(segments) -> (List[str], List[float]):
-    """Compressed R -> TS1 -> IM1 -> ... -> P level list from segments
-    (path_search.py:2575-2759)."""
+    """Simple per-segment level list (every reactive segment contributes a
+    TS + IM level). Kept for per-segment reporting; the aggregated diagram
+    uses :func:`compressed_diagram`."""
     levels: List[float] = [segments[0].energies[0]]
     names: List[str] = ["R"]
     n_ts = 0
@@ -143,14 +144,117 @@ def segment_levels(segments) -> (List[str], List[float]):
     return names, levels
 
 
+def _seg_kind(seg) -> str:
+    k = getattr(seg, "kind", None)
+    if k:
+        return k
+    return "kink" if getattr(seg, "is_kink", False) else "seg"
+
+
+def compressed_diagram(segments) -> Dict[str, Any]:
+    """Compressed stationary-point diagram built purely from segment-level
+    dE / dE-barrier accumulation (reference path_search.py:2575-2759):
+
+    - only plain bond-change segments (kind ``seg``, covalent change) open
+      a ``TS{n}`` group: TS level = running state energy + segment barrier,
+      first intermediate = running + segment dE;
+    - non-bond-change segments BEFORE the first TS group fold their dE
+      into the running reactant-side energy;
+    - ``bridge`` segments inside a group with barrier > 1e-3 kcal/mol add
+      diagram-only peaks ``IM{n}_TS`` (then ``IM{n}_TS_2``, ...) —
+      bridge segments skip tsopt/thermo/DFT so the peak exists only here;
+    - any non-bond-change dE inside a group accumulates into a second
+      intermediate ``IM{n}_2`` joined with the ``-|-->`` chain token
+      (:2714-2721);
+    - the LAST TS group goes straight to ``P`` (no intermediates,
+      :2702-2703);
+    - absolute (au) energies are anchored at the first frame of the first
+      bond-change segment and the last frame of the last (:2594-2605).
+
+    Returns ``{"labels", "energies_kcal", "energies_au", "chain"}``.
+    """
+    def _is_bc(s):
+        return _seg_kind(s) == "seg" and s.is_reactive
+
+    bc_segs = [s for s in segments if _is_bc(s)]
+    if bc_segs:
+        E0_au = float(bc_segs[0].energies[0])
+        EP_au = float(bc_segs[-1].energies[-1])
+    else:
+        E0_au = float(segments[0].energies[0])
+        EP_au = float(segments[-1].energies[-1])
+
+    ts_groups: List[Dict[str, Any]] = []
+    cur: Optional[Dict[str, Any]] = None
+    E = 0.0  # running state energy rel. R, kcal/mol
+    for s in segments:
+        b = float(s.barrier_au) * AU2KCALPERMOL
+        d = float(s.delta_e_au) * AU2KCALPERMOL
+        if _is_bc(s):
+            cur = {"ts": E + (b if np.isfinite(b) else 0.0),
+                   "im1": E + (d if np.isfinite(d) else 0.0),
+                   "extra": False, "idx": len(ts_groups) + 1, "peaks": []}
+            ts_groups.append(cur)
+            E = cur["im1"]
+            cur["tail"] = E
+        else:
+            if cur is None:
+                if np.isfinite(d):
+                    E += d
+                continue
+            if _seg_kind(s) == "bridge" and np.isfinite(b) and b > 1.0e-3:
+                suffix = "" if not cur["peaks"] else f"_{len(cur['peaks']) + 1}"
+                cur["peaks"].append({"label": f"IM{cur['idx']}_TS{suffix}",
+                                     "energy": E + b})
+            if np.isfinite(d):
+                E += d
+                cur["tail"] = E
+                cur["extra"] = True
+
+    if not ts_groups:
+        labels = ["R", "P"]
+        ek = [0.0, (EP_au - E0_au) * AU2KCALPERMOL]
+        chain = ["R", "-->", "P"]
+    else:
+        labels, ek, chain = ["R"], [0.0], ["R"]
+        for i, g in enumerate(ts_groups, start=1):
+            labels.append(f"TS{i}")
+            ek.append(float(g["ts"]))
+            chain += ["-->", f"TS{i}"]
+            if i == len(ts_groups):
+                continue
+            labels.append(f"IM{i}_1")
+            ek.append(float(g["im1"]))
+            chain += ["-->", f"IM{i}_1"]
+            for p in g["peaks"]:
+                labels.append(p["label"])
+                ek.append(float(p["energy"]))
+                chain += ["-->", p["label"]]
+            if g["extra"]:
+                labels.append(f"IM{i}_2")
+                ek.append(float(g["tail"]))
+                chain += ["-|-->", f"IM{i}_2"]
+        labels.append("P")
+        ek.append(E)
+        chain += ["-->", "P"]
+
+    return {"labels": labels,
+            "energies_kcal": ek,
+            "energies_au": [E0_au + e / AU2KCALPERMOL for e in ek],
+            "chain": " ".join(chain)}
+
+
 def build_energy_diagram(path, segments, *, unit: str = "kcal",
                          labels: Optional[List[str]] = None):
-    """Compressed stationary-point diagram R -> TS1 -> IM1 -> ... -> P
-    (path_search.py:2575-2759)."""
-    names, levels = segment_levels(segments)
+    """Compressed stationary-point diagram R -> TS1 -> IM1_1 -> ... -> P
+    (path_search.py:2575-2759); see :func:`compressed_diagram` for the
+    level semantics."""
+    diag = compressed_diagram(segments)
+    names = list(diag["labels"])
     if labels:
         names = labels[: len(names)] + names[len(labels):]
-    return build_levels_diagram(path, names, levels, unit=unit)
+    build_levels_diagram(path, names, diag["energies_au"], unit=unit)
+    return diag
 
 
 def build_irc_overview(path, seg_profiles: Dict[int, List[float]],
