@@ -391,14 +391,20 @@ def run_all(
     from ..mlip import uma as _uma
     summary["weights"] = (_uma.last_weights_source()
                           or f"analytic:{calc_mode}")
+    try:
+        diag = build_energy_diagram(out / "energy_diagram_all.png", segments)
+        summary["diagram"] = {"labels": diag["labels"],
+                              "energies_kcal": [round(float(e), 6)
+                                                for e in diag["energies_kcal"]],
+                              "chain": diag["chain"]}
+        if verbose:
+            print(f"[diagram] State label sequence: {diag['chain']}")
+    except Exception as e:
+        print(f"[all] WARNING: diagram failed: {e}")
     write_summary_yaml(out / "summary.yaml", summary)
     write_summary_log(out / "summary.log", summary,
                       elapsed=format_elapsed(t0),
                       freq_blocks=freq_blocks, tree_root=out)
-    try:
-        build_energy_diagram(out / "energy_diagram_all.png", segments)
-    except Exception as e:
-        print(f"[all] WARNING: diagram failed: {e}")
 
     # aggregated UMA / Gibbs / DFT / DFT//UMA diagrams over the refined
     # stationary points + merged IRC plot (all.py:1070-1226, 4387-4449)
