@@ -179,7 +179,7 @@ def _escn_section(sys_, coords):
     out = {}
     for name, cfg in [
         ("escn-md-pallas", dataclasses.replace(
-            ESCN_CONFIGS["escn-md"], edge_kernel="pallas")),
+            ESCN_CONFIGS["escn-md"], edge_kernel="pallas-mega")),
         ("escn-md-xla", ESCN_CONFIGS["escn-md"]),
     ]:
         fn, params, cfg = make_escn_model(cfg, seed=0)
@@ -190,6 +190,10 @@ def _escn_section(sys_, coords):
                 lambda cc: fn(cc, sys_, params))(c)
             return e, -g
 
+        # burn-in: the relay's FIRST measured program in a process pays
+        # extra per-execution setup beyond the compile call (measured
+        # 3-30x on the first chained loop); one throwaway loop clears it
+        _chained_rate(eforce, params, coords, 3)
         rate = _chained_rate(eforce, params, coords, 10)
         entry = {"force_calls_per_sec": round(rate, 2),
                  "ms_per_force_call": round(1e3 / rate, 1)}

@@ -104,7 +104,18 @@ class ESCNConfig:
     # VJP; forward-over-reverse (HVP/Hessian) paths must use the "xla"
     # variant (mlip/uma.py builds Hessian kernels with it automatically).
     edge_kernel: str = "xla"
+    # node S2-FFN kernel: "auto" = fused Pallas FFN (escn_ffn_kernel.py)
+    # whenever the edge chain runs a Pallas variant (the [P,G,H] grid
+    # activations are the force program's dominant HBM traffic — see that
+    # module's docstring), plain XLA otherwise; "pallas"/"xla" force it.
+    ffn_kernel: str = "auto"
     dtype: Any = jnp.float32
+
+    @property
+    def use_pallas_ffn(self) -> bool:
+        if self.ffn_kernel == "auto":
+            return self.edge_kernel.startswith("pallas")
+        return self.ffn_kernel == "pallas"
 
     @property
     def grid(self):
@@ -534,7 +545,54 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
                 return _gate_act(blk["gate"], alpha, m, cfg)
             return _s2_sep_act(m, cfg, reduced)
 
-        if reduced and cfg.edge_kernel == "pallas-full" \
+        if reduced and cfg.edge_kernel == "pallas-mega" \
+                and cfg.edge_act == "s2" and axis_name is None:
+            # v3: gather + rotation + chain + back-rotation + envelope +
+            # K-sum all in ONE node-resident kernel (one-hot MXU gathers;
+            # see escn_edge_kernel.py v3 header). XLA materializes NO
+            # per-edge feature tensor at all.
+            from .escn_edge_kernel import (fused_edge_mega, pack_d,
+                                           _rot_nz)
+            K = cfg.max_neighbors
+            E_ = P_loc * K
+            xn_t_local = jnp.transpose(xn, (1, 2, 0)) \
+                .reshape(M * C, P_loc)
+            es_t = edge_scalar.reshape(E_, cfg.edge_channels).T
+            nnz = len(_rot_nz(cfg.lmax, cfg.mmax)[0])
+            Dp_pk = pack_d(cfg, D_sel)                  # [P,K,NZ]
+            Dpe_pk = Dp_pk * env
+            Dp_t = jnp.transpose(Dp_pk, (2, 0, 1)).reshape(nnz, E_)
+            Dpe_t = jnp.transpose(Dpe_pk, (2, 0, 1)).reshape(nnz, E_)
+
+            def mw(p):
+                return (jnp.einsum("e,eio->io", alpha, p["w"]),
+                        jnp.einsum("e,eo->o", alpha, p["b"]))
+
+            c1, c2 = blk["so2_conv_1"], blk["so2_conv_2"]
+            W0, b0 = mw(c1["fc_m0"])
+            V0, c0 = mw(c2["fc_m0"])
+            Wrs, Wis, brs, bis = [], [], [], []
+            Vrs, Vis, crs, cis = [], [], [], []
+            for mm in range(1, cfg.mmax + 1):
+                wr, br = mw(c1[f"fc_m{mm}_r"])
+                wi, bi = mw(c1[f"fc_m{mm}_i"])
+                Wrs.append(wr), Wis.append(wi)
+                brs.append(br - bi), bis.append(br + bi)
+                vr, cr = mw(c2[f"fc_m{mm}_r"])
+                vi, ci = mw(c2[f"fc_m{mm}_i"])
+                Vrs.append(vr), Vis.append(vi)
+                crs.append(cr - ci), cis.append(cr + ci)
+            weights = (W0, tuple(Wrs), tuple(Wis), b0, tuple(brs),
+                       tuple(bis), V0, tuple(Vrs), tuple(Vis), c0,
+                       tuple(crs), tuple(cis))
+            tg_e, fg_e = _edge_grid_tables(cfg.lmax, cfg.mmax)
+            msum_t = fused_edge_mega(
+                cfg, xn_t_local, idx.reshape(E_).astype(jnp.float32),
+                es_t, Dp_t, Dpe_t, weights,
+                (jnp.asarray(tg_e, dt), jnp.asarray(fg_e, dt)))
+            msg_sum = jnp.transpose(
+                msum_t.astype(dt).reshape(M, C, P_loc), (2, 0, 1))
+        elif reduced and cfg.edge_kernel in ("pallas-full", "pallas-mega") \
                 and cfg.edge_act == "s2":
             # v2: rotation + chain + back-rotation + envelope fused in ONE
             # kernel (block-sparse VPU rotations); XLA only gathers source
@@ -673,11 +731,24 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
         tg, fg = s2_grid_tables(cfg.lmax, *cfg.grid)
         tg = jnp.asarray(tg, dt)
         fg = jnp.asarray(fg, dt)
-        grid = jnp.einsum("gm,pmc->pgc", tg, xn2)
-        grid = _mole(blk["ffn"][0], alpha, grid)
-        grid = jax.nn.silu(grid)
-        grid = _mole(blk["ffn"][1], alpha, grid)
-        x = x + jnp.einsum("mg,pgc->pmc", fg, grid)
+        if cfg.use_pallas_ffn:
+            # fused VMEM chain (escn_ffn_kernel.py): the [P,G,H] grid
+            # activations never touch HBM
+            from .escn_ffn_kernel import fused_node_ffn
+
+            def mw(p):
+                return (jnp.einsum("e,eio->io", alpha, p["w"]),
+                        jnp.einsum("e,eo->o", alpha, p["b"]))
+            W1, b1 = mw(blk["ffn"][0])
+            W2, b2 = mw(blk["ffn"][1])
+            x = x + fused_node_ffn(cfg, xn2, (W1, b1, W2, b2),
+                                   (tg, fg)).astype(dt)
+        else:
+            grid = jnp.einsum("gm,pmc->pgc", tg, xn2)
+            grid = _mole(blk["ffn"][0], alpha, grid)
+            grid = jax.nn.silu(grid)
+            grid = _mole(blk["ffn"][1], alpha, grid)
+            x = x + jnp.einsum("mg,pgc->pmc", fg, grid)
         return x * atom_mask[:, None, None]
 
     run_block = jax.checkpoint(block_fn) if cfg.remat_blocks else block_fn

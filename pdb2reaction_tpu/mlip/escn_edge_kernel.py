@@ -898,3 +898,471 @@ def _vjp_bwd_full(cfg, res, g):
 
 
 fused_edge_block.defvjp(_vjp_fwd_full, _vjp_bwd_full)
+
+
+# ===========================================================================
+# v3: node-resident kernel ("pallas-mega") — gather, rotation, conv chain,
+# back-rotation, envelope AND the K-sum all inside one kernel, with the
+# node-feature array resident in VMEM ([M*C, P] — ~2 MB bf16 at escn-md
+# scale). ENTRY-level HLO traffic analysis after v2 showed the remaining
+# HBM bytes living entirely in the XLA glue AROUND the edge kernel: the
+# per-edge gather/repeat tensors ([M*C, E] ~100 MB), the K-sum read, the
+# backward's scatter-add, and forced layout copies at the Pallas custom-
+# call boundaries (~10 GB materialized per force call — the program ran at
+# 889 GB/s effective, HBM speed-of-light on the wrong byte count). v3
+# converts gather and scatter into one-hot MXU matmuls against the
+# resident node array, so per layer the kernel reads/writes only the
+# [M*C, P] features and the small per-edge scalar rows.
+#
+# Edge order is target-major ([P, K] flattened), so a tile of T = 8*K
+# edges covers exactly A = 8 target atoms: the forward K-sum is a fixed
+# [T, A] block matmul and the output tile is written (not accumulated).
+# Source gather hits arbitrary atoms — the backward scatters through the
+# transposed one-hots into a full [M*C, P] VMEM accumulator revisited
+# across grid steps. Source indices travel as f32 (exact for P < 2^24) so
+# the custom_vjp can hand back an ordinary zero cotangent.
+# ===========================================================================
+
+def _mega_tile(cfg):
+    return 8 * cfg.max_neighbors                    # A = 8 atoms per tile
+
+
+def _oh(eq_a, eq_b, dtype):
+    return (eq_a == eq_b).astype(dtype)
+
+
+def _fwd_kernel_mega(cfg, P, T, refs):
+    nl0, nls, U, G = _dims(cfg)
+    M = (cfg.lmax + 1) ** 2
+    h, C = cfg.hidden_channels, cfg.sphere_channels
+    K = cfg.max_neighbors
+    A = T // K
+    u_list, m_list, by_u, by_m = _rot_nz(cfg.lmax, cfg.mmax)
+    it = iter(refs)
+    x = next(it)                        # [M*C, P] bf16 resident
+    srow = next(it)                     # [1, T] f32 source atom per edge
+    es = next(it)
+    Dp = next(it)
+    Dpe = next(it)
+    W0t = next(it)
+    Wrt = [next(it) for _ in nls]
+    Wit = [next(it) for _ in nls]
+    b0 = next(it)
+    brs = [next(it) for _ in nls]
+    bis = [next(it) for _ in nls]
+    V0t = next(it)
+    Vrt = [next(it) for _ in nls]
+    Vit = [next(it) for _ in nls]
+    c0 = next(it)
+    crs = [next(it) for _ in nls]
+    cis = [next(it) for _ in nls]
+    tg = next(it)
+    fg = next(it)
+    out_ref = next(it)                  # [M*C, P] f32 accumulated (lane
+                                        # tiling forbids an A-column
+                                        # block: A=8 < 128)
+    bf = x.dtype
+    i = pl.program_id(0)
+
+    # ---- one-hot gathers (MXU matmuls against the resident array) -------
+    # Mosaic iota is integer-only; the f32 index rows cast exactly
+    rowpi = jax.lax.broadcasted_iota(jnp.int32, (P, T), 0)
+    src_i = jnp.broadcast_to(srow[0:1, :], (P, T)).astype(jnp.int32)
+    oh_src = _oh(rowpi, src_i, bf)
+    ecol = jax.lax.broadcasted_iota(jnp.int32, (P, T), 1)
+    oh_tgt = _oh(rowpi, i * A + ecol // K, bf)
+    xs = _dot(x[:], oh_src).astype(bf)              # [M*C, T]
+    xt = _dot(x[:], oh_tgt).astype(bf)
+
+    # ---- rotation -> conv1 -> S2 act -> conv2 -> back-rotation (v2) -----
+    groups = [[(j, m_list[j]) for j in by_u[u]] for u in range(U)]
+    rs = _rotate_rows(Dp[:], xs, groups, C, lambda a: a)
+    rt = _rotate_rows(Dp[:], xt, groups, C, lambda a: a)
+    pr = jnp.concatenate(
+        [blk for u in range(U) for blk in (rs[u], rt[u])],
+        axis=0).astype(bf)
+    msg = _conv(pr, es[:],
+                (W0t[:], [w[:] for w in Wrt], [w[:] for w in Wit]),
+                (b0[:], [b[:] for b in brs], [b[:] for b in bis]),
+                nl0, nls, 2 * C, h, T)
+    grid = _dot(tg[:], msg.astype(tg.dtype))
+    act = _dot(fg[:], _silu(grid).astype(fg.dtype))
+    act = jnp.concatenate([_silu(msg[0:1, :]), act[1:, :]], axis=0)
+    out = _conv(act.astype(bf).reshape(U * h, T), None,
+                (V0t[:], [w[:] for w in Vrt], [w[:] for w in Vit]),
+                (c0[:], [b[:] for b in crs], [b[:] for b in cis]),
+                nl0, nls, h, C, T).reshape(U * C, T)
+    groups_t = [[(j, u_list[j]) for j in by_m[mf]] for mf in range(M)]
+    back = _rotate_rows(Dpe[:], out.astype(bf), groups_t, C,
+                        lambda a: a.astype(bf))
+    back_cat = jnp.concatenate(back, axis=0)        # [M*C, T] bf16
+
+    # ---- K-sum scatter into the node accumulator ------------------------
+    colpi = jax.lax.broadcasted_iota(jnp.int32, (T, P), 1)
+    erowi = jax.lax.broadcasted_iota(jnp.int32, (T, P), 0)
+    ohT_tgt = _oh(colpi, i * A + erowi // K, bf)    # [T, P]
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+    out_ref[:] += _dot(back_cat, ohT_tgt)           # f32 accum
+
+
+def _bwd_kernel_mega(cfg, P, T, refs):
+    nl0, nls, U, G = _dims(cfg)
+    M = (cfg.lmax + 1) ** 2
+    h, C = cfg.hidden_channels, cfg.sphere_channels
+    K = cfg.max_neighbors
+    A = T // K
+    u_list, m_list, by_u, by_m = _rot_nz(cfg.lmax, cfg.mmax)
+    it = iter(refs)
+    x = next(it)                        # [M*C, P] bf16 resident
+    gnode = next(it)                    # [M*C, P] f32 node cotangent
+    srow = next(it)                     # [1, T] f32
+    scol = next(it)                     # [T, 1] f32 (same indices, column
+    es = next(it)                       # layout: no in-kernel transpose)
+    Dp = next(it)
+    Dpe = next(it)
+    # transposed conv weights + biases (recompute path)
+    W0t = next(it)
+    Wrt = [next(it) for _ in nls]
+    Wit = [next(it) for _ in nls]
+    b0 = next(it)
+    brs = [next(it) for _ in nls]
+    bis = [next(it) for _ in nls]
+    V0t = next(it)
+    Vrt = [next(it) for _ in nls]
+    Vit = [next(it) for _ in nls]
+    c0 = next(it)
+    crs = [next(it) for _ in nls]
+    cis = [next(it) for _ in nls]
+    # fwd-orientation conv weights (cotangent path)
+    W0 = next(it)
+    Wrs = [next(it) for _ in nls]
+    Wis = [next(it) for _ in nls]
+    V0 = next(it)
+    Vrs = [next(it) for _ in nls]
+    Vis = [next(it) for _ in nls]
+    tg = next(it)
+    fg = next(it)
+    tgT = next(it)
+    fgT = next(it)
+    dx_ref = next(it)                   # [M*C, P] f32 accumulated
+    ges_ref = next(it)
+    gdp_ref = next(it)
+    gdpe_ref = next(it)
+
+    bf = x.dtype
+    i = pl.program_id(0)
+    NZp = gdp_ref.shape[0]
+    nnz = len(u_list)
+    Ce = ges_ref.shape[0]
+
+    # ---- gathers --------------------------------------------------------
+    rowpi = jax.lax.broadcasted_iota(jnp.int32, (P, T), 0)
+    src_i = jnp.broadcast_to(srow[0:1, :], (P, T)).astype(jnp.int32)
+    oh_src = _oh(rowpi, src_i, bf)
+    ecol = jax.lax.broadcasted_iota(jnp.int32, (P, T), 1)
+    tgt_b = i * A + ecol // K
+    oh_tgt = _oh(rowpi, tgt_b, bf)
+    xs = _dot(x[:], oh_src).astype(bf)
+    xt = _dot(x[:], oh_tgt).astype(bf)
+    g_back = _dot(gnode[:].astype(bf), oh_tgt)      # [M*C, T] f32
+
+    # ---- recompute rotation + conv1 (msg) -------------------------------
+    groups = [[(j, m_list[j]) for j in by_u[u]] for u in range(U)]
+    rs = _rotate_rows(Dp[:], xs, groups, C, lambda a: a)
+    rt = _rotate_rows(Dp[:], xt, groups, C, lambda a: a)
+    pr = jnp.concatenate(
+        [blk for u in range(U) for blk in (rs[u], rt[u])],
+        axis=0).astype(bf)
+    msg = _conv(pr, es[:],
+                (W0t[:], [w[:] for w in Wrt], [w[:] for w in Wit]),
+                (b0[:], [b[:] for b in brs], [b[:] for b in bis]),
+                nl0, nls, 2 * C, h, T)
+
+    # ---- recompute act + conv2 forward (for g_Dpe) ----------------------
+    grid = _dot(tg[:], msg.astype(tg.dtype))
+    sig_g = jax.nn.sigmoid(grid)
+    act = _dot(fg[:], _silu(grid).astype(fg.dtype))
+    act = jnp.concatenate(
+        [_silu(msg[0:1, :].astype(jnp.float32)), act[1:, :]], axis=0)
+    out = _conv(act.astype(bf).reshape(U * h, T), None,
+                (V0t[:], [w[:] for w in Vrt], [w[:] for w in Vit]),
+                (c0[:], [b[:] for b in crs], [b[:] for b in cis]),
+                nl0, nls, h, C, T).reshape(U * C, T)
+
+    # ---- back-rotation transpose + g_Dpe --------------------------------
+    groups_o = [[(j, m_list[j]) for j in by_u[u]] for u in range(U)]
+    g_out_parts = _rotate_rows(Dpe[:], g_back, groups_o, C, lambda a: a)
+    g_out = jnp.concatenate(g_out_parts, axis=0)    # [U*C, T] f32
+    gdpe_rows = []
+    for j in range(nnz):
+        u, mf = u_list[j], m_list[j]
+        prod = out[u * C:(u + 1) * C, :].astype(jnp.float32) \
+            * g_back[mf * C:(mf + 1) * C, :]
+        gdpe_rows.append(jnp.sum(prod, axis=0, keepdims=True))
+    gdpe_rows.append(jnp.zeros((NZp - nnz, T), jnp.float32))
+    gdpe_ref[:] = jnp.concatenate(gdpe_rows, axis=0)
+
+    # ---- conv2^T -> act VJP -> conv1^T (as v2) --------------------------
+    dsilu = sig_g * (1.0 + grid * (1.0 - sig_g))
+    g16 = g_out.astype(bf)
+    parts = [_dot(V0[:], g16[0:nl0 * C, :]).reshape(nl0, h * T)]
+    off = nl0 * C
+    for i2, nl in enumerate(nls):
+        gp = g16[off:off + nl * C, :]
+        gn = g16[off + nl * C:off + 2 * nl * C, :]
+        parts.append((_dot(Vrs[i2][:], gp)
+                      + _dot(Vis[i2][:], gn)).reshape(nl, h * T))
+        parts.append((-_dot(Vis[i2][:], gp)
+                      + _dot(Vrs[i2][:], gn)).reshape(nl, h * T))
+        off += 2 * nl * C
+    g_act = jnp.concatenate(parts, axis=0)
+    g_b = jnp.concatenate(
+        [jnp.zeros((1, h * T), jnp.float32), g_act[1:, :]], axis=0)
+    g_grid = _dot(fgT[:], g_b.astype(bf)) * dsilu
+    g_msg = _dot(tgT[:], g_grid.astype(bf))
+    m0 = msg[0:1, :].astype(jnp.float32)
+    s_sig = jax.nn.sigmoid(m0)
+    g_msg = jnp.concatenate(
+        [g_msg[0:1, :] + g_act[0:1, :] * s_sig * (1.0 + m0 * (1.0 - s_sig)),
+         g_msg[1:, :]], axis=0)
+    gm16 = g_msg.astype(bf)
+    gx0 = _dot(W0[:], gm16[:nl0].reshape(nl0 * h, T))
+    gpr_parts = [gx0[0:nl0 * 2 * C, :]]
+    ges_ref[:] = gx0[nl0 * 2 * C:nl0 * 2 * C + Ce, :]
+    off = nl0
+    for i2, nl in enumerate(nls):
+        gyp = gm16[off:off + nl].reshape(nl * h, T)
+        gyn = gm16[off + nl:off + 2 * nl].reshape(nl * h, T)
+        gpr_parts.append(_dot(Wrs[i2][:], gyp) + _dot(Wis[i2][:], gyn))
+        gpr_parts.append(-_dot(Wis[i2][:], gyp) + _dot(Wrs[i2][:], gyn))
+        off += 2 * nl
+    g_pr = jnp.concatenate(gpr_parts, axis=0)       # [U*2C, T] f32
+
+    # ---- rotation transpose + g_Dp --------------------------------------
+    def src_block(v, u):
+        return v[u * 2 * C:u * 2 * C + C, :]
+
+    def tgt_block(v, u):
+        return v[u * 2 * C + C:(u + 1) * 2 * C, :]
+
+    gxs_parts, gxt_parts = [], []
+    for mf in range(M):
+        acc_s = None
+        acc_t = None
+        for j in by_m[mf]:
+            u = u_list[j]
+            d = Dp[j:j + 1, :].astype(jnp.float32)
+            ts_ = d * src_block(g_pr, u)
+            tt_ = d * tgt_block(g_pr, u)
+            acc_s = ts_ if acc_s is None else acc_s + ts_
+            acc_t = tt_ if acc_t is None else acc_t + tt_
+        gxs_parts.append(acc_s.astype(bf))
+        gxt_parts.append(acc_t.astype(bf))
+    gxs_cat = jnp.concatenate(gxs_parts, axis=0)    # [M*C, T] bf16
+    gxt_cat = jnp.concatenate(gxt_parts, axis=0)
+
+    gdp_rows = []
+    for j in range(nnz):
+        u, mf = u_list[j], m_list[j]
+        ps = xs[mf * C:(mf + 1) * C, :].astype(jnp.float32) \
+            * src_block(g_pr, u)
+        pt = xt[mf * C:(mf + 1) * C, :].astype(jnp.float32) \
+            * tgt_block(g_pr, u)
+        gdp_rows.append(jnp.sum(ps + pt, axis=0, keepdims=True))
+    gdp_rows.append(jnp.zeros((NZp - nnz, T), jnp.float32))
+    gdp_ref[:] = jnp.concatenate(gdp_rows, axis=0)
+
+    # ---- scatter into the node accumulator (transposed one-hots) --------
+    colpi = jax.lax.broadcasted_iota(jnp.int32, (T, P), 1)    # atom idx
+    scol_i = jnp.broadcast_to(scol[:, 0:1], (T, P)).astype(jnp.int32)
+    ohT_src = _oh(colpi, scol_i, bf)
+    erowi = jax.lax.broadcasted_iota(jnp.int32, (T, P), 0)
+    ohT_tgt = _oh(colpi, i * A + erowi // K, bf)
+    contrib = _dot(gxs_cat, ohT_src) + _dot(gxt_cat, ohT_tgt)
+
+    @pl.when(i == 0)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+    dx_ref[:] += contrib
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_call_mega(cfg, P):
+    nl0, nls, U, G = _dims(cfg)
+    M = (cfg.lmax + 1) ** 2
+    h, C, Ce = cfg.hidden_channels, cfg.sphere_channels, cfg.edge_channels
+    K = cfg.max_neighbors
+    T = _mega_tile(cfg)
+    A = T // K
+    E = P * K
+    NZp = _nzp(cfg)
+    in_specs = ([_full_spec((M * C, P)),             # x (resident)
+                 _col_spec(1, T),                    # src (row layout)
+                 _col_spec(Ce, T),
+                 _col_spec(NZp, T),
+                 _col_spec(NZp, T)]
+                + _weight_specs(cfg, transposed=True)
+                + [_full_spec((G, U)), _full_spec((U, G))])
+    out_shape = jax.ShapeDtypeStruct((M * C, P), jnp.float32)
+    out_specs = pl.BlockSpec((M * C, P), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        _fwd_kernel_mega(cfg, P, T, refs)
+
+    return pl.pallas_call(
+        kernel, grid=(E // T,), in_specs=in_specs, out_shape=out_shape,
+        out_specs=out_specs, interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_call_mega(cfg, P):
+    nl0, nls, U, G = _dims(cfg)
+    M = (cfg.lmax + 1) ** 2
+    h, C, Ce = cfg.hidden_channels, cfg.sphere_channels, cfg.edge_channels
+    K = cfg.max_neighbors
+    T = _mega_tile(cfg)
+    E = P * K
+    NZp = _nzp(cfg)
+    d0 = nl0 * 2 * C + Ce
+    fwd_wspecs = [_full_spec((d0, nl0 * h))]
+    fwd_wspecs += [_full_spec((nl * 2 * C, nl * h)) for nl in nls] * 2
+    fwd_wspecs += [_full_spec((nl0 * h, nl0 * C))]
+    fwd_wspecs += [_full_spec((nl * h, nl * C)) for nl in nls] * 2
+    in_specs = ([_full_spec((M * C, P)),             # x
+                 _full_spec((M * C, P)),             # g (node cotangent)
+                 _col_spec(1, T),                    # src row layout
+                 pl.BlockSpec((T, 1), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),  # src col layout
+                 _col_spec(Ce, T),
+                 _col_spec(NZp, T),
+                 _col_spec(NZp, T)]
+                + _weight_specs(cfg, transposed=True)
+                + fwd_wspecs
+                + [_full_spec((G, U)), _full_spec((U, G)),
+                   _full_spec((U, G)), _full_spec((G, U))])
+    out_shape = (jax.ShapeDtypeStruct((M * C, P), jnp.float32),
+                 jax.ShapeDtypeStruct((Ce, E), jnp.float32),
+                 jax.ShapeDtypeStruct((NZp, E), jnp.float32),
+                 jax.ShapeDtypeStruct((NZp, E), jnp.float32))
+    out_specs = (pl.BlockSpec((M * C, P), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM),
+                 _col_spec(Ce, T), _col_spec(NZp, T), _col_spec(NZp, T))
+
+    def kernel(*refs):
+        _bwd_kernel_mega(cfg, P, T, refs)
+
+    return pl.pallas_call(
+        kernel, grid=(E // T,), in_specs=in_specs,
+        out_shape=out_shape, out_specs=out_specs,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
+
+
+def _mega_fwd_weight_flats(cfg, weights):
+    """conv1 + conv2 fwd orientation (no biases) — the cotangent path of
+    the mega backward (the recompute path reuses the transposed set)."""
+    (W0, Wrs, Wis, b0, brs, bis, V0, Vrs, Vis, c0, crs, cis) = weights
+    bf = _bf()
+    out = [W0.astype(bf)] + [w.astype(bf) for w in Wrs] \
+        + [w.astype(bf) for w in Wis]
+    out += [V0.astype(bf)] + [w.astype(bf) for w in Vrs] \
+        + [w.astype(bf) for w in Vis]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_edge_mega(cfg, x_t, srcf, es, Dp, Dpe, weights, tables):
+    """Node-resident whole-message-layer kernel.
+
+    x_t [M*C, P]: node features (m-major rows, transposed); srcf [E] f32:
+    source atom index per edge in target-major ([P, K] flattened) order
+    (f32 so the one-hot compare runs on the VPU and the cotangent is an
+    ordinary zero — exact for P < 2^24); es [Ce, E]; Dp / Dpe [nnz, E] as
+    in fused_edge_block. Requires E == P * K. Returns the K-SUMMED node
+    message update [M*C, P] f32 (the caller divides by avg_degree)."""
+    out, _ = _fwd_impl_mega(cfg, x_t, srcf, es, Dp, Dpe, weights, tables)
+    return out
+
+
+def _fwd_impl_mega(cfg, x_t, srcf, es, Dp, Dpe, weights, tables):
+    P = x_t.shape[1]
+    E = srcf.shape[0]
+    K = cfg.max_neighbors
+    assert E == P * K, (E, P, K)
+    NZp = _nzp(cfg)
+    bf = _bf()
+    ins = ([x_t.astype(bf), srcf.astype(jnp.float32)[None, :],
+            es.astype(bf),
+            _pad_rows(Dp, NZp).astype(bf),
+            _pad_rows(Dpe, NZp).astype(bf)]
+           + _flat_weights(weights, True, True)
+           + [tables[0].astype(bf), tables[1].astype(bf)])
+    out = _fwd_call_mega(cfg, P)(*ins)
+    return out, None
+
+
+def _vjp_fwd_mega(cfg, x_t, srcf, es, Dp, Dpe, weights, tables):
+    out, _ = _fwd_impl_mega(cfg, x_t, srcf, es, Dp, Dpe, weights, tables)
+    return out, (x_t, srcf, es, Dp, Dpe, weights, tables)
+
+
+def _vjp_bwd_mega(cfg, res, g):
+    x_t, srcf, es, Dp, Dpe, weights, tables = res
+    P = x_t.shape[1]
+    K = cfg.max_neighbors
+    E = P * K
+    nl0, nls, U, G = _dims(cfg)
+    M = (cfg.lmax + 1) ** 2
+    C = cfg.sphere_channels
+    tg, fg = tables
+    NZp = _nzp(cfg)
+    bf = _bf()
+    srcf32 = srcf.astype(jnp.float32)
+    ins = ([x_t.astype(bf), g.astype(jnp.float32),
+            srcf32[None, :], srcf32[:, None],
+            es.astype(bf),
+            _pad_rows(Dp, NZp).astype(bf),
+            _pad_rows(Dpe, NZp).astype(bf)]
+           + _flat_weights(weights, True, True)
+           + _mega_fwd_weight_flats(cfg, weights)
+           + [tg.astype(bf), fg.astype(bf),
+              tg.T.astype(bf), fg.T.astype(bf)])
+    gx, ges, gdp, gdpe = _bwd_call_mega(cfg, P)(*ins)
+    nnz = len(_rot_nz(cfg.lmax, cfg.mmax)[0])
+    gdp = gdp[:nnz]
+    gdpe = gdpe[:nnz]
+
+    # ---- weight cotangents via XLA replay (DCE'd on force-only calls) ---
+    u_list, m_list, _, _ = _rot_nz(cfg.lmax, cfg.mmax)
+    ui = jnp.asarray(u_list)
+    mi = jnp.asarray(m_list)
+    idx = srcf.astype(jnp.int32)
+    xs_t = jnp.take(x_t.astype(jnp.float32), idx, axis=1)
+    xt_t = jnp.repeat(x_t.astype(jnp.float32), K, axis=1)
+    g_e = jnp.repeat(g.astype(jnp.float32), K, axis=1)
+    Dd = jnp.zeros((U, M, E), jnp.float32).at[ui, mi].set(
+        Dp.astype(jnp.float32))
+    Dde = jnp.zeros((U, M, E), jnp.float32).at[ui, mi].set(
+        Dpe.astype(jnp.float32))
+    rot_s = jnp.einsum("ume,mce->uce", Dd, xs_t.reshape(M, C, E))
+    rot_t = jnp.einsum("ume,mce->uce", Dd, xt_t.reshape(M, C, E))
+    pr = jnp.concatenate([rot_s, rot_t], axis=1).reshape(U * 2 * C, E)
+    g_chain = jnp.einsum("ume,mce->uce", Dde,
+                         g_e.reshape(M, C, E)).reshape(U * C, E)
+    _, wvjp = jax.vjp(
+        lambda w: chain_xla(cfg, pr, es.astype(jnp.float32), w, tables),
+        weights)
+    (gw,) = wvjp(g_chain)
+
+    g_tables = (jnp.zeros_like(tg), jnp.zeros_like(fg))
+    return (gx, jnp.zeros_like(srcf), ges, gdp, gdpe, gw, g_tables)
+
+
+fused_edge_mega.defvjp(_vjp_fwd_mega, _vjp_bwd_mega)

@@ -175,17 +175,21 @@ def make_uma_calculator(
                 max_neighbors=int(max_neigh) if max_neigh
                 else ecfg.max_neighbors,
                 cutoff=float(radius) if radius else ecfg.cutoff)
-        # fused Pallas edge chain for the force path (bf16 matmuls in
-        # VMEM, escn_edge_kernel.py): the TPU default (3.2x measured on
-        # escn-md at 300 atoms); Hessian/HVP kernels keep the XLA variant
-        # (custom_vjp has no forward-mode). Override via the factory kw or
-        # PDB2R_TPU_ESCN_KERNEL=pallas|pallas-full|xla.
+        # fused Pallas edge kernel for the force path (bf16 matmuls in
+        # VMEM, escn_edge_kernel.py): "pallas-mega" (node-resident,
+        # gather/K-sum fused — 41 -> 31 ms/force-call measured on escn-md
+        # at 300 atoms, 4.5x the XLA path's chained-input rate) is the
+        # single-device TPU default; spatial sharding uses the
+        # "pallas-full"/gather layout. Hessian/HVP kernels keep the XLA
+        # variant (custom_vjp has no forward-mode). Override via the
+        # factory kw or PDB2R_TPU_ESCN_KERNEL=pallas|pallas-full|
+        # pallas-mega|xla.
         import jax
         ek = (_ignored.get("edge_kernel")
               or os.environ.get("PDB2R_TPU_ESCN_KERNEL"))
         if ek is None and spatial == 1 \
                 and jax.default_backend() == "tpu":
-            ek = "pallas"
+            ek = "pallas-mega"
         if ek:
             ecfg = dataclasses.replace(ecfg, edge_kernel=str(ek))
         if ckpt_params is not None:
@@ -204,9 +208,11 @@ def make_uma_calculator(
                                                charge=charge, spin=spin)
             weights_source = _warn_surrogate(model, seed)
         fn_h = None
-        if ecfg.edge_kernel == "pallas":
-            fn_h = ESCN_FN_FOR(dataclasses.replace(ecfg,
-                                                   edge_kernel="xla"))
+        if ecfg.edge_kernel.startswith("pallas") or ecfg.use_pallas_ffn:
+            # custom_vjp kernels have no forward-mode: Hessian/HVP
+            # closures get the all-XLA variant
+            fn_h = ESCN_FN_FOR(dataclasses.replace(
+                ecfg, edge_kernel="xla", ffn_kernel="xla"))
             fn = ESCN_FN_FOR(ecfg)
         pad_multiple = 8
         if spatial > 1:

@@ -132,10 +132,12 @@ def test_escn_through_calculator():
     assert np.allclose(batch["energy"][0], res["energy"], atol=1e-12)
 
 
-@pytest.mark.parametrize("kernel", ["pallas", "pallas-full"])
+@pytest.mark.parametrize("kernel", ["pallas", "pallas-full",
+                                    "pallas-mega"])
 def test_edge_kernel_pallas_parity(kernel):
     """Fused Pallas edge chains (escn_edge_kernel.py: "pallas" = conv
-    chain fused; "pallas-full" = rotations + chain + envelope fused) vs
+    chain fused; "pallas-full" = rotations + chain + envelope fused;
+    "pallas-mega" = node-resident with one-hot gather/K-sum fused too) vs
     the XLA path: exact in f32 interpret mode (CPU) — energies, forces,
     and the weight-cotangent XLA-replay path (training grads)."""
     import dataclasses
@@ -167,3 +169,41 @@ def test_edge_kernel_pallas_parity(kernel):
     m = max(np.abs(np.asarray(a) - np.asarray(b)).max()
             for a, b in zip(jtu.tree_leaves(ge_x), jtu.tree_leaves(ge_p)))
     assert m < 1e-5
+
+
+def test_node_ffn_kernel_parity():
+    """fused_node_ffn (escn_ffn_kernel.py) vs the XLA chain: exact in f32
+    interpret mode — values, input cotangents (mirrored Pallas bwd
+    kernel), and weight cotangents (XLA replay)."""
+    from pdb2reaction_tpu.mlip.escn_ffn_kernel import (ffn_xla,
+                                                       fused_node_ffn)
+    rng = np.random.default_rng(7)
+    P, M, C, H, G = 11, 9, 8, 16, 30       # odd P exercises node padding
+    x = jnp.asarray(rng.normal(size=(P, M, C)), jnp.float32)
+    W1 = jnp.asarray(rng.normal(size=(C, H)) * 0.3, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(H,)) * 0.1, jnp.float32)
+    W2 = jnp.asarray(rng.normal(size=(H, C)) * 0.3, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    tg = jnp.asarray(rng.normal(size=(G, M)), jnp.float32)
+    fg = jnp.asarray(rng.normal(size=(M, G)) / G, jnp.float32)
+    weights = (W1, b1, W2, b2)
+    tables = (tg, fg)
+    cfg = ESCN_CONFIGS["escn-test"]
+
+    y_ref = ffn_xla(x, weights, tables)
+    y = fused_node_ffn(cfg, x, weights, tables)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    ct = jnp.asarray(rng.normal(size=(P, M, C)), jnp.float32)
+    gx_ref, gw_ref = jax.grad(
+        lambda xx, ww: jnp.sum(ffn_xla(xx, ww, tables) * ct),
+        argnums=(0, 1))(x, weights)
+    gx, gw = jax.grad(
+        lambda xx, ww: jnp.sum(fused_node_ffn(cfg, xx, ww, tables) * ct),
+        argnums=(0, 1))(x, weights)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(gw, gw_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
