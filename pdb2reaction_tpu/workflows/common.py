@@ -67,14 +67,10 @@ if PLATFORM == "cpu" or os.environ.get("PDB2R_TPU_X64") == "1":
 
 # Persistent compilation cache: workflows re-jit identical programs across
 # processes (CLI invocations); caching makes repeat runs start instantly.
-# Disable with PDB2R_TPU_NO_CACHE=1. NOT enabled on the axon remote-compile
-# platform: executable serialization hangs compiles there (verified with a
-# minimal reproducer — a trivial matmul stalls with the cache dir set).
-_axon_present = (
-    PLATFORM == "axon"
-    or "axon" in (jax.config.jax_platforms or "")
-    or "axon" in os.environ.get("JAX_PLATFORMS", ""))
-if not os.environ.get("PDB2R_TPU_NO_CACHE") and not _axon_present:
+# Disable with PDB2R_TPU_NO_CACHE=1. (The round-2 hang on the axon
+# remote-compile platform is gone — re-verified round 3: cross-process
+# probe compile 1.65 s -> 1.02 s with the cache dir set.)
+if not os.environ.get("PDB2R_TPU_NO_CACHE"):
     try:
         _cache_dir = os.environ.get(
             "PDB2R_TPU_CACHE",
