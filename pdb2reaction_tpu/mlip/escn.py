@@ -246,10 +246,57 @@ def init_escn_params(key, cfg: ESCNConfig) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 def _mole(p, alpha, x):
-    """Apply a MoLE linear with merged expert weights."""
+    """Apply a MoLE linear with merged expert weights. A pre-merged block
+    (``premerge_escn_params``) carries a 2-D ``w`` and applies directly."""
+    if p["w"].ndim == 2:
+        return x @ p["w"] + p["b"]
     W = jnp.einsum("e,eio->io", alpha, p["w"])
     b = jnp.einsum("e,eo->o", alpha, p["b"])
     return x @ W + b
+
+
+def _route_alpha(params, cfg: ESCNConfig):
+    """Expert routing coefficients from the system's (task, charge, spin)
+    conditioning — fixed for a given system (UMA MoLE semantics)."""
+    q_idx = jnp.clip(params["charge"].astype(jnp.int32) + cfg.charge_range,
+                     0, 2 * cfg.charge_range)
+    s_idx = jnp.clip(params["spin"].astype(jnp.int32), 0, cfg.spin_range)
+    t_idx = jnp.clip(params.get("task", jnp.asarray(0)).astype(jnp.int32),
+                     0, cfg.num_tasks - 1)
+    route_in = jnp.concatenate([params["task_embedding"][t_idx],
+                                params["charge_embedding"][q_idx],
+                                params["spin_embedding"][s_idx]], -1)
+    return jax.nn.softmax(_apply_linear_stack(params["router"], route_in))
+
+
+def premerge_escn_params(params, cfg: ESCNConfig):
+    """Merge every MoLE expert bank with the system's routing coefficients
+    ONCE, returning an inference params pytree with plain 2-D linears.
+
+    The routing input (task, charge, spin) is fixed for the lifetime of a
+    calculator, yet the jitted force call re-merges the [E, in, out]
+    expert banks every evaluation — ~794 MB of HBM reads per escn-md
+    force call (8 experts x ~25 MB x 4 layers), ~1 ms on v5e. Calculators
+    premerge at construction (mlip/uma.py); training keeps the expert
+    banks so gradients flow to every expert. Exact: the merge is linear
+    and performed in the same dtype/order as the in-graph einsum."""
+    alpha = _route_alpha(params, cfg)
+
+    def is_mole(p):
+        return (isinstance(p, dict) and set(p) == {"w", "b"}
+                and hasattr(p["w"], "ndim") and p["w"].ndim == 3)
+
+    def conv(tree):
+        if is_mole(tree):
+            return {"w": jnp.einsum("e,eio->io", alpha, tree["w"]),
+                    "b": jnp.einsum("e,eo->o", alpha, tree["b"])}
+        if isinstance(tree, dict):
+            return {k: conv(v) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [conv(v) for v in tree]
+        return tree
+
+    return conv(params)
 
 
 def _apply_linear_stack(layers, x):
@@ -458,15 +505,10 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
                  0, cfg.max_z)
 
     # ---- routing: task/charge/spin -> expert coefficients -----------------
-    q_idx = jnp.clip(params["charge"].astype(jnp.int32) + cfg.charge_range,
-                     0, 2 * cfg.charge_range)
-    s_idx = jnp.clip(params["spin"].astype(jnp.int32), 0, cfg.spin_range)
-    t_idx = jnp.clip(params.get("task", jnp.asarray(0)).astype(jnp.int32),
-                     0, cfg.num_tasks - 1)
-    route_in = jnp.concatenate([params["task_embedding"][t_idx],
-                                params["charge_embedding"][q_idx],
-                                params["spin_embedding"][s_idx]], -1)
-    alpha = jax.nn.softmax(_apply_linear_stack(params["router"], route_in))
+    # (skipped when the calculator pre-merged the expert banks — see
+    # premerge_escn_params; detect by the energy head's weight rank)
+    premerged = params["energy_head"][0]["w"].ndim == 2
+    alpha = None if premerged else _route_alpha(params, cfg)
 
     # ---- radius graph (nearest-K within cutoff, uma_pysis.py:299-318) -----
     rows = jax.lax.dynamic_slice_in_dim(coords_ang, i0, P_loc)
@@ -565,6 +607,8 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
             Dpe_t = jnp.transpose(Dpe_pk, (2, 0, 1)).reshape(nnz, E_)
 
             def mw(p):
+                if p["w"].ndim == 2:            # pre-merged calculator
+                    return p["w"], p["b"]
                 return (jnp.einsum("e,eio->io", alpha, p["w"]),
                         jnp.einsum("e,eo->o", alpha, p["b"]))
 
@@ -618,6 +662,8 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
             Dpe_t = jnp.transpose(Dpe_pk, (2, 0, 1)).reshape(nnz, E_)
 
             def mw(p):
+                if p["w"].ndim == 2:            # pre-merged calculator
+                    return p["w"], p["b"]
                 return (jnp.einsum("e,eio->io", alpha, p["w"]),
                         jnp.einsum("e,eo->o", alpha, p["b"]))
 
@@ -669,6 +715,8 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
             es_t = edge_scalar.reshape(E_, cfg.edge_channels).T
 
             def mw(p):
+                if p["w"].ndim == 2:            # pre-merged calculator
+                    return p["w"], p["b"]
                 return (jnp.einsum("e,eio->io", alpha, p["w"]),
                         jnp.einsum("e,eo->o", alpha, p["b"]))
 
@@ -737,6 +785,8 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
             from .escn_ffn_kernel import fused_node_ffn
 
             def mw(p):
+                if p["w"].ndim == 2:            # pre-merged calculator
+                    return p["w"], p["b"]
                 return (jnp.einsum("e,eio->io", alpha, p["w"]),
                         jnp.einsum("e,eo->o", alpha, p["b"]))
             W1, b1 = mw(blk["ffn"][0])

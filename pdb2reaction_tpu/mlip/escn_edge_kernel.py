@@ -923,12 +923,56 @@ fused_edge_block.defvjp(_vjp_fwd_full, _vjp_bwd_full)
 # the custom_vjp can hand back an ordinary zero cotangent.
 # ===========================================================================
 
-def _mega_tile(cfg):
-    return 8 * cfg.max_neighbors                    # A = 8 atoms per tile
+def _mega_tile(cfg, P, cap=32):
+    """Edge-tile size T = A*K. A (target atoms per tile) is the largest
+    power of two <= cap dividing P: bigger tiles widen every matmul's lane
+    dimension AND let the target-side gathers/K-sum stage through the
+    small [*, A] atom block (4x fewer one-hot MXU flops than a direct
+    [P, T] one-hot at A=32/P=320). The forward fits A=32 at escn-md
+    scale; the backward carries ~3x the live per-edge state (cotangent
+    mirrors of both convs + the activation VJP) and caps at A=8
+    (measured: A=16/32 exceed the 100 MB kernel VMEM budget)."""
+    A = cap
+    while A > 1 and P % A:
+        A //= 2
+    return A * cfg.max_neighbors
+
+
+def _mega_cap(which, default):
+    """Env-tunable A cap (sweeps; fresh process per value — the call
+    builders are lru_cached)."""
+    import os
+    return int(os.environ.get(f"PDB2R_TPU_MEGA_A_{which}", default))
 
 
 def _oh(eq_a, eq_b, dtype):
     return (eq_a == eq_b).astype(dtype)
+
+
+def _tgt_stage(P, T, A, K, i, dtype):
+    """(oh_pa [P, A], oh_at [A, T]) staging one-hots for the tile's
+    target atoms: column j of oh_pa picks atom i*A+j; row j of oh_at
+    broadcasts it to its K edge columns."""
+    rowpa = jax.lax.broadcasted_iota(jnp.int32, (P, A), 0)
+    colpa = jax.lax.broadcasted_iota(jnp.int32, (P, A), 1)
+    oh_pa = _oh(rowpa, i * A + colpa, dtype)
+    rowat = jax.lax.broadcasted_iota(jnp.int32, (A, T), 0)
+    colat = jax.lax.broadcasted_iota(jnp.int32, (A, T), 1)
+    oh_at = _oh(rowat, colat // K, dtype)
+    return oh_pa, oh_at
+
+
+def _tgt_stage_t(P, T, A, K, i, dtype):
+    """(oh_ta [T, A], oh_ap [A, P]) transposed staging one-hots: oh_ta
+    K-sums a [*, T] edge tile into its A target-atom columns; oh_ap
+    scatters those columns to atoms i*A..i*A+A-1."""
+    erow = jax.lax.broadcasted_iota(jnp.int32, (T, A), 0)
+    acol = jax.lax.broadcasted_iota(jnp.int32, (T, A), 1)
+    oh_ta = _oh(erow // K, acol, dtype)
+    rowap = jax.lax.broadcasted_iota(jnp.int32, (A, P), 0)
+    colap = jax.lax.broadcasted_iota(jnp.int32, (A, P), 1)
+    oh_ap = _oh(i * A + rowap, colap, dtype)
+    return oh_ta, oh_ap
 
 
 def _fwd_kernel_mega(cfg, P, T, refs):
@@ -967,14 +1011,16 @@ def _fwd_kernel_mega(cfg, P, T, refs):
     i = pl.program_id(0)
 
     # ---- one-hot gathers (MXU matmuls against the resident array) -------
-    # Mosaic iota is integer-only; the f32 index rows cast exactly
+    # Mosaic iota is integer-only; the f32 index rows cast exactly.
+    # Source atoms are arbitrary -> full [P, T] one-hot. Target atoms are
+    # the tile's A consecutive atoms -> stage through the [*, A] block:
+    # [P, A] pick + [A, T] expand costs ~A/T + P/T of the direct one-hot.
     rowpi = jax.lax.broadcasted_iota(jnp.int32, (P, T), 0)
     src_i = jnp.broadcast_to(srow[0:1, :], (P, T)).astype(jnp.int32)
     oh_src = _oh(rowpi, src_i, bf)
-    ecol = jax.lax.broadcasted_iota(jnp.int32, (P, T), 1)
-    oh_tgt = _oh(rowpi, i * A + ecol // K, bf)
+    oh_pa, oh_at = _tgt_stage(P, T, A, K, i, bf)
     xs = _dot(x[:], oh_src).astype(bf)              # [M*C, T]
-    xt = _dot(x[:], oh_tgt).astype(bf)
+    xt = _dot(_dot(x[:], oh_pa).astype(bf), oh_at).astype(bf)
 
     # ---- rotation -> conv1 -> S2 act -> conv2 -> back-rotation (v2) -----
     groups = [[(j, m_list[j]) for j in by_u[u]] for u in range(U)]
@@ -1001,15 +1047,14 @@ def _fwd_kernel_mega(cfg, P, T, refs):
                         lambda a: a.astype(bf))
     back_cat = jnp.concatenate(back, axis=0)        # [M*C, T] bf16
 
-    # ---- K-sum scatter into the node accumulator ------------------------
-    colpi = jax.lax.broadcasted_iota(jnp.int32, (T, P), 1)
-    erowi = jax.lax.broadcasted_iota(jnp.int32, (T, P), 0)
-    ohT_tgt = _oh(colpi, i * A + erowi // K, bf)    # [T, P]
+    # ---- K-sum scatter into the node accumulator (staged via A) ---------
+    oh_ta, oh_ap = _tgt_stage_t(P, T, A, K, i, bf)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
-    out_ref[:] += _dot(back_cat, ohT_tgt)           # f32 accum
+    part = _dot(back_cat, oh_ta)                    # [M*C, A] f32 K-sum
+    out_ref[:] += _dot(part.astype(bf), oh_ap)      # f32 accum
 
 
 def _bwd_kernel_mega(cfg, P, T, refs):
@@ -1053,16 +1098,15 @@ def _bwd_kernel_mega(cfg, P, T, refs):
     nnz = len(u_list)
     Ce = ges_ref.shape[0]
 
-    # ---- gathers --------------------------------------------------------
+    # ---- gathers (target side staged through the A block) ---------------
     rowpi = jax.lax.broadcasted_iota(jnp.int32, (P, T), 0)
     src_i = jnp.broadcast_to(srow[0:1, :], (P, T)).astype(jnp.int32)
     oh_src = _oh(rowpi, src_i, bf)
-    ecol = jax.lax.broadcasted_iota(jnp.int32, (P, T), 1)
-    tgt_b = i * A + ecol // K
-    oh_tgt = _oh(rowpi, tgt_b, bf)
+    oh_pa, oh_at = _tgt_stage(P, T, A, K, i, bf)
     xs = _dot(x[:], oh_src).astype(bf)
-    xt = _dot(x[:], oh_tgt).astype(bf)
-    g_back = _dot(gnode[:].astype(bf), oh_tgt)      # [M*C, T] f32
+    xt = _dot(_dot(x[:], oh_pa).astype(bf), oh_at).astype(bf)
+    g_back = _dot(_dot(gnode[:].astype(bf), oh_pa).astype(bf),
+                  oh_at)                            # [M*C, T] f32
 
     # ---- activation state from the saved conv-1 output ------------------
     msg = msg_s[:]
@@ -1153,13 +1197,15 @@ def _bwd_kernel_mega(cfg, P, T, refs):
     gdp_rows.append(jnp.zeros((NZp - nnz, T), jnp.float32))
     gdp_ref[:] = jnp.concatenate(gdp_rows, axis=0)
 
-    # ---- scatter into the node accumulator (transposed one-hots) --------
+    # ---- scatter into the node accumulator ------------------------------
+    # source side: arbitrary atoms -> full [T, P] transposed one-hot;
+    # target side: staged K-sum + A-block scatter
     colpi = jax.lax.broadcasted_iota(jnp.int32, (T, P), 1)    # atom idx
     scol_i = jnp.broadcast_to(scol[:, 0:1], (T, P)).astype(jnp.int32)
     ohT_src = _oh(colpi, scol_i, bf)
-    erowi = jax.lax.broadcasted_iota(jnp.int32, (T, P), 0)
-    ohT_tgt = _oh(colpi, i * A + erowi // K, bf)
-    contrib = _dot(gxs_cat, ohT_src) + _dot(gxt_cat, ohT_tgt)
+    oh_ta, oh_ap = _tgt_stage_t(P, T, A, K, i, bf)
+    gxt_a = _dot(gxt_cat, oh_ta)                    # [M*C, A] f32
+    contrib = _dot(gxs_cat, ohT_src) + _dot(gxt_a.astype(bf), oh_ap)
 
     @pl.when(i == 0)
     def _():
@@ -1173,7 +1219,7 @@ def _fwd_call_mega(cfg, P):
     M = (cfg.lmax + 1) ** 2
     h, C, Ce = cfg.hidden_channels, cfg.sphere_channels, cfg.edge_channels
     K = cfg.max_neighbors
-    T = _mega_tile(cfg)
+    T = _mega_tile(cfg, P, cap=_mega_cap("FWD", 32))
     A = T // K
     E = P * K
     NZp = _nzp(cfg)
@@ -1210,7 +1256,7 @@ def _bwd_call_mega(cfg, P):
     M = (cfg.lmax + 1) ** 2
     h, C, Ce = cfg.hidden_channels, cfg.sphere_channels, cfg.edge_channels
     K = cfg.max_neighbors
-    T = _mega_tile(cfg)
+    T = _mega_tile(cfg, P, cap=_mega_cap("BWD", 8))
     E = P * K
     NZp = _nzp(cfg)
     d0 = nl0 * 2 * C + Ce

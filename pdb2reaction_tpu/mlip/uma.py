@@ -217,6 +217,15 @@ def make_uma_calculator(
         pad_multiple = 8
         if spatial > 1:
             fn, mesh, pad_multiple = _spatialize(ecfg, mesh, spatial)
+        # Pre-merge the MoLE expert banks with the system's fixed routing
+        # coefficients (escn.premerge_escn_params): the jitted force call
+        # otherwise re-reads all [E, in, out] expert banks every
+        # evaluation (~794 MB of HBM per escn-md call, ~1 ms on v5e).
+        # Exact (linear merge). Training keeps the banks — opt out with
+        # PDB2R_TPU_NO_PREMERGE=1.
+        if not os.environ.get("PDB2R_TPU_NO_PREMERGE"):
+            from .escn import premerge_escn_params
+            params = premerge_escn_params(params, ecfg)
         _record_weights_source(weights_source)
         return Calculator(
             structure, fn, params=params,

@@ -64,7 +64,7 @@ def test_s2_grid_midpoint_roundtrip():
         assert np.abs(eye - np.eye(len(used))).max() < 1e-12
 
 
-def _escn_setup(name):
+def _escn_setup(name, **model_kw):
     rng = np.random.default_rng(3)
     zs = np.array([8, 1, 1, 6, 1, 1], np.int32)
     st = Structure(zs, rng.normal(scale=1.4, size=(6, 3)))
@@ -72,7 +72,7 @@ def _escn_setup(name):
     cfg = ESCN_CONFIGS[name]
     import dataclasses
     cfg = dataclasses.replace(cfg, dtype=jnp.float64)
-    fn, params, cfg = make_escn_model(cfg, seed=0)
+    fn, params, cfg = make_escn_model(cfg, seed=0, **model_kw)
     return st, sysp, fn, params
 
 
@@ -207,3 +207,43 @@ def test_node_ffn_kernel_parity():
     for a, b in zip(gw, gw_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_premerge_exact():
+    """premerge_escn_params produces numerically identical energies,
+    forces, and Hessian-vector products (the merge is linear and fixed
+    per system), and the calculator premerges by default."""
+    from pdb2reaction_tpu.mlip.escn import premerge_escn_params
+    st, sysp, fn, params = _escn_setup("escn-test", charge=-1, spin=2)
+    pm = premerge_escn_params(params, ESCN_CONFIGS["escn-test"])
+    assert pm["energy_head"][0]["w"].ndim == 2
+    assert params["energy_head"][0]["w"].ndim == 3     # input untouched
+    c0 = jnp.asarray(sysp.coords, jnp.float64)
+    e0, g0 = jax.value_and_grad(lambda c: fn(c, sysp, params))(c0)
+    e1, g1 = jax.value_and_grad(lambda c: fn(c, sysp, pm))(c0)
+    assert abs(float(e0) - float(e1)) < 1e-12
+    assert np.abs(np.asarray(g0) - np.asarray(g1)).max() < 1e-12
+
+    # calculator integration: premerged by default, opt-out honored
+    from pdb2reaction_tpu.mlip.uma import make_uma_calculator
+    rng = np.random.default_rng(7)
+    st2 = Structure(np.array([6, 1, 8], np.int32),
+                    rng.normal(scale=1.3, size=(3, 3)))
+    calc = make_uma_calculator(st2, model="escn-test", charge=-1, spin=2)
+    assert calc.params["energy_head"][0]["w"].ndim == 2
+    import os
+    os.environ["PDB2R_TPU_NO_PREMERGE"] = "1"
+    try:
+        calc2 = make_uma_calculator(st2, model="escn-test", charge=-1,
+                                    spin=2)
+    finally:
+        del os.environ["PDB2R_TPU_NO_PREMERGE"]
+    assert calc2.params["energy_head"][0]["w"].ndim == 3
+    cb = st2.coords_bohr.reshape(-1)
+    r1 = calc.get_forces(cb)
+    r2 = calc2.get_forces(cb)
+    assert abs(r1["energy"] - r2["energy"]) < 1e-12
+    assert np.abs(r1["forces"] - r2["forces"]).max() < 1e-12
+    h1 = calc.get_hessian(cb)["hessian"]
+    h2 = calc2.get_hessian(cb)["hessian"]
+    assert np.abs(np.asarray(h1) - np.asarray(h2)).max() < 1e-10
