@@ -1109,9 +1109,13 @@ def _bwd_kernel_mega(cfg, P, T, refs):
                   oh_at)                            # [M*C, T] f32
 
     # ---- activation state from the saved conv-1 output ------------------
+    # grid-space chain in bf16: these are the largest live tensors in the
+    # kernel ([G, h*T]); bf16 halves them so the tile can grow (A=8 -> 16),
+    # and the dsilu factor is well-conditioned (|dsilu| <= ~1.1)
     msg = msg_s[:]
     grid = _dot(tg[:], msg)
     sig_g = jax.nn.sigmoid(grid)
+    dsilu_16 = (sig_g * (1.0 + grid * (1.0 - sig_g))).astype(bf)
     out = outsv[:]
 
     # ---- back-rotation transpose + g_Dpe --------------------------------
@@ -1128,7 +1132,6 @@ def _bwd_kernel_mega(cfg, P, T, refs):
     gdpe_ref[:] = jnp.concatenate(gdpe_rows, axis=0)
 
     # ---- conv2^T -> act VJP -> conv1^T (as v2) --------------------------
-    dsilu = sig_g * (1.0 + grid * (1.0 - sig_g))
     g16 = g_out.astype(bf)
     parts = [_dot(V0[:], g16[0:nl0 * C, :]).reshape(nl0, h * T)]
     off = nl0 * C
@@ -1143,8 +1146,8 @@ def _bwd_kernel_mega(cfg, P, T, refs):
     g_act = jnp.concatenate(parts, axis=0)
     g_b = jnp.concatenate(
         [jnp.zeros((1, h * T), jnp.float32), g_act[1:, :]], axis=0)
-    g_grid = _dot(fgT[:], g_b.astype(bf)) * dsilu
-    g_msg = _dot(tgT[:], g_grid.astype(bf))
+    g_grid = _dot(fgT[:], g_b.astype(bf)).astype(bf) * dsilu_16
+    g_msg = _dot(tgT[:], g_grid)
     m0 = msg[0:1, :].astype(jnp.float32)
     s_sig = jax.nn.sigmoid(m0)
     g_msg = jnp.concatenate(
@@ -1288,12 +1291,15 @@ def _bwd_call_mega(cfg, P):
     def kernel(*refs):
         _bwd_kernel_mega(cfg, P, T, refs)
 
+    # the bwd tile is VMEM-bound (it carries cotangent mirrors of both
+    # convs); give it the full budget Mosaic allows so A=16 fits
+    vmem_mb = _mega_cap("VMEM_MB", 128)
     return pl.pallas_call(
         kernel, grid=(E // T,), in_specs=in_specs,
         out_shape=out_shape, out_specs=out_specs,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024))
+            vmem_limit_bytes=vmem_mb * 1024 * 1024))
 
 
 def _mega_fwd_weight_flats(cfg, weights):
