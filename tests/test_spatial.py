@@ -171,3 +171,22 @@ def test_rect_kernel_matches_square():
         np.testing.assert_allclose(np.asarray(T_r),
                                    np.asarray(T_sq[off:off + Pr]),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_uma_factory_spatial_escn_premerged():
+    """The eSCN factory path with spatial=N premerges the MoLE banks
+    (mlip/uma.py) and the sharded forward must still match the
+    unsharded, unmerged calculator — exercises premerge x shard_map."""
+    from pdb2reaction_tpu.mlip.uma import make_uma_calculator
+
+    st = _random_structure(n=26, seed=7)
+    c0 = make_uma_calculator(st, model="escn-test", charge=1, spin=2)
+    c1 = make_uma_calculator(st, model="escn-test", charge=1, spin=2,
+                             spatial=4)
+    assert c1.params["energy_head"][0]["w"].ndim == 2   # premerged
+    x0 = st.coords_bohr.reshape(-1)
+    r0 = c0.get_forces(x0)
+    r1 = c1.get_forces(x0)
+    assert abs(r1["energy"] - r0["energy"]) < 1e-8
+    np.testing.assert_allclose(r1["forces"], r0["forces"],
+                               rtol=1e-5, atol=1e-8)
