@@ -25,20 +25,12 @@ from .workflows.config import (load_yaml_dict, apply_yaml_overrides, parse_bool,
 def _enable_compile_cache():
     """Persistent XLA compilation cache: the per-program compiles dominate
     cold `all` runs (~30-120 s each through the axon relay — VERDICT r2
-    item 9). Verified working on this platform (cross-process: 6.4 s ->
-    2.8 s on a probe program; the round-2 hang is gone). Opt out with
-    PDB2R_TPU_NO_COMPILE_CACHE=1."""
-    if os.environ.get("PDB2R_TPU_NO_COMPILE_CACHE"):
-        return
+    item 9). Single implementation in workflows/common.py (importing it
+    also installs the cache at module load); env knobs: PDB2R_TPU_NO_CACHE
+    to opt out, PDB2R_TPU_CACHE to pick the directory."""
     try:
-        import jax
-        cache_dir = os.environ.get(
-            "PDB2R_TPU_COMPILE_CACHE",
-            str(Path.home() / ".cache" / "pdb2reaction_tpu" / "xla"))
-        Path(cache_dir).mkdir(parents=True, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+        from .workflows.common import enable_compile_cache
+        enable_compile_cache()
     except Exception:
         pass  # cache is an optimization; never block the CLI on it
 

@@ -353,8 +353,10 @@ def eulerpc_irc(
         calc.force_calls += cnt
         if k_recalc:
             # each exact refresh costs a 3n-column HVP batch (the meter
-            # counts it like the FD-Hessian path, calculator.py:423)
-            calc.force_calls += (cnt // k_recalc) * 3 * n
+            # counts it like the FD-Hessian path, calculator.py:423);
+            # refreshes fire at cycles k, 2k, ... <= cnt-1 (the loop
+            # tests cycle > 0 over cycles 0..cnt-1)
+            calc.force_calls += ((cnt - 1) // k_recalc) * 3 * n
         coords = [np.asarray(st.path[i]).reshape(n, 3) for i in range(cnt)]
         energies = [float(st.path_e[i]) for i in range(cnt)]
         grads = [np.asarray(st.path_g[i]) for i in range(cnt)]

@@ -97,6 +97,12 @@ class ESCNConfig:
     # edge-message nonlinearity: "s2" = fairchem-faithful separable S2 grid
     # activation; "gate" = TPU-fast equivariant gate (see module docstring)
     edge_act: str = "s2"
+    # edge-activation grid oversampling (XLA path only). 1 = fairchem's
+    # SO3_Grid(lmax, mmax) nodes — required for checkpoint parity; >1
+    # multiplies both node counts, shrinking the grid-aliasing
+    # equivariance error ~scale^2 (the symmetry test pins this scaling,
+    # which distinguishes inherent aliasing from an implementation bug)
+    edge_grid_scale: int = 1
     # "pallas" runs the fused conv1->S2act->conv2 edge chain as a VMEM
     # Pallas kernel (escn_edge_kernel.py): bf16 matmuls / f32 accumulation
     # (~1e-3 relative — below MLIP force-error floors), s2 + reduced
@@ -299,6 +305,42 @@ def premerge_escn_params(params, cfg: ESCNConfig):
     return conv(params)
 
 
+def _merged_wb(p, alpha):
+    """Merged (W, b) for one MoLE linear: a pre-merged calculator
+    (premerge_escn_params) carries a 2-D ``w``; otherwise merge the
+    [E, in, out] expert bank with the routing coefficients."""
+    if p["w"].ndim == 2:
+        return p["w"], p["b"]
+    return (jnp.einsum("e,eio->io", alpha, p["w"]),
+            jnp.einsum("e,eo->o", alpha, p["b"]))
+
+
+def _pack_conv_weights(blk, alpha, cfg: ESCNConfig):
+    """The fused edge kernels' 12-tuple of merged conv1 + conv2 weights.
+
+    The ±m bias convention follows _so2_apply_reduced semantics: each
+    _mole adds its own bias there, so the packed yp row carries (br - bi)
+    and yn carries (br + bi). ONE shared implementation — the pallas /
+    pallas-full / pallas-mega branches must pack identically or their
+    parity tests diverge."""
+    c1, c2 = blk["so2_conv_1"], blk["so2_conv_2"]
+    W0, b0 = _merged_wb(c1["fc_m0"], alpha)
+    V0, c0 = _merged_wb(c2["fc_m0"], alpha)
+    Wrs, Wis, brs, bis = [], [], [], []
+    Vrs, Vis, crs, cis = [], [], [], []
+    for mm in range(1, cfg.mmax + 1):
+        wr, br = _merged_wb(c1[f"fc_m{mm}_r"], alpha)
+        wi, bi = _merged_wb(c1[f"fc_m{mm}_i"], alpha)
+        Wrs.append(wr), Wis.append(wi)
+        brs.append(br - bi), bis.append(br + bi)
+        vr, cr = _merged_wb(c2[f"fc_m{mm}_r"], alpha)
+        vi, ci = _merged_wb(c2[f"fc_m{mm}_i"], alpha)
+        Vrs.append(vr), Vis.append(vi)
+        crs.append(cr - ci), cis.append(cr + ci)
+    return (W0, tuple(Wrs), tuple(Wis), b0, tuple(brs), tuple(bis),
+            V0, tuple(Vrs), tuple(Vis), c0, tuple(crs), tuple(cis))
+
+
 def _apply_linear_stack(layers, x):
     for i, p in enumerate(layers):
         x = x @ p["w"] + p["b"]
@@ -395,7 +437,7 @@ def _so2_apply_reduced(p, alpha, x_u, edge_scalar, cfg: ESCNConfig,
 
 
 @lru_cache(maxsize=None)
-def _edge_grid_tables(lmax: int, mmax: int):
+def _edge_grid_tables(lmax: int, mmax: int, scale: int = 1):
     """S2 grid tables for the per-edge activation, restricted to the
     |m| <= mmax coefficient subspace in the _used_indices order.
 
@@ -409,8 +451,10 @@ def _edge_grid_tables(lmax: int, mmax: int):
     |m| <= mmax — inherent to the architecture at this resolution;
     fairchem's trained weights bake it in, so matching their nodes
     matters more than suppressing it.)
-    Returns (to_grid [G, U], from_grid [U, G])."""
-    tg, fg = s2_grid_tables_midpoint(lmax, 2 * (lmax + 1), 2 * mmax + 1)
+    ``scale`` > 1 oversamples both node counts (test-only; checkpoint
+    parity requires scale=1). Returns (to_grid [G, U], from_grid [U, G])."""
+    tg, fg = s2_grid_tables_midpoint(lmax, scale * 2 * (lmax + 1),
+                                     2 * scale * mmax + 1)
     used = _used_indices(lmax, mmax)
     return tg[:, used], fg[used, :]
 
@@ -426,7 +470,8 @@ def _s2_sep_act(x, cfg: ESCNConfig, reduced: bool):
     (l,m) rows where the |m| > mmax rows are zero after the SO(2) conv
     (the from-grid map keeps them zero)."""
     dt = x.dtype
-    tg, fg = _edge_grid_tables(cfg.lmax, cfg.mmax)
+    tg, fg = _edge_grid_tables(cfg.lmax, cfg.mmax,
+                               getattr(cfg, "edge_grid_scale", 1))
     if not reduced:
         used = jnp.asarray(_used_indices(cfg.lmax, cfg.mmax))
         x_u = x[..., used, :]
@@ -485,6 +530,10 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
     plus the psum'd energy — the same design as
     model.gather_energy_core (parallel/spatial.py wires both)."""
     dt = cfg.dtype
+    assert getattr(cfg, "edge_grid_scale", 1) == 1 \
+        or cfg.edge_kernel == "xla", \
+        "edge_grid_scale > 1 is an XLA-path test knob (kernels bake the " \
+        "fairchem grid)"
     P = coords_ang.shape[0]
     C = cfg.sphere_channels
     M = num_coeffs(cfg.lmax)
@@ -605,30 +654,7 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
             Dpe_pk = Dp_pk * env
             Dp_t = jnp.transpose(Dp_pk, (2, 0, 1)).reshape(nnz, E_)
             Dpe_t = jnp.transpose(Dpe_pk, (2, 0, 1)).reshape(nnz, E_)
-
-            def mw(p):
-                if p["w"].ndim == 2:            # pre-merged calculator
-                    return p["w"], p["b"]
-                return (jnp.einsum("e,eio->io", alpha, p["w"]),
-                        jnp.einsum("e,eo->o", alpha, p["b"]))
-
-            c1, c2 = blk["so2_conv_1"], blk["so2_conv_2"]
-            W0, b0 = mw(c1["fc_m0"])
-            V0, c0 = mw(c2["fc_m0"])
-            Wrs, Wis, brs, bis = [], [], [], []
-            Vrs, Vis, crs, cis = [], [], [], []
-            for mm in range(1, cfg.mmax + 1):
-                wr, br = mw(c1[f"fc_m{mm}_r"])
-                wi, bi = mw(c1[f"fc_m{mm}_i"])
-                Wrs.append(wr), Wis.append(wi)
-                brs.append(br - bi), bis.append(br + bi)
-                vr, cr = mw(c2[f"fc_m{mm}_r"])
-                vi, ci = mw(c2[f"fc_m{mm}_i"])
-                Vrs.append(vr), Vis.append(vi)
-                crs.append(cr - ci), cis.append(cr + ci)
-            weights = (W0, tuple(Wrs), tuple(Wis), b0, tuple(brs),
-                       tuple(bis), V0, tuple(Vrs), tuple(Vis), c0,
-                       tuple(crs), tuple(cis))
+            weights = _pack_conv_weights(blk, alpha, cfg)
             tg_e, fg_e = _edge_grid_tables(cfg.lmax, cfg.mmax)
             msum_t = fused_edge_mega(
                 cfg, xn_t_local, idx.reshape(E_).astype(jnp.float32),
@@ -660,30 +686,7 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
             Dpe_pk = Dp_pk * env
             Dp_t = jnp.transpose(Dp_pk, (2, 0, 1)).reshape(nnz, E_)
             Dpe_t = jnp.transpose(Dpe_pk, (2, 0, 1)).reshape(nnz, E_)
-
-            def mw(p):
-                if p["w"].ndim == 2:            # pre-merged calculator
-                    return p["w"], p["b"]
-                return (jnp.einsum("e,eio->io", alpha, p["w"]),
-                        jnp.einsum("e,eo->o", alpha, p["b"]))
-
-            c1, c2 = blk["so2_conv_1"], blk["so2_conv_2"]
-            W0, b0 = mw(c1["fc_m0"])
-            V0, c0 = mw(c2["fc_m0"])
-            Wrs, Wis, brs, bis = [], [], [], []
-            Vrs, Vis, crs, cis = [], [], [], []
-            for mm in range(1, cfg.mmax + 1):
-                wr, br = mw(c1[f"fc_m{mm}_r"])
-                wi, bi = mw(c1[f"fc_m{mm}_i"])
-                Wrs.append(wr), Wis.append(wi)
-                brs.append(br - bi), bis.append(br + bi)
-                vr, cr = mw(c2[f"fc_m{mm}_r"])
-                vi, ci = mw(c2[f"fc_m{mm}_i"])
-                Vrs.append(vr), Vis.append(vi)
-                crs.append(cr - ci), cis.append(cr + ci)
-            weights = (W0, tuple(Wrs), tuple(Wis), b0, tuple(brs),
-                       tuple(bis), V0, tuple(Vrs), tuple(Vis), c0,
-                       tuple(crs), tuple(cis))
+            weights = _pack_conv_weights(blk, alpha, cfg)
             tg_e, fg_e = _edge_grid_tables(cfg.lmax, cfg.mmax)
             out = fused_edge_block(
                 cfg, xs_t, xt_t, es_t, Dp_t, Dpe_t, weights,
@@ -713,32 +716,7 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
             pr_t = jnp.concatenate([rot_s, rot_t], axis=1) \
                 .reshape(U * 2 * C, E_)
             es_t = edge_scalar.reshape(E_, cfg.edge_channels).T
-
-            def mw(p):
-                if p["w"].ndim == 2:            # pre-merged calculator
-                    return p["w"], p["b"]
-                return (jnp.einsum("e,eio->io", alpha, p["w"]),
-                        jnp.einsum("e,eo->o", alpha, p["b"]))
-
-            c1, c2 = blk["so2_conv_1"], blk["so2_conv_2"]
-            W0, b0 = mw(c1["fc_m0"])
-            V0, c0 = mw(c2["fc_m0"])
-            Wrs, Wis, brs, bis = [], [], [], []
-            Vrs, Vis, crs, cis = [], [], [], []
-            for mm in range(1, cfg.mmax + 1):
-                wr, br = mw(c1[f"fc_m{mm}_r"])
-                wi, bi = mw(c1[f"fc_m{mm}_i"])
-                Wrs.append(wr), Wis.append(wi)
-                # _so2_apply_reduced semantics: each _mole adds its own
-                # bias, so yp carries (br - bi) and yn carries (br + bi)
-                brs.append(br - bi), bis.append(br + bi)
-                vr, cr = mw(c2[f"fc_m{mm}_r"])
-                vi, ci = mw(c2[f"fc_m{mm}_i"])
-                Vrs.append(vr), Vis.append(vi)
-                crs.append(cr - ci), cis.append(cr + ci)
-            weights = (W0, tuple(Wrs), tuple(Wis), b0, tuple(brs),
-                       tuple(bis), V0, tuple(Vrs), tuple(Vis), c0,
-                       tuple(crs), tuple(cis))
+            weights = _pack_conv_weights(blk, alpha, cfg)
             tg_e, fg_e = _edge_grid_tables(cfg.lmax, cfg.mmax)
             out = fused_edge_chain(
                 cfg, pr_t, es_t, weights,
@@ -783,14 +761,8 @@ def escn_energy(coords_ang, system: PaddedSystem, params, cfg: ESCNConfig,
             # fused VMEM chain (escn_ffn_kernel.py): the [P,G,H] grid
             # activations never touch HBM
             from .escn_ffn_kernel import fused_node_ffn
-
-            def mw(p):
-                if p["w"].ndim == 2:            # pre-merged calculator
-                    return p["w"], p["b"]
-                return (jnp.einsum("e,eio->io", alpha, p["w"]),
-                        jnp.einsum("e,eo->o", alpha, p["b"]))
-            W1, b1 = mw(blk["ffn"][0])
-            W2, b2 = mw(blk["ffn"][1])
+            W1, b1 = _merged_wb(blk["ffn"][0], alpha)
+            W2, b2 = _merged_wb(blk["ffn"][1], alpha)
             x = x + fused_node_ffn(cfg, xn2, (W1, b1, W2, b2),
                                    (tg, fg)).astype(dt)
         else:

@@ -431,8 +431,6 @@ def energy_fn_pallas(coords_ang, system, params, cfg, *,
         v = v + (dv + dv2) * atom_mask[:, None, None]
         s, v = _update_block(lp, s, v, atom_mask)
 
-    z = jnp.clip(jax.lax.dynamic_slice_in_dim(system.numbers, i0, P_loc),
-                 0, cfg.max_z)
     return psum(_readout(params, s, z, atom_mask, coords_ang.dtype))
 
 

@@ -67,19 +67,51 @@ if PLATFORM == "cpu" or os.environ.get("PDB2R_TPU_X64") == "1":
 
 # Persistent compilation cache: workflows re-jit identical programs across
 # processes (CLI invocations); caching makes repeat runs start instantly.
-# Disable with PDB2R_TPU_NO_CACHE=1. (The round-2 hang on the axon
-# remote-compile platform is gone — re-verified round 3: cross-process
-# probe compile 1.65 s -> 1.02 s with the cache dir set.)
-if not os.environ.get("PDB2R_TPU_NO_CACHE"):
+# Disable with PDB2R_TPU_NO_CACHE=1; choose the dir with PDB2R_TPU_CACHE.
+# (The round-2 hang on the axon remote-compile platform is gone —
+# re-verified round 3: cross-process probe compile 1.65 s -> 1.02 s with
+# the cache dir set.) This is the ONE cache-setup path — the CLI calls it
+# too (cli.py), so the env knobs behave identically however the package
+# is entered.
+def _host_fingerprint() -> str:
+    """Partition key for the persistent cache: XLA:CPU AOT executables
+    bake the compile host's CPU feature set, and loading one on a host
+    with different features warns "could lead to execution errors such
+    as SIGILL" — observed here as a HANG inside
+    compilation_cache.get_executable_and_time when a VM migration
+    changed the visible flags. jax's cache key does not cover CPU
+    features, so the directory does."""
+    import hashlib
+    import platform
+    feats = ""
     try:
-        _cache_dir = os.environ.get(
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    h = hashlib.sha256(f"{platform.machine()}|{feats}".encode())
+    return h.hexdigest()[:12]
+
+
+def enable_compile_cache():
+    if os.environ.get("PDB2R_TPU_NO_CACHE"):
+        return
+    try:
+        base = os.environ.get(
             "PDB2R_TPU_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache", "pdb2r_jax"))
-        os.makedirs(_cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        cache_dir = os.path.join(base, _host_fingerprint())
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
-        pass
+        pass  # the cache is an optimization; never block on it
+
+
+enable_compile_cache()
 from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np

@@ -75,6 +75,9 @@ class ScfResult:
     spin_mulliken: Optional[List[float]] = None
     spin_lowdin: Optional[List[float]] = None
     spin_iao: Optional[List[float]] = None
+    # why the cells above are null, when they are (reference records
+    # population_error/iao_error strings, dft.py:436-441)
+    population_error: Optional[str] = None
 
 
 class PyscfBackend:
@@ -120,8 +123,11 @@ class PyscfBackend:
             return res
         try:
             self._populations(mol, mf, s, res)
-        except Exception:
-            pass  # population failure leaves null cells, never aborts SCF
+        except Exception as e:
+            # population failure leaves null cells, never aborts SCF —
+            # but the cause is recorded so null reads as "failed: why",
+            # not "skipped" (reference dft.py:436-441)
+            res.population_error = f"{type(e).__name__}: {e}"
         return res
 
     @staticmethod
@@ -267,6 +273,8 @@ def run_dft(
         "charges [index, element, mulliken, lowdin, iao]": charges_table,
         "spin_densities [index, element, mulliken, lowdin, iao]": spins_table,
     }
+    if getattr(scf, "population_error", None):
+        result_yaml["population_error"] = scf.population_error
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)

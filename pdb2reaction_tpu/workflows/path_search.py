@@ -395,6 +395,15 @@ def run_path_search(
         full_struct = tmpl_structs[0]
 
         def merge_full(frames_bohr, pair_idx=None):
+            # The blend fraction spans THE FRAMES OF THIS CALL — exactly
+            # the reference's _merge_pair_to_full (tfrac = k/(M-1) over
+            # pair_images, :1652-1656), which is also called per segment
+            # and per single HEI frame (:1821-1876): a per-segment merge
+            # re-blends 0->1 across that segment alone and a single-frame
+            # HEI merge gets the pure A background (tfrac=0). The same
+            # frame can therefore carry different backgrounds in
+            # mep_full.pdb vs seg_*/hei_full.pdb — reference semantics,
+            # kept deliberately.
             nT = len(tmpl_coords)
             if pair_idx is None:
                 pair_idx = [0] * len(frames_bohr)

@@ -127,23 +127,6 @@ def build_levels_diagram(path, names: List[str], levels_au: List[float],
     return Path(path)
 
 
-def segment_levels(segments) -> (List[str], List[float]):
-    """Simple per-segment level list (every reactive segment contributes a
-    TS + IM level). Kept for per-segment reporting; the aggregated diagram
-    uses :func:`compressed_diagram`."""
-    levels: List[float] = [segments[0].energies[0]]
-    names: List[str] = ["R"]
-    n_ts = 0
-    for seg in segments:
-        if seg.is_reactive:
-            n_ts += 1
-            levels.append(seg.energies[seg.hei_idx])
-            names.append(f"TS{n_ts}")
-        levels.append(seg.energies[-1])
-        names.append(f"IM{n_ts}" if seg is not segments[-1] else "P")
-    return names, levels
-
-
 def _seg_kind(seg) -> str:
     k = getattr(seg, "kind", None)
     if k:
@@ -167,9 +150,16 @@ def compressed_diagram(segments) -> Dict[str, Any]:
       intermediate ``IM{n}_2`` joined with the ``-|-->`` chain token
       (:2714-2721);
     - the LAST TS group goes straight to ``P`` (no intermediates,
-      :2702-2703);
-    - absolute (au) energies are anchored at the first frame of the first
-      bond-change segment and the last frame of the last (:2594-2605).
+      :2702-2703); P's level is the RUNNING accumulated energy
+      (:2717-2719) — the last-bond-change-frame absolute energy is used
+      only in the no-TS-group R→P branch (:2693-2695);
+    - absolute (au) energies anchor at the first frame of the first
+      bond-change segment (:2594-2605, :2722-2723).
+
+    Note a bridge segment never opens a TS group even when a covalent
+    change slipped into it — the reference's ``_is_bond_change_seg``
+    requires ``kind == "seg"`` too (:2614-2620); a reactive bridge shows
+    up only as a diagram-only ``IM{n}_TS`` peak, by design.
 
     Returns ``{"labels", "energies_kcal", "energies_au", "chain"}``.
     """
@@ -177,12 +167,7 @@ def compressed_diagram(segments) -> Dict[str, Any]:
         return _seg_kind(s) == "seg" and s.is_reactive
 
     bc_segs = [s for s in segments if _is_bc(s)]
-    if bc_segs:
-        E0_au = float(bc_segs[0].energies[0])
-        EP_au = float(bc_segs[-1].energies[-1])
-    else:
-        E0_au = float(segments[0].energies[0])
-        EP_au = float(segments[-1].energies[-1])
+    E0_au = float((bc_segs[0] if bc_segs else segments[0]).energies[0])
 
     ts_groups: List[Dict[str, Any]] = []
     cur: Optional[Dict[str, Any]] = None
@@ -213,6 +198,7 @@ def compressed_diagram(segments) -> Dict[str, Any]:
 
     if not ts_groups:
         labels = ["R", "P"]
+        EP_au = float(segments[-1].energies[-1])
         ek = [0.0, (EP_au - E0_au) * AU2KCALPERMOL]
         chain = ["R", "-->", "P"]
     else:

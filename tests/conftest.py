@@ -7,6 +7,14 @@ Multi-chip sharding is validated on a virtual CPU mesh
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # tests never touch the real TPU
+# Hermetic per-run compile cache: stale cross-process entries (e.g. AOT
+# CPU executables baked on a host with different CPU features) have hung
+# cache READS mid-suite, so tests never share the user-level cache dir —
+# but a run-local one stays useful (repeated identical programs across
+# test files).
+import tempfile as _tempfile
+
+os.environ["PDB2R_TPU_CACHE"] = _tempfile.mkdtemp(prefix="pdb2r_test_cache_")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -118,6 +118,27 @@ def test_missing_populations_leave_null_cells(water_xyz, tmp_path):
     assert rows[0] == [0, "O", None, None, None]
 
 
+def test_population_error_recorded(water_xyz, tmp_path):
+    """A population-analysis failure leaves null cells AND records why
+    (result.yaml population_error — reference dft.py:436-441), so a null
+    row is distinguishable from an intentionally skipped analysis."""
+    be = StubBackend(with_pop=False)
+    orig = be.kernel
+
+    def kernel(struct, **kw):
+        res = orig(struct, **kw)
+        res.population_error = "LinAlgError: singular overlap"
+        return res
+
+    be.kernel = kernel
+    run_dft(water_xyz, charge=0, spin=1, backend=be,
+            out_dir=tmp_path / "dft", verbose=False)
+    doc = yaml.safe_load((tmp_path / "dft" / "result.yaml").read_text())
+    assert doc["population_error"] == "LinAlgError: singular overlap"
+    rows = doc["charges [index, element, mulliken, lowdin, iao]"]
+    assert rows[0] == [0, "O", None, None, None]
+
+
 def test_cli_exit2_without_pyscf(water_xyz):
     """PySCF is absent from this image: the CLI must exit 2 with a clear
     message, never crash (cli.py dft_cmd ImportError mapping)."""

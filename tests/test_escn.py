@@ -111,8 +111,25 @@ def test_escn_symmetries(name, rot_tol):
     Q = _random_rot(rng)
     e_r, g_r = jax.value_and_grad(
         lambda c: fn(c, sysp, params))(jnp.asarray(sysp.coords @ Q.T))
-    assert abs(float(e0) - float(e_r)) < rot_tol
+    rot_err = abs(float(e0) - float(e_r))
+    assert rot_err < rot_tol
     assert np.abs(np.asarray(g_r) - np.asarray(g0) @ Q.T).max() < rot_tol
+
+    if name == "escn-test":
+        # Pin that the (loose) s2 rotation error really is grid aliasing,
+        # not an implementation bug: tripling the edge-grid resolution
+        # must shrink it dramatically (a broken from-grid row would leave
+        # an O(1) violation at any resolution).
+        import dataclasses
+        from pdb2reaction_tpu.mlip.escn import ESCN_CONFIGS, ESCN_FN_FOR
+        cfg3 = dataclasses.replace(ESCN_CONFIGS[name], dtype=jnp.float64,
+                                   edge_grid_scale=3)
+        _fn3 = ESCN_FN_FOR(cfg3)
+        fn3 = jax.jit(lambda c: _fn3(c, sysp, params))
+        e0_3 = fn3(c0)
+        e_r3 = fn3(jnp.asarray(sysp.coords @ Q.T))
+        err3 = abs(float(e0_3) - float(e_r3))
+        assert err3 < max(rot_err / 50.0, 1e-10), (rot_err, err3)
 
 
 def test_escn_through_calculator():
