@@ -207,6 +207,16 @@ def _escn_section(sys_, coords):
         rate = _chained_rate(eforce, params, coords, 10)
         entry = {"force_calls_per_sec": round(rate, 2),
                  "ms_per_force_call": round(1e3 / rate, 1)}
+        if name == "escn-md-pallas":       # production kernel only (the
+            try:                           # xla fori compile costs minutes)
+                # device-resident rate (fori_loop marginal): what engine
+                # cycles see — the chained rate above additionally pays a
+                # host->relay round trip (~4 ms) per call that on-device
+                # optimizer loops do not
+                entry["ms_per_force_call_device"] = round(
+                    _device_loop_ms(fn, sys_, params, coords), 1)
+            except Exception:
+                pass
         try:
             ca = eforce.lower(params, coords).compile().cost_analysis()
             if isinstance(ca, (list, tuple)):
@@ -226,6 +236,37 @@ def _escn_section(sys_, coords):
         out["escn-md-pallas"]["force_calls_per_sec"]
         / out["escn-md-xla"]["force_calls_per_sec"], 2)
     return out
+
+
+def _device_loop_ms(fn, sys_, params, coords, n1=6, n2=18):
+    """ms/force-call inside a device fori_loop (marginal between two loop
+    lengths — excludes per-call host/relay latency AND defeats relay
+    memoization since every iteration chains on the previous gradient)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    def make(n):
+        @jax.jit
+        def run(p, c):
+            def body(i, c):
+                e, g = jax.value_and_grad(
+                    lambda cc: fn(cc, sys_, p))(c)
+                return c + 1e-9 * g
+            return jax.lax.fori_loop(0, n, body, c)
+        return run
+
+    f1, f2 = make(n1), make(n2)
+    for f in (f1, f2):
+        jax.block_until_ready(f(params, coords))
+        jax.block_until_ready(f(params, coords))
+    ts = []
+    for f in (f1, f2):
+        t0 = _time.perf_counter()
+        jax.block_until_ready(f(params, coords))
+        ts.append(_time.perf_counter() - t0)
+    return (ts[1] - ts[0]) / (n2 - n1) * 1e3
 
 
 def _cold_start_section():
