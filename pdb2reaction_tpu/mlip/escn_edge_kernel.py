@@ -1033,7 +1033,10 @@ def _fwd_kernel_mega(cfg, P, T, refs):
                 (W0t[:], [w[:] for w in Wrt], [w[:] for w in Wit]),
                 (b0[:], [b[:] for b in brs], [b[:] for b in bis]),
                 nl0, nls, 2 * C, h, T)
-    msg_ref[:] = msg.astype(msg_ref.dtype)
+    # save in the tile-size-INDEPENDENT [(u,h)-rows, edge-cols] layout:
+    # the [U, h*T] packing interleaves h with THIS tile's edge count, so
+    # a backward running a different tile size would read garbage windows
+    msg_ref[:] = msg.astype(msg_ref.dtype).reshape(U * h, T)
     grid = _dot(tg[:], msg.astype(tg.dtype))
     act = _dot(fg[:], _silu(grid).astype(fg.dtype))
     act = jnp.concatenate([_silu(msg[0:1, :]), act[1:, :]], axis=0)
@@ -1109,10 +1112,11 @@ def _bwd_kernel_mega(cfg, P, T, refs):
                   oh_at)                            # [M*C, T] f32
 
     # ---- activation state from the saved conv-1 output ------------------
+    # (saved as [(u,h), edge] — reshape to this tile's [U, h*T] view)
     # grid-space chain in bf16: these are the largest live tensors in the
     # kernel ([G, h*T]); bf16 halves them so the tile can grow (A=8 -> 16),
     # and the dsilu factor is well-conditioned (|dsilu| <= ~1.1)
-    msg = msg_s[:]
+    msg = msg_s[:].reshape(U, h * T)
     grid = _dot(tg[:], msg)
     sig_g = jax.nn.sigmoid(grid)
     dsilu_16 = (sig_g * (1.0 + grid * (1.0 - sig_g))).astype(bf)
@@ -1234,13 +1238,14 @@ def _fwd_call_mega(cfg, P):
                 + _weight_specs(cfg, transposed=True)
                 + [_full_spec((G, U)), _full_spec((U, G))])
     Ep = P * K
+    # msg is saved [(u,h)-rows, edge-cols] so the backward may run a
+    # DIFFERENT tile size (fwd fits A=32, bwd only A=8 — see _mega_tile)
     out_shape = (jax.ShapeDtypeStruct((M * C, P), jnp.float32),
-                 jax.ShapeDtypeStruct((U, h * Ep), _bf()),
+                 jax.ShapeDtypeStruct((U * h, Ep), _bf()),
                  jax.ShapeDtypeStruct((U * C, Ep), _bf()))
     out_specs = (pl.BlockSpec((M * C, P), lambda i: (0, 0),
                               memory_space=pltpu.VMEM),
-                 pl.BlockSpec((U, h * T), lambda i: (0, i),
-                              memory_space=pltpu.VMEM),
+                 _col_spec(U * h, T),
                  _col_spec(U * C, T))
 
     def kernel(*refs):
@@ -1274,8 +1279,7 @@ def _bwd_call_mega(cfg, P):
                               memory_space=pltpu.VMEM),  # src col layout
                  _col_spec(NZp, T),
                  _col_spec(NZp, T),
-                 pl.BlockSpec((U, h * T), lambda i: (0, i),
-                              memory_space=pltpu.VMEM),  # saved msg
+                 _col_spec(U * h, T),                # saved msg (u,h)-rows
                  _col_spec(U * C, T)]                # saved conv2 out
                 + fwd_wspecs
                 + [_full_spec((G, U)), _full_spec((U, G)),

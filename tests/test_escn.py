@@ -264,3 +264,42 @@ def test_premerge_exact():
     h1 = calc.get_hessian(cb)["hessian"]
     h2 = calc2.get_hessian(cb)["hessian"]
     assert np.abs(np.asarray(h1) - np.asarray(h2)).max() < 1e-10
+
+
+@pytest.mark.parametrize("kernel", ["pallas", "pallas-full",
+                                    "pallas-mega"])
+def test_edge_kernel_parity_md_shape(kernel):
+    """Every fused edge kernel at the PRODUCTION escn-md SHAPE (lmax=4,
+    mmax=2 — same (nl0, nls, U, G, nnz) block structure and Wigner tables
+    as escn-md, channels shrunk for CPU interpret mode; P=16 so the mega
+    forward and backward run DIFFERENT tile sizes, A=16 vs A=8) vs the
+    XLA path: values and coordinate gradients. The small escn-test shape
+    (lmax=2, mmax=1, P=8) cannot exercise the m=2 conv blocks, the lmax=4
+    rotation packing, or mismatched fwd/bwd tiles — a saved-tensor layout
+    that baked the forward tile size into its columns passed that test
+    while producing 0.33-absolute wrong gradients here."""
+    import dataclasses
+    import jax.tree_util as jtu
+    rng = np.random.default_rng(11)
+    zs = rng.choice([1, 6, 7, 8], size=12).astype(np.int32)
+    st = Structure(zs, rng.normal(scale=1.6, size=(12, 3)))
+    sysp = pad_to(st, n_pad=16)
+    cfg = dataclasses.replace(
+        ESCN_CONFIGS["escn-md"], sphere_channels=8, hidden_channels=8,
+        edge_channels=8, ffn_hidden=16, num_layers=2, num_experts=2,
+        route_dim=4, num_gauss=8, max_neighbors=8)
+    fn_x, p, _ = make_escn_model(cfg, seed=0)
+    fn_p, _, _ = make_escn_model(
+        dataclasses.replace(cfg, edge_kernel=kernel), seed=0)
+    k = jax.random.PRNGKey(13)
+    leaves, tree = jtu.tree_flatten(p)
+    keys = jax.random.split(k, len(leaves))
+    p = jtu.tree_unflatten(tree, [
+        l + 0.05 * jax.random.normal(kk, l.shape, l.dtype)
+        if l.dtype == jnp.float32 else l
+        for l, kk in zip(leaves, keys)])
+    c = jnp.asarray(sysp.coords, jnp.float32)
+    e_x, g_x = jax.value_and_grad(lambda cc: fn_x(cc, sysp, p))(c)
+    e_p, g_p = jax.value_and_grad(lambda cc: fn_p(cc, sysp, p))(c)
+    assert abs(float(e_x) - float(e_p)) < 1e-5
+    assert np.abs(np.asarray(g_x) - np.asarray(g_p)).max() < 1e-5
