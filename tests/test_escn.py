@@ -303,3 +303,27 @@ def test_edge_kernel_parity_md_shape(kernel):
     e_p, g_p = jax.value_and_grad(lambda cc: fn_p(cc, sysp, p))(c)
     assert abs(float(e_x) - float(e_p)) < 1e-5
     assert np.abs(np.asarray(g_x) - np.asarray(g_p)).max() < 1e-5
+
+
+def test_mega_kernel_multi_fwd_tile():
+    """pallas-mega with MULTIPLE forward tiles (P=64, A=32 -> 2 fwd
+    tiles; bwd A=8 -> 8 tiles): pins the cross-tile node accumulation
+    (out_ref += per tile) and the staged A-block one-hots at i > 0.
+    Uses the cheap escn-test shape — the md-shape test covers the block
+    structure, this one covers the grid dimension."""
+    import dataclasses
+    rng = np.random.default_rng(21)
+    n = 50
+    zs = rng.choice([1, 6, 8], size=n).astype(np.int32)
+    pts = np.stack(np.meshgrid(*[np.arange(4)] * 3), -1).reshape(-1, 3)
+    st = Structure(zs, pts[:n] * 1.7 + rng.normal(scale=0.1, size=(n, 3)))
+    sysp = pad_to(st, n_pad=64)
+    cfg = ESCN_CONFIGS["escn-test"]
+    fn_x, p, _ = make_escn_model(cfg, seed=1)
+    fn_p, _, _ = make_escn_model(
+        dataclasses.replace(cfg, edge_kernel="pallas-mega"), seed=1)
+    c = jnp.asarray(sysp.coords, jnp.float32)
+    e_x, g_x = jax.value_and_grad(lambda cc: fn_x(cc, sysp, p))(c)
+    e_p, g_p = jax.value_and_grad(lambda cc: fn_p(cc, sysp, p))(c)
+    assert abs(float(e_x) - float(e_p)) < 1e-5 * max(1.0, abs(float(e_x)))
+    assert np.abs(np.asarray(g_x) - np.asarray(g_p)).max() < 1e-5
