@@ -938,11 +938,25 @@ def _mega_tile(cfg, P, cap=32):
     return A * cfg.max_neighbors
 
 
-def _mega_cap(which, default):
-    """Env-tunable A cap (sweeps; fresh process per value — the call
-    builders are lru_cached)."""
+def _mega_cap(cfg, which, default):
+    """A-cap for the mega kernel's edge tiles. The default is calibrated
+    at escn-md scale (C=h=128, K=32: fwd A=32 fits the VMEM budget, bwd
+    A=8) and scaled inversely with the per-edge VMEM footprint for other
+    configs — T = A*K and every live tensor is ~T x (C or h) — so e.g.
+    escn-uma-s (h=256, K=64) does not default to a guaranteed-OOM tile.
+    Env-tunable via PDB2R_TPU_MEGA_A_{FWD,BWD} for sweeps (fresh process
+    per value — the call builders are lru_cached)."""
     import os
-    return int(os.environ.get(f"PDB2R_TPU_MEGA_A_{which}", default))
+    env = os.environ.get(f"PDB2R_TPU_MEGA_A_{which}")
+    if env is not None:
+        return int(env)
+    ref = 128 * 128 * 32                    # escn-md C * h * K
+    scale = ref / max(cfg.sphere_channels * cfg.hidden_channels
+                      * cfg.max_neighbors, 1)
+    cap = default
+    while cap > 1 and cap > default * scale:
+        cap //= 2
+    return cap
 
 
 def _oh(eq_a, eq_b, dtype):
@@ -1226,7 +1240,7 @@ def _fwd_call_mega(cfg, P):
     M = (cfg.lmax + 1) ** 2
     h, C, Ce = cfg.hidden_channels, cfg.sphere_channels, cfg.edge_channels
     K = cfg.max_neighbors
-    T = _mega_tile(cfg, P, cap=_mega_cap("FWD", 32))
+    T = _mega_tile(cfg, P, cap=_mega_cap(cfg, "FWD", 32))
     A = T // K
     E = P * K
     NZp = _nzp(cfg)
@@ -1264,7 +1278,7 @@ def _bwd_call_mega(cfg, P):
     M = (cfg.lmax + 1) ** 2
     h, C, Ce = cfg.hidden_channels, cfg.sphere_channels, cfg.edge_channels
     K = cfg.max_neighbors
-    T = _mega_tile(cfg, P, cap=_mega_cap("BWD", 8))
+    T = _mega_tile(cfg, P, cap=_mega_cap(cfg, "BWD", 8))
     E = P * K
     NZp = _nzp(cfg)
     d0 = nl0 * 2 * C + Ce
@@ -1297,7 +1311,7 @@ def _bwd_call_mega(cfg, P):
 
     # the bwd tile is VMEM-bound (it carries cotangent mirrors of both
     # convs); give it the full budget Mosaic allows so A=16 fits
-    vmem_mb = _mega_cap("VMEM_MB", 128)
+    vmem_mb = int(__import__("os").environ.get("PDB2R_TPU_MEGA_A_VMEM_MB", 128))
     return pl.pallas_call(
         kernel, grid=(E // T,), in_specs=in_specs,
         out_shape=out_shape, out_specs=out_specs,
