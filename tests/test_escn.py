@@ -327,3 +327,28 @@ def test_mega_kernel_multi_fwd_tile():
     e_p, g_p = jax.value_and_grad(lambda cc: fn_p(cc, sysp, p))(c)
     assert abs(float(e_x) - float(e_p)) < 1e-5 * max(1.0, abs(float(e_x)))
     assert np.abs(np.asarray(g_x) - np.asarray(g_p)).max() < 1e-5
+
+
+def test_escn_hessian_routing_with_pallas_kernel():
+    """With a Pallas edge kernel active, the calculator's analytic
+    Hessian MUST route through the all-XLA variant (mlip/uma.py builds
+    fn_h): the kernels are jax.custom_vjp and have no forward-mode, so a
+    mis-routed HVP would raise, and the analytic Hessian must match the
+    XLA-kernel calculator's to float tolerance."""
+    import dataclasses
+    rng = np.random.default_rng(6)
+    st = Structure(np.array([6, 1, 8], np.int32),
+                   rng.normal(scale=1.3, size=(3, 3)))
+    from pdb2reaction_tpu.mlip.uma import make_uma_calculator
+    calc_p = make_uma_calculator(st, model="escn-test",
+                                 edge_kernel="pallas-mega")
+    calc_x = make_uma_calculator(st, model="escn-test")
+    cb = st.coords_bohr.reshape(-1)
+    Hp = calc_p.get_hessian(cb)["hessian"]
+    Hx = calc_x.get_hessian(cb)["hessian"]
+    np.testing.assert_allclose(np.asarray(Hp), np.asarray(Hx),
+                               rtol=1e-5, atol=1e-7)
+    # and the forces still come from the kernel path (parity)
+    fp = calc_p.get_forces(cb)["forces"]
+    fx = calc_x.get_forces(cb)["forces"]
+    np.testing.assert_allclose(fp, fx, rtol=1e-5, atol=1e-7)
