@@ -352,3 +352,18 @@ def test_escn_hessian_routing_with_pallas_kernel():
     fp = calc_p.get_forces(cb)["forces"]
     fx = calc_x.get_forces(cb)["forces"]
     np.testing.assert_allclose(fp, fx, rtol=1e-5, atol=1e-7)
+
+
+def test_mega_tile_caps_scale_with_config():
+    """Tile-cap defaults are calibrated at escn-md and must scale down
+    for bigger configs (escn-uma-s would OOM kernel VMEM at A=32) while
+    leaving escn-md and the small test configs at the calibrated values."""
+    from pdb2reaction_tpu.mlip.escn_edge_kernel import _mega_cap
+    md = ESCN_CONFIGS["escn-md"]
+    uma = ESCN_CONFIGS["escn-uma-s"]
+    test = ESCN_CONFIGS["escn-test"]
+    assert _mega_cap(md, "FWD", 32) == 32
+    assert _mega_cap(md, "BWD", 8) == 8
+    assert _mega_cap(uma, "FWD", 32) <= 8     # h=256, K=64: 4x footprint
+    assert _mega_cap(uma, "BWD", 8) <= 2
+    assert _mega_cap(test, "FWD", 32) == 32   # tiny: never above default
