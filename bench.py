@@ -33,6 +33,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -40,6 +42,102 @@ import numpy as np
 V5E_PEAK_FLOPS = 197e12      # bf16 peak per chip (public TPU v5e spec)
 BOHR2ANG = 0.529177210903
 EV2AU = 0.03674932217565499
+
+# Outage resilience (VERDICT r3 item 1): the axon TPU relay can be down for
+# hours (observed 2026-08-17: backend init raises RuntimeError — or hangs —
+# and nothing in this VM can restart it). The bench must ALWAYS emit one
+# parseable JSON line. Strategy: probe the backend in a SUBPROCESS with a
+# hard timeout (an in-process jax.devices() can hang forever), retry with
+# backoff inside a bounded budget, and on failure emit structured JSON with
+# an explicit "backend_unavailable" marker + last-known-good numbers.
+PROBE_TIMEOUT_S = int(os.environ.get("PDB2R_BENCH_PROBE_TIMEOUT", "120"))
+PROBE_RETRIES = int(os.environ.get("PDB2R_BENCH_PROBE_RETRIES", "3"))
+PROBE_BACKOFF_S = float(os.environ.get("PDB2R_BENCH_PROBE_BACKOFF", "60"))
+
+
+def _emit(payload):
+    """Print the single JSON line the driver parses, and flush."""
+    print(json.dumps(payload))
+    sys.stdout.flush()
+
+
+def _probe_backend():
+    """Probe backend init in a subprocess (it can hang, not just raise).
+
+    Returns (ok: bool, detail: str)."""
+    import subprocess
+    code = "import jax; d = jax.devices(); print('OK', d[0].platform, len(d))"
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=PROBE_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {PROBE_TIMEOUT_S}s (backend hang)"
+    except Exception as e:                       # pragma: no cover
+        return False, f"probe error: {type(e).__name__}: {e}"
+    out = (r.stdout or "").strip().splitlines()
+    if r.returncode == 0 and out and out[-1].startswith("OK"):
+        return True, out[-1]
+    tail = (r.stderr or "").strip().splitlines()
+    return False, (tail[-1][:300] if tail else f"probe rc={r.returncode}")
+
+
+def _probe_with_backoff():
+    """Retry the backend probe with backoff inside a bounded budget."""
+    detail = "no probe attempted"
+    for attempt in range(PROBE_RETRIES):
+        ok, detail = _probe_backend()
+        if ok:
+            return True, detail, attempt + 1
+        if attempt + 1 < PROBE_RETRIES:
+            time.sleep(PROBE_BACKOFF_S * (attempt + 1))
+    return False, detail, PROBE_RETRIES
+
+
+def _last_known_good():
+    """Best-effort last driver-captured numbers, for the outage payload."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for name in sorted(os.listdir(here)):
+        if not (name.startswith("BENCH_r") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(here, name)) as fh:
+                rec = json.load(fh)
+            parsed = rec.get("parsed")
+            if parsed is None:
+                tail = rec.get("tail", "")
+                for line in reversed(tail.strip().splitlines()):
+                    line = line.strip()
+                    if line.startswith("{") and line.endswith("}"):
+                        parsed = json.loads(line)
+                        break
+            if parsed and parsed.get("value") is not None:
+                best = {"from": name, "metric": parsed.get("metric"),
+                        "value": parsed.get("value"),
+                        "unit": parsed.get("unit"),
+                        "vs_baseline": parsed.get("vs_baseline")}
+        except Exception:
+            continue
+    return best
+
+
+def _unavailable_payload(detail, attempts):
+    return {
+        "metric": "mlip_force_calls_per_sec_300atom",
+        "value": None,
+        "unit": "force-calls/sec",
+        "vs_baseline": None,
+        "extras": {
+            "error": "backend_unavailable",
+            "detail": detail,
+            "probe_attempts": attempts,
+            "probe_timeout_s": PROBE_TIMEOUT_S,
+            "note": "axon TPU relay down (see bench.py docstring); numbers "
+                    "below are the last driver-captured run, NOT this round",
+            "last_known_good": _last_known_good(),
+        },
+    }
 
 
 def _chained_rate(eforce, params, coords, iters=10):
@@ -57,6 +155,28 @@ def _chained_rate(eforce, params, coords, iters=10):
 
 
 def main():
+    # ---- (0) backend probe with retry/backoff (subprocess: init can hang)
+    ok, detail, attempts = _probe_with_backoff()
+    if not ok:
+        _emit(_unavailable_payload(detail, attempts))
+        return
+    extras = {"backend_probe": detail}
+    payload = {"metric": "mlip_force_calls_per_sec_300atom",
+               "value": None, "unit": "force-calls/sec",
+               "vs_baseline": None, "extras": extras}
+    try:
+        _run_sections(payload, extras)
+    except Exception as e:                      # pragma: no cover
+        # mid-run outage (BENCH_r03 died at a device_put) — emit whatever
+        # sections completed plus the failure marker, never a traceback
+        extras["error"] = "bench_aborted_midrun"
+        extras["detail"] = f"{type(e).__name__}: {e}"[:500]
+        if payload["value"] is None:
+            extras["last_known_good"] = _last_known_good()
+    _emit(payload)
+
+
+def _run_sections(payload, extras):
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_system
@@ -95,46 +215,47 @@ def main():
         eb, fb = eforce_batch(params, bt)
     fb.block_until_ready()
     calls_per_sec = iters * B / (time.perf_counter() - t0)
+    payload["value"] = round(calls_per_sec, 2)
+
+    extras["timing"] = ("chained inputs (relay memoizes identical "
+                        "executions; see bench.py docstring)")
 
     # ---- (2) denominators -------------------------------------------------
-    single_calls_per_sec = _chained_rate(eforce, params, coords, 20)
-    # reference-style serial host-synced calls (one image per call, numpy
-    # in / numpy out — uma_pysis.py:292-327); input varies per call
-    base_np = np.asarray(coords)
-    n_serial = 20
-    t0 = time.perf_counter()
-    for k in range(n_serial):
-        c_host = base_np + 1e-4 * (k + 1)
-        e1, f1 = eforce(params, jnp.asarray(c_host))
-        _ = float(e1), np.asarray(f1)
-    serial_calls_per_sec = n_serial / (time.perf_counter() - t0)
+    try:
+        single_calls_per_sec = _chained_rate(eforce, params, coords, 20)
+        # reference-style serial host-synced calls (one image per call,
+        # numpy in / numpy out — uma_pysis.py:292-327); input varies per call
+        base_np = np.asarray(coords)
+        n_serial = 20
+        t0 = time.perf_counter()
+        for k in range(n_serial):
+            c_host = base_np + 1e-4 * (k + 1)
+            e1, f1 = eforce(params, jnp.asarray(c_host))
+            _ = float(e1), np.asarray(f1)
+        serial_calls_per_sec = n_serial / (time.perf_counter() - t0)
+        extras["baseline_single_device_calls_per_sec"] = \
+            round(single_calls_per_sec, 2)
+        extras["baseline_serial_hostsync_calls_per_sec"] = \
+            round(serial_calls_per_sec, 2)
+        extras["baseline_derivation"] = (
+            "vs_baseline = batched rate / measured serial host-synced "
+            "rate (the reference's operating mode, uma_pysis.py:292-327)")
+        payload["vs_baseline"] = round(calls_per_sec / serial_calls_per_sec, 2)
+    except Exception as e:                      # pragma: no cover
+        extras["baseline_error"] = f"{type(e).__name__}: {e}"[:300]
 
     # ---- (3) MFU ----------------------------------------------------------
-    mfu = None
-    flops = None
     try:
         ca = eforce.lower(params, coords).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
         if flops:
-            mfu = (flops * calls_per_sec) / V5E_PEAK_FLOPS
+            extras["batched_program_flops"] = flops
+            extras["mfu_vs_v5e_bf16_peak"] = round(
+                (flops * calls_per_sec) / V5E_PEAK_FLOPS, 4)
     except Exception:
         pass
-
-    extras = {
-        "timing": "chained inputs (relay memoizes identical executions; "
-                  "see bench.py docstring)",
-        "baseline_single_device_calls_per_sec":
-            round(single_calls_per_sec, 2),
-        "baseline_serial_hostsync_calls_per_sec":
-            round(serial_calls_per_sec, 2),
-        "baseline_derivation": "vs_baseline = batched rate / measured "
-                               "serial host-synced rate (the reference's "
-                               "operating mode, uma_pysis.py:292-327)",
-        "batched_program_flops": flops,
-        "mfu_vs_v5e_bf16_peak": round(mfu, 4) if mfu else None,
-    }
 
     # ---- (4) UMA-class eSCN backbone (the reference's operating point) ---
     # one retry: the axon relay's remote-compile endpoint occasionally
@@ -144,31 +265,29 @@ def main():
             extras["escn"] = _escn_section(sys_, coords)
             break
         except Exception as e:                  # pragma: no cover
-            extras["escn"] = {"error": f"{type(e).__name__}: {e}"}
+            extras["escn"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    # ---- (4c) flagship: eSCN GSM MEP on the 300-atom cluster -------------
+    try:
+        extras["escn_gsm"] = _escn_gsm_section(sys_, coords)
+    except Exception as e:                      # pragma: no cover
+        extras["escn_gsm"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     # ---- (4b) cross-process cold start (persistent compile cache) --------
     try:
         extras["cold_start"] = _cold_start_section()
     except Exception as e:                      # pragma: no cover
-        extras["cold_start"] = {"error": f"{type(e).__name__}: {e}"}
+        extras["cold_start"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     # ---- (5) GSM MEP wall-clocks -----------------------------------------
     try:
         extras.update(_gsm_section(fn, params, sys_, coords))
     except Exception as e:                      # pragma: no cover
-        extras["gsm_error"] = f"{type(e).__name__}: {e}"
+        extras["gsm_error"] = f"{type(e).__name__}: {e}"[:300]
     try:
         extras.update(_gsm_matched_criteria(sys_, coords))
     except Exception as e:                      # pragma: no cover
-        extras["gsm_gau_error"] = f"{type(e).__name__}: {e}"
-
-    print(json.dumps({
-        "metric": "mlip_force_calls_per_sec_300atom",
-        "value": round(calls_per_sec, 2),
-        "unit": "force-calls/sec",
-        "vs_baseline": round(calls_per_sec / serial_calls_per_sec, 2),
-        "extras": extras,
-    }))
+        extras["gsm_gau_error"] = f"{type(e).__name__}: {e}"[:300]
 
 
 def _escn_section(sys_, coords):
@@ -236,6 +355,75 @@ def _escn_section(sys_, coords):
         out["escn-md-pallas"]["force_calls_per_sec"]
         / out["escn-md-xla"]["force_calls_per_sec"], 2)
     return out
+
+
+def _escn_gsm_section(sys_, coords):
+    """THE flagship BASELINE.json metric, measured for the first time in
+    round 4: wall-clock to a converged GSM MEP on the ~300-atom cluster
+    with the UMA-class eSCN backbone (VERDICT r3 item 2).
+
+    Uses gsm_mep(loop="host"): the per-cycle jitted program is just the
+    12-image batched force call plus a small epilogue, so the compile is
+    seconds instead of the ~35-min batched-string while_loop program the
+    round-2/3 benches had to skip. Host-loop and device-loop GSM produce
+    identical trajectories (tests/test_gsm.py::test_gsm_host_loop_matches_device)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from pdb2reaction_tpu.engines.gsm import gsm_mep
+    from pdb2reaction_tpu.mlip.escn import (ESCN_CONFIGS, make_escn_model,
+                                            premerge_escn_params)
+
+    cfg0 = dataclasses.replace(ESCN_CONFIGS["escn-md"],
+                               edge_kernel="pallas-mega")
+    fn, params, cfg = make_escn_model(cfg0, seed=0)
+    params = premerge_escn_params(params, cfg)
+
+    @jax.jit
+    def eb_fn(coords_b):
+        def one(c_bohr):
+            e, g = jax.value_and_grad(
+                lambda cc: fn(cc * BOHR2ANG, sys_, params))(c_bohr)
+            f = -g * BOHR2ANG * EV2AU * sys_.free_mask[:, None]
+            return e * EV2AU, f
+        return jax.lax.map(one, coords_b, batch_size=1)
+
+    # same endpoints as the surrogate GSM section: a frozen-mask-respecting
+    # 0.08-Ang displacement of the 300-atom cluster
+    rng = np.random.default_rng(1)
+    disp = rng.normal(scale=0.08, size=np.asarray(coords).shape) \
+        .astype(np.float32)
+    disp *= np.asarray(sys_.free_mask)[:, None]
+    xA = coords * 1.8897259886
+    xB = (coords + disp) * 1.8897259886
+    fm = jnp.asarray(sys_.free_mask)
+    max_cycles = int(os.environ.get("PDB2R_BENCH_ESCN_GSM_MAXC", "300"))
+    conv = 2.0e-2   # surrogate-calibrated criterion (untrained weights;
+    #                 see _gsm_section docstring — trained weights: 1e-3)
+
+    kw = dict(max_nodes=10, conv_perp_rms=conv, climb=False, loop="host")
+    t0 = time.perf_counter()
+    gsm_mep(eb_fn, xA, xB, fm, max_cycles=2, stop_in_when_full=2, **kw)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = gsm_mep(eb_fn, xA, xB, fm, max_cycles=max_cycles,
+                  stop_in_when_full=max_cycles, **kw)
+    dt = time.perf_counter() - t0
+    return {
+        "escn_gsm_mep_wallclock_s": round(dt, 2),
+        "converged": bool(res.converged),
+        "final_perp_rms": float(res.perp_rms),
+        "cycles": int(res.cycles),
+        "force_calls": int(res.force_calls),
+        "ms_per_force_call_in_mep": round(1e3 * dt / max(res.force_calls, 1), 1),
+        "compile_plus_first_s": round(compile_s, 1),
+        "criterion": f"perp-force RMS < {conv} Ha/Bohr (surrogate-"
+                     "calibrated; untrained weights)",
+        "note": "host-loop GSM, pallas-mega eSCN, 300-atom cluster — the "
+                "BASELINE.json flagship wall-clock",
+    }
 
 
 def _device_loop_ms(fn, sys_, params, coords, n1=6, n2=18):

@@ -93,6 +93,7 @@ def read_gjf(path) -> Structure:
     st.gjf_charge = t.charge
     st.gjf_spin = t.spin
     st.gjf_template = t
+    st.is_gjf = True
     st.source_path = str(path)
     return st
 

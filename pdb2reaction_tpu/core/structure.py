@@ -86,6 +86,12 @@ class Structure:
             freeze=list(self.freeze),
             pdb_atoms=[dict(a) for a in self.pdb_atoms] if self.pdb_atoms else None,
         )
+        # GJF provenance rides as ad-hoc attrs (set by io_gjf.read_gjf);
+        # dataclasses.replace drops them — carry them so .gjf companion
+        # mirroring (workflows/common.py write_outputs) survives copies
+        for attr in ("gjf_template", "gjf_charge", "gjf_spin", "is_gjf"):
+            if hasattr(self, attr):
+                setattr(new, attr, getattr(self, attr))
         return new
 
     def rmsd(self, other: "Structure") -> float:

@@ -17,9 +17,22 @@ TPU-first redesign (not a port):
 - Upwinded tangents (Henkelman-Jonsson), perpendicular projection, scaled
   steepest-descent step with global/per-image scaling, and arc-length
   reparametrization are all vectorized over the image axis on device.
-- Lanczos HEI tangent refinement (climb_lanczos) is approximated by the
-  energy-upwinded tangent; a Rayleigh-quotient refinement is a later
-  optimization (documented deviation).
+- The climbing-image tangent (climb_lanczos, reference path_opt.py:177) is
+  the TRUE lowest-curvature direction, computed by Lanczos iteration on the
+  analytic Hessian-vector product (``lanczos_lowest_mode``, wired in via
+  ``hvp_fn`` by workflows/path_opt.py) — pysisyphus probes the same operator
+  with finite-difference force calls; here each product is one jvp. Growth
+  fidelity measured on the Muller-Brown curved valley
+  (tests/test_gsm.py::test_gsm_growth_fidelity_curved_valley): grown-only
+  string 0.078 Ang off the analytic MEP, relax phase halves that (0.035),
+  climbing image lands 0.002 Ang from the true saddle.
+- Two loop drivers: ``loop="device"`` (default) runs growth and relaxation
+  each as ONE on-device lax.while_loop (one host sync per phase);
+  ``loop="host"`` drives the same jitted macro-cycle program from a host
+  loop — the compiled program is just the batched force call plus a small
+  epilogue, so giant backbones (300-atom eSCN) pay seconds of compile
+  instead of the ~35-minute batched-string while_loop program (bench.py's
+  flagship eSCN GSM section uses this).
 """
 
 from __future__ import annotations
@@ -413,6 +426,109 @@ def make_device_relax(eforce_batch_fn, free_mask, max_step: float,
     return relax
 
 
+_HOST_CYCLE_CACHE: dict = {}
+
+
+def make_host_cycles(eforce_batch_fn, free_mask, max_step: float,
+                     scale_step: str, perp_thresh: float,
+                     max_micro_cycles: int, climb: bool, climb_rms: float,
+                     conv_perp_rms: float, hvp_fn=None,
+                     lanczos_iters: int = 10, fix_ends: bool = True):
+    """Host-driven GSM: one jitted program per macro cycle (growth and
+    relaxation each), driven from a Python loop.
+
+    Why this exists next to the device while_loops: the while_loop programs
+    embed the whole batched force call in their body — for the 300-atom
+    eSCN backbone that single program took ~35 min to compile through the
+    axon relay (bench.py round-2/3 note). These per-cycle programs compile
+    in roughly the time of the batched force call itself; the price is one
+    host<->device round trip per macro cycle (~ms), negligible against a
+    ~100 ms 12-image eSCN force batch. Use via ``gsm_mep(..., loop="host")``.
+
+    Returns jitted ``(grow_cycle, relax_cycle)``; both are one dispatch.
+    """
+    key = (eforce_batch_fn, float(max_step), scale_step,
+           float(perp_thresh), int(max_micro_cycles), bool(climb),
+           float(climb_rms), float(conv_perp_rms), hvp_fn,
+           int(lanczos_iters), bool(fix_ends))
+    hit = _HOST_CYCLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    step_fn = make_macro_step(eforce_batch_fn, free_mask, max_step,
+                              scale_step, fix_ends)
+    fm_flat = jnp.repeat(free_mask, 3)
+
+    @jax.jit
+    def grow_cycle(images, nl, nr, stall):
+        # identical bookkeeping to make_device_growth's body, minus the
+        # while_loop wrapper (host owns the loop)
+        M = images.shape[0]
+        k = jnp.arange(M)
+        gm = ((k <= nl) | (k >= M - 1 - nr)).astype(images.dtype)
+        imgs_new, E, perp_rms, rms_all, _ = step_fn(
+            images, gm, jnp.array(False), jnp.asarray(M // 2),
+            jnp.zeros_like(images[0]), jnp.array(False))
+        imgs2 = jnp.where(gm[:, None, None] > 0, imgs_new, images)
+        can = (nl + nr) < (M - 2)
+        grow_l = (perp_rms[nl] < perp_thresh) & can
+        nl2 = nl + grow_l.astype(nl.dtype)
+        can2 = (nl2 + nr) < (M - 2)
+        grow_r = (perp_rms[M - 1 - nr] < perp_thresh) & can2
+        nr2 = nr + grow_r.astype(nr.dtype)
+        grew = grow_l | grow_r
+        stall2 = jnp.where(grew, 0, stall + 1)
+        force = (~grew) & (stall2 >= max_micro_cycles) \
+            & ((nl2 + nr2) < (M - 2))
+        nl3 = jnp.where(force & (nl2 <= nr2), nl2 + 1, nl2)
+        nr3 = jnp.where(force & (nl2 > nr2), nr2 + 1, nr2)
+        stall3 = jnp.where(force, 0, stall2)
+        # linear re-interpolation of the ungrown interior (same documented
+        # deviation as make_device_growth)
+        li, ri = nl3, M - 1 - nr3
+        w = ((k - li) / jnp.maximum(ri - li, 1)).astype(imgs2.dtype)
+        interior = (k > li) & (k < ri)
+        interp = ((1.0 - w)[:, None, None] * imgs2[li][None]
+                  + w[:, None, None] * imgs2[ri][None])
+        imgs3 = jnp.where(interior[:, None, None], interp, imgs2)
+        return imgs3, nl3, nr3, stall3, E
+
+    @jax.jit
+    def relax_cycle(images, img_mask, climb_on, E_prev):
+        # identical math to make_device_relax's body, one dispatch
+        M = images.shape[0]
+        D = images.shape[1] * 3
+        hei = _hei_device(E_prev)
+        if hvp_fn is not None:
+            def mk_tau(_):
+                xh = images[hei]
+                v0 = (images[jnp.minimum(hei + 1, M - 1)]
+                      - images[jnp.maximum(hei - 1, 0)]).reshape(-1)
+                return lanczos_lowest_mode(hvp_fn, xh, v0, fm_flat,
+                                           lanczos_iters)
+            tau_l = jax.lax.cond(climb_on, mk_tau,
+                                 lambda _: jnp.zeros(D, images.dtype), None)
+            use_l = climb_on
+        else:
+            tau_l = jnp.zeros(D, images.dtype)
+            use_l = jnp.array(False)
+        imgs2, E, perp, rms_all, hei_fmax = step_fn(
+            images, img_mask, climb_on, hei,
+            tau_l.reshape(images.shape[1], 3), use_l)
+        hei_pos = imgs2[hei]
+        reparamed = _reparam_equal_arc(imgs2, img_mask)
+        reparamed = jnp.where(climb_on, reparamed.at[hei].set(hei_pos),
+                              reparamed)
+        climb_on2 = climb_on | (jnp.asarray(climb) & (rms_all < climb_rms))
+        climb_ok = (~jnp.asarray(climb)) | (
+            climb_on & (hei_fmax < jnp.maximum(conv_perp_rms, climb_rms)))
+        done = (rms_all < conv_perp_rms) & climb_ok
+        return reparamed, E, rms_all, climb_on2, done
+
+    _HOST_CYCLE_CACHE[key] = (grow_cycle, relax_cycle)
+    return grow_cycle, relax_cycle
+
+
 def gsm_mep(
     eforce_batch_fn: Callable,     # [M,P,3] Bohr -> (E [M], F [M,P,3])
     x0_bohr_pad: jnp.ndarray,      # [P,3] endpoint A
@@ -436,6 +552,7 @@ def gsm_mep(
     conv_perp_rms: float = 1.0e-3, # converged when overall perp RMS below
     callback: Optional[Callable] = None,
     print_every: int = 10,
+    loop: str = "device",          # "device" (one while_loop/phase) | "host"
     **_ignored,
 ) -> GsmResult:
     M = max_nodes + 2
@@ -451,6 +568,18 @@ def gsm_mep(
     E = np.zeros(M)
     cyc = 0
     max_micro_cycles = int(_ignored.get("max_micro_cycles", 10))
+
+    if loop == "host":
+        return _gsm_mep_host(
+            eforce_batch_fn, images, jnp.asarray(free_mask),
+            fully_grown=fully_grown, max_step=max_step,
+            scale_step=scale_step, perp_thresh=perp_thresh,
+            max_micro_cycles=max_micro_cycles, max_cycles=max_cycles,
+            stop_in_when_full=stop_in_when_full, climb=climb,
+            climb_rms=climb_rms, conv_perp_rms=conv_perp_rms,
+            hvp_fn=(hvp_fn if climb_lanczos else None),
+            lanczos_iters=lanczos_iters, fix_ends=fix_ends,
+            callback=callback)
 
     # ---- growth phase: ONE on-device while_loop (frontier bookkeeping is
     # traced-integer arithmetic; a host growth cycle costs a dispatch
@@ -494,3 +623,60 @@ def gsm_mep(
                      hei_idx=select_hei_index(E), converged=conv,
                      cycles=cyc, force_calls=force_calls,
                      perp_rms=float(rms_j))
+
+
+def _gsm_mep_host(eforce_batch_fn, images, free_mask, *, fully_grown,
+                  max_step, scale_step, perp_thresh, max_micro_cycles,
+                  max_cycles, stop_in_when_full, climb, climb_rms,
+                  conv_perp_rms, hvp_fn, lanczos_iters, fix_ends,
+                  callback) -> GsmResult:
+    """Host-driven GSM loop (see make_host_cycles for why this exists)."""
+    M = images.shape[0]
+    grow_cycle, relax_cycle = make_host_cycles(
+        eforce_batch_fn, free_mask, max_step, scale_step, perp_thresh,
+        max_micro_cycles, climb, climb_rms, conv_perp_rms,
+        hvp_fn=hvp_fn, lanczos_iters=lanczos_iters, fix_ends=fix_ends)
+    force_calls = 0
+    g_steps = 0
+    E = np.zeros(M)
+    if not fully_grown:
+        nl = jnp.asarray(1)
+        nr = jnp.asarray(1)
+        stall = jnp.asarray(0)
+        while g_steps < max_cycles:
+            images, nl, nr, stall, E_j = grow_cycle(images, nl, nr, stall)
+            g_steps += 1
+            force_calls += M
+            if int(nl) + int(nr) >= M - 2:
+                break
+        if g_steps:
+            E = np.asarray(E_j)
+        if callback and g_steps:
+            callback(g_steps, E, -1.0, int(nl) + int(nr), False)
+
+    budget = min(max_cycles - g_steps, stop_in_when_full)
+    gm = jnp.ones(M)
+    E_j, _ = eforce_batch_fn(images)   # energy seed for the first HEI pick
+    force_calls += M
+    climb_on = jnp.array(False)
+    conv = False
+    rms = float("inf")
+    n_relax = 0
+    for _ in range(max(budget, 0)):
+        images, E_j, rms_j, climb_on, done = relax_cycle(
+            images, gm, climb_on, E_j)
+        n_relax += 1
+        force_calls += M
+        if bool(done):        # one scalar host sync per macro cycle
+            conv = True
+            rms = float(rms_j)
+            break
+        rms = float(rms_j)
+    cyc = g_steps + n_relax
+    E = np.asarray(E_j)
+    if callback:
+        callback(cyc, E, -1.0, M - 2, True)
+    return GsmResult(images=np.asarray(images), energies=E,
+                     hei_idx=select_hei_index(E), converged=conv,
+                     cycles=cyc, force_calls=force_calls,
+                     perp_rms=float(rms))

@@ -276,8 +276,11 @@ def make_calculator(struct: Structure, *, calc_mode: str = "uma",
 def write_outputs(out_dir: Path, name: str, struct: Structure,
                   coords_bohr: np.ndarray, energy: Optional[float] = None,
                   source_pdb: Optional[Path] = None) -> List[Path]:
-    """Write final_geometry.xyz (+ .pdb companion if input was PDB and
-    conversion enabled) — utils.py:891-989 mirroring behavior."""
+    """Write final_geometry.xyz (+ .pdb companion if input was PDB, + .gjf
+    companion if input was GJF, conversion enabled) — the reference's
+    convert_xyz_like_outputs mirroring contract (utils.py:950-989: PDB for
+    .pdb inputs; GJF for .xyz outputs when the input carried a Gaussian
+    template, charge/spin/route preserved from the template)."""
     from ..constants import BOHR2ANG
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -295,6 +298,19 @@ def write_outputs(out_dir: Path, name: str, struct: Structure,
             paths.append(pdb)
         except Exception as e:
             print(f"[convert] WARNING: PDB conversion failed: {e}")
+    tmpl = getattr(struct, "gjf_template", None)
+    if convert_enabled() and tmpl is not None \
+            and getattr(struct, "is_gjf", False):
+        gjf = out_dir / f"{name}.gjf"
+        try:
+            if len(tmpl.symbols) != len(coords_ang):
+                raise ValueError(
+                    f"atom count mismatch: template {len(tmpl.symbols)}, "
+                    f"output {len(coords_ang)}")
+            gjf.write_text(tmpl.render(coords_ang))
+            paths.append(gjf)
+        except Exception as e:
+            print(f"[convert] WARNING: GJF conversion failed: {e}")
     return paths
 
 

@@ -1,0 +1,104 @@
+"""bench.py outage resilience (VERDICT r3 items 1/W1).
+
+The axon TPU relay can be down for hours; BENCH_r03.json was an rc=1
+traceback because bench.py had no guard. The contract now: bench.py
+ALWAYS exits 0 and prints ONE parseable JSON line — on outage with an
+explicit {"error": "backend_unavailable"} marker plus last-known-good
+numbers, never a traceback.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _run_bench(env_extra, timeout=240):
+    env = dict(os.environ, **env_extra)
+    r = subprocess.run([sys.executable, str(REPO / "bench.py")],
+                       capture_output=True, text=True, cwd=str(REPO),
+                       env=env, timeout=timeout)
+    return r
+
+
+def test_bench_backend_down_emits_valid_json():
+    """Simulated backend-down run (bogus JAX platform): rc 0, one JSON
+    line, structured outage marker, no traceback on stdout."""
+    r = _run_bench({
+        "JAX_PLATFORMS": "bogus_backend_for_outage_test",
+        "PDB2R_BENCH_PROBE_TIMEOUT": "60",
+        "PDB2R_BENCH_PROBE_RETRIES": "2",
+        "PDB2R_BENCH_PROBE_BACKOFF": "0.1",
+    })
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.strip().splitlines() if l.strip()]
+    assert lines, "no stdout"
+    payload = json.loads(lines[-1])   # the driver parses the last line
+    assert payload["metric"] == "mlip_force_calls_per_sec_300atom"
+    assert payload["value"] is None
+    assert payload["vs_baseline"] is None
+    ex = payload["extras"]
+    assert ex["error"] == "backend_unavailable"
+    assert ex["probe_attempts"] == 2
+    assert "detail" in ex
+    # last-known-good: BENCH_r02.json in this repo has a parseable tail
+    lkg = ex["last_known_good"]
+    assert lkg is not None and lkg["value"] is not None
+
+
+def test_bench_probe_hang_times_out():
+    """A HANGING backend init (the other observed outage mode) must be
+    killed by the subprocess probe timeout, not hang the bench."""
+    # sitecustomize-free python that sleeps forever on 'import jax' can't
+    # be simulated portably; instead verify the probe path directly.
+    sys.path.insert(0, str(REPO))
+    try:
+        import importlib
+
+        import bench
+        importlib.reload(bench)
+        r = subprocess.run   # noqa: F841  (probe uses subprocess.run)
+        old_t = bench.PROBE_TIMEOUT_S
+        bench.PROBE_TIMEOUT_S = 2
+        try:
+            # make the probed interpreter hang deterministically
+            real_exe = sys.executable
+            bench.sys = sys
+            hang_code_exe = real_exe
+            import subprocess as sp
+            orig_run = sp.run
+
+            def fake_run(cmd, **kw):
+                return orig_run([hang_code_exe, "-c",
+                                 "import time; time.sleep(60)"], **kw)
+
+            sp.run = fake_run
+            try:
+                ok, detail = bench._probe_backend()
+            finally:
+                sp.run = orig_run
+        finally:
+            bench.PROBE_TIMEOUT_S = old_t
+        assert not ok
+        assert "timed out" in detail
+    finally:
+        sys.path.remove(str(REPO))
+
+
+def test_last_known_good_parses_bench_artifacts():
+    sys.path.insert(0, str(REPO))
+    try:
+        import importlib
+
+        import bench
+        importlib.reload(bench)
+        lkg = bench._last_known_good()
+    finally:
+        sys.path.remove(str(REPO))
+    # BENCH_r02.json (rc=0, tail JSON) must be found; r03 (rc=1) skipped
+    assert lkg is not None
+    assert lkg["metric"] == "mlip_force_calls_per_sec_300atom"
+    assert lkg["value"] and lkg["value"] > 0

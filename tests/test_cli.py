@@ -79,6 +79,43 @@ def test_cli_full_chain(runner, endpoints, tmp_path):
     assert (fq / "thermoanalysis.yaml").exists()
 
 
+def test_cli_gjf_input_mirrors_gjf_output(runner, tmp_path):
+    """VERDICT r3 item 4: a .gjf input must yield .gjf companions next to
+    every final-geometry .xyz (reference utils.py:950-989: charge/spin and
+    route preserved from the template; conversion toggle respected)."""
+    gjf = tmp_path / "h3.gjf"
+    gjf.write_text(
+        "%chk=h3.chk\n#p wb97xd def2svp opt\n\nH3 exchange reactant\n\n"
+        "0 2\n H    0.0 0.0 0.0\n H    0.686 0.0 0.0\n H    2.4 0.0 0.0\n"
+        "\n")
+    out = tmp_path / "opt_gjf"
+    res = runner.invoke(cli, ["opt", "-i", str(gjf), "--calc-mode", "morse",
+                              "--freeze-atoms", "0,2",
+                              "--out-dir", str(out)])
+    assert res.exit_code == 0, res.output
+    mirrored = out / "final_geometry.gjf"
+    assert mirrored.exists(), list(out.iterdir())
+    text = mirrored.read_text()
+    # template preserved: link0, route, title, charge/spin from the input
+    assert "%chk=h3.chk" in text
+    assert "#p wb97xd def2svp opt" in text
+    assert "\n0 2\n" in text
+    # coordinates are the OPTIMIZED ones (middle H moved to ~0.7046 from 0)
+    st = io_xyz.read_xyz(out / "final_geometry.xyz")
+    from pdb2reaction_tpu.core.io_gjf import read_gjf
+    stg = read_gjf(mirrored)
+    np.testing.assert_allclose(stg.coords, st.coords, atol=1e-6)
+
+    # toggle off: no companion
+    out2 = tmp_path / "opt_gjf_noconv"
+    res = runner.invoke(cli, ["opt", "-i", str(gjf), "--calc-mode", "morse",
+                              "--freeze-atoms", "0,2",
+                              "--convert-files", "False",
+                              "--out-dir", str(out2)])
+    assert res.exit_code == 0, res.output
+    assert not (out2 / "final_geometry.gjf").exists()
+
+
 def test_cli_scan_bond_change(runner, endpoints, tmp_path):
     a, _ = endpoints
     out = tmp_path / "scan"

@@ -65,6 +65,36 @@ def test_gsm_force_call_accounting():
     assert res.force_calls == (res.cycles + 1) * 6
 
 
+def test_gsm_host_loop_matches_device():
+    """loop="host" (per-cycle jitted programs driven from Python — the
+    flagship-bench path for giant backbones whose batched-string while_loop
+    program takes ~35 min to compile) must reproduce the device while_loop
+    result exactly: same cycle count, convergence, HEI, and images."""
+    L = 2.4
+    stA = Structure.from_symbols(
+        ["H", "H", "H"], [[0, 0, 0], [0.686, 0, 0], [L, 0, 0]],
+        freeze=[0, 2])
+    xB = np.array([[0, 0, 0], [L - 0.686, 0, 0], [L, 0, 0]])
+    calc = Calculator(stA, potentials.make_morse())
+    eb = calc.au_energy_force_batch_fn()
+    kw = dict(max_nodes=8, max_cycles=300, conv_perp_rms=5e-4,
+              climb=True, hvp_fn=calc.au_hvp_fn())
+    res_d = gsm_mep(eb, calc.pad_bohr(stA.coords_bohr),
+                    calc.pad_bohr(xB * ANG2BOHR),
+                    calc.system.free_mask, loop="device", **kw)
+    res_h = gsm_mep(eb, calc.pad_bohr(stA.coords_bohr),
+                    calc.pad_bohr(xB * ANG2BOHR),
+                    calc.system.free_mask, loop="host", **kw)
+    assert res_h.converged == res_d.converged
+    assert res_h.cycles == res_d.cycles
+    assert res_h.force_calls == res_d.force_calls
+    assert res_h.hei_idx == res_d.hei_idx
+    np.testing.assert_allclose(res_h.images, res_d.images,
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(res_h.energies, res_d.energies,
+                               rtol=0, atol=1e-8)
+
+
 def test_lanczos_lowest_mode_matches_exact():
     """Lanczos on the analytic HVP must recover the exact lowest Hessian
     eigenvector (the climb_lanczos tangent, reference path_opt.py:177)."""
