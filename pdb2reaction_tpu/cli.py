@@ -224,12 +224,16 @@ def cli():
 @click.option("--one-based", type=BOOL, default="True", callback=_bool_cb,
               help="Interpret integer atom indices as 1-based "
                    "(reference default).")
+@click.option("--dump-restart", type=int, default=0,
+              help="Dump the optimizer carry every N cycles for mid-run "
+                   "restart (reference opt.py:211-214); 0 disables.")
 @common_options
 def opt_cmd(input_path, opt_mode, coord_type, thresh, max_cycles,
-            dist_freeze, one_based, **kw):
+            dist_freeze, one_based, dump_restart, **kw):
     from .workflows.opt import run_opt
     cfg = dict(opt_mode=normalize_choice(opt_mode), coord_type=coord_type,
-               thresh=thresh, max_cycles=max_cycles, dump=kw.pop("dump"))
+               thresh=thresh, max_cycles=max_cycles, dump=kw.pop("dump"),
+               dump_restart=dump_restart)
     yaml_overrides(kw.pop("args_yaml"), cfg, [("opt",), ("lbfgs",), ("rfo",)])
     df = _parse_pairs(dist_freeze, one_based)
     res = run_opt(
@@ -371,12 +375,16 @@ def path_opt_cmd(input_paths, mep_mode, max_nodes, preopt,
               callback=_bool_cb,
               help="Enable the extra-imaginary-mode flatten loop "
                    "(light mode; False forces flatten_max_iter=0).")
+@click.option("--dump-restart", type=int, default=0,
+              help="Dump dimer-pass carries every N cycles for mid-run "
+                   "restart; 0 disables.")
 @common_options
 def tsopt_cmd(input_path, opt_mode, thresh, max_cycles, flatten_imag_mode,
-              **kw):
+              dump_restart, **kw):
     from .workflows.tsopt import run_tsopt
     cfg: Dict[str, Any] = dict(
         opt_mode=opt_mode, thresh=thresh, max_cycles=max_cycles,
+        dump_restart=dump_restart,
         hessian_dimer_kw={"flatten_max_iter":
                           10 if flatten_imag_mode else 0})
     yaml_overrides(kw.pop("args_yaml"), cfg,
@@ -439,14 +447,18 @@ def freq_cmd(input_path, temperature, pressure, max_write_modes,
               help="Recompute the exact Hessian every N cycles inside the "
                    "branch loop (reference irc.py:119-146); default "
                    "Bofill-only updates from the TS Hessian.")
+@click.option("--dump-restart", type=int, default=0,
+              help="Dump the branch carry every N cycles for mid-run "
+                   "restart (reference irc_data.h5); 0 disables.")
 @common_options
 def irc_cmd(input_path, step_length, max_cycles, root, forward, backward,
-            hessian_recalc, **kw):
+            hessian_recalc, dump_restart, **kw):
     from .workflows.irc import run_irc
     cfg: Dict[str, Any] = dict(step_length=step_length,
                                max_cycles=max_cycles, root=root,
                                forward=forward, backward=backward,
-                               hessian_recalc=hessian_recalc)
+                               hessian_recalc=hessian_recalc,
+                               dump_restart=dump_restart)
     yaml_overrides(kw.pop("args_yaml"), cfg, [("irc",)])
     run_irc(input_path, charge=kw["charge"], spin=kw["spin"],
             freeze_atoms=parse_freeze(kw["freeze_atoms"]),

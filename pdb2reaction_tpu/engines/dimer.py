@@ -122,13 +122,33 @@ class _DimerState(NamedTuple):
 _PASS_CACHE: dict = {}
 
 
+def init_dimer_state(x0, N0, keep_last: int = 7,
+                     max_step: float = 0.3) -> _DimerState:
+    """Fresh dimer-pass carry (host-constructable so restart dumps can be
+    chunk-driven through ``resume``)."""
+    P3 = x0.shape[0]
+    return _DimerState(
+        x=x0, N=N0, e=jnp.array(0.0, x0.dtype),
+        s_hist=jnp.zeros((keep_last, P3), x0.dtype),
+        y_hist=jnp.zeros((keep_last, P3), x0.dtype),
+        rho=jnp.zeros(keep_last, x0.dtype), n_hist=jnp.array(0),
+        gamma=jnp.array(1.0, x0.dtype),
+        trust=jnp.array(min(0.1, max_step), x0.dtype),
+        prev_step=jnp.zeros(P3, x0.dtype), x_prev=x0,
+        g_prev=jnp.zeros(P3, x0.dtype), have_prev=jnp.array(False),
+        cycle=jnp.array(0), done=jnp.array(False), calls=jnp.array(0))
+
+
 def make_dimer_pass(eforce_p, th: Thresholds, kw: Dict[str, Any],
                     all_free: bool, max_step: float, keep_last: int = 7):
     """One compiled dimer pass: rotations + LBFGS translations on device.
 
     ``eforce_p``: stable-identity closure (coords_pad [P,3], params) ->
-    (E Ha, F [P,3] au). The returned runner has signature
-    ``run(x_flat, N_flat, fm_flat, params, budget) -> _DimerState``.
+    (E Ha, F [P,3] au). Returns ``(run, resume)``:
+    ``run(x_flat, N_flat, fm_flat, params, budget) -> _DimerState`` starts
+    fresh; ``resume(st, fm_flat, params, budget) -> _DimerState`` continues
+    from an arbitrary carry (the mid-run-restart hook — budget is an
+    absolute cycle cap, so chunked calls dump the carry at host syncs).
     """
     key = (eforce_p, th, bool(all_free), float(max_step), keep_last,
            tuple(sorted((k, float(v) if isinstance(v, (int, float)) else v)
@@ -146,7 +166,7 @@ def make_dimer_pass(eforce_p, th: Thresholds, kw: Dict[str, Any],
     f_perp = bool(kw["trans_force_f_perp"])
 
     @jax.jit
-    def run(x0, N0, fm_flat, params, budget):
+    def resume(st_in, fm_flat, params, budget):
         n_free = jnp.sum(fm_flat)
 
         def eforce(x):
@@ -272,21 +292,15 @@ def make_dimer_pass(eforce_p, th: Thresholds, kw: Dict[str, Any],
         def cond(st):
             return (~st.done) & (st.cycle < budget)
 
-        P3 = x0.shape[0]
-        st0 = _DimerState(
-            x=x0, N=N0, e=jnp.array(0.0, x0.dtype),
-            s_hist=jnp.zeros((keep_last, P3), x0.dtype),
-            y_hist=jnp.zeros((keep_last, P3), x0.dtype),
-            rho=jnp.zeros(keep_last, x0.dtype), n_hist=jnp.array(0),
-            gamma=jnp.array(1.0, x0.dtype),
-            trust=jnp.array(min(0.1, max_step), x0.dtype),
-            prev_step=jnp.zeros(P3, x0.dtype), x_prev=x0,
-            g_prev=jnp.zeros(P3, x0.dtype), have_prev=jnp.array(False),
-            cycle=jnp.array(0), done=jnp.array(False), calls=jnp.array(0))
-        return jax.lax.while_loop(cond, body, st0)
+        return jax.lax.while_loop(cond, body, st_in)
 
-    _PASS_CACHE[key] = run
-    return run
+    @jax.jit
+    def run(x0, N0, fm_flat, params, budget):
+        return resume(init_dimer_state(x0, N0, keep_last, max_step),
+                      fm_flat, params, budget)
+
+    _PASS_CACHE[key] = (run, resume)
+    return run, resume
 
 
 def _representative_separation(mode_a, mode_b, coords, k: int) -> float:
@@ -319,8 +333,16 @@ def hessian_dimer(
     max_step: float = 0.3,
     max_cycles_total: int = 10000,
     callback: Optional[Callable] = None,
+    restart: Optional[Dict[str, Any]] = None,
     **_ignored,
 ) -> DimerResult:
+    """``restart={"store": CheckpointStore, "name": str, "every": int}``
+    makes the run mid-loop restartable (reference dump_restart semantics,
+    opt.py:211-214, TPU-first): exact Hessians and dimer passes are
+    sequence-memoized with content-key guards, and each pass's device loop
+    runs in ``every``-cycle chunks whose full carry is dumped at the host
+    sync — a killed run replays memoized steps instantly and resumes the
+    interrupted pass within ``every`` cycles of where it died."""
     kw = {**DIMER_KW, **(dimer_kw or {})}
     sysm = calc.system
     n = calc.n_atoms
@@ -335,8 +357,23 @@ def hessian_dimer(
     x = jnp.asarray(np.asarray(x0_bohr_pad).reshape(-1))
     freeze = calc.structure.freeze
 
+    store = restart["store"] if restart else None
+    r_every = (int(restart.get("every", 50)) or 50) if restart else 0
+    r_base = restart["name"] if restart else ""
+    seq = {"h": 0, "p": 0}   # deterministic replay counters
+
     def fresh_mode(x_flat):
         xc = np.asarray(x_flat)
+        nm = skey = None
+        if store is not None:
+            nm = f"{r_base}_hess{seq['h']:03d}"
+            seq["h"] += 1
+            skey = None
+            from ..runtime.checkpoint import content_key
+            skey = content_key(xc, extra=f"hdimer-h:{root}")
+            rec = store.load(nm)
+            if rec is not None and rec[0].get("key") == skey:
+                return jnp.asarray(rec[1]["N"]), rec[1]["H"]
         H = calc.get_hessian(xc.reshape(P, 3)[:n].reshape(-1))["hessian"]
         d = lowest_mode_direction(H, calc.structure.numbers,
                                   xc.reshape(P, 3)[:n], freeze, root)
@@ -344,7 +381,10 @@ def hessian_dimer(
         out[: 3 * n] = d
         out *= np.asarray(fm_flat)
         nn = np.linalg.norm(out)
-        return jnp.asarray(out / max(nn, 1e-30)), H
+        out = out / max(nn, 1e-30)
+        if store is not None:
+            store.save(nm, {"key": skey}, {"N": out, "H": np.asarray(H)})
+        return jnp.asarray(out), H
 
     total_cycles = 0
     total_calls = 0
@@ -352,11 +392,27 @@ def hessian_dimer(
     def dimer_pass(x, N, thresh_name, budget):
         nonlocal total_cycles, total_calls
         th = get_thresholds(thresh_name)
-        run = make_dimer_pass(eforce_p, th, kw, all_free, max_step)
+        run, resume = make_dimer_pass(eforce_p, th, kw, all_free, max_step)
         budget = min(budget, max_cycles_total - total_cycles)
         if budget <= 0:
             return x, N, False
-        st = run(x, N, fm_flat, calc.pack(), jnp.array(budget))
+        if store is None:
+            st = run(x, N, fm_flat, calc.pack(), jnp.array(budget))
+        else:
+            from ..runtime.checkpoint import (content_key, load_state,
+                                              save_state)
+            nm = f"{r_base}_pass{seq['p']:03d}"
+            seq["p"] += 1
+            skey = content_key(np.asarray(x), np.asarray(N),
+                               extra=f"hdimer-p:{thresh_name}:{budget}")
+            hit = load_state(store, nm, _DimerState, expect_key=skey)
+            st = hit[1] if hit is not None else init_dimer_state(
+                x, N, max_step=max_step)
+            while (not bool(st.done)) and int(st.cycle) < budget:
+                st = resume(st, fm_flat, calc.pack(),
+                            jnp.minimum(st.cycle + r_every, budget))
+                save_state(store, nm, st,
+                           {"key": skey, "done": bool(st.done)})
         total_cycles += int(st.cycle)
         total_calls += int(st.calls)
         calc.force_calls += int(st.calls)

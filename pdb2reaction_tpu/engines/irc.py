@@ -156,8 +156,12 @@ def _make_branch_runner(eforce_p, hvp_p, n: int, P: int, max_cycles: int,
         return hit
 
     @jax.jit
-    def run(q_start, q_ts, e_ts, g_ts_mw, H_ts_mw, sqm, free, params,
-            step_length, rms_grad_thresh, energy_thresh):
+    def resume(st0, sqm, free, params, step_length, rms_grad_thresh,
+               energy_thresh, budget):
+        """Run the branch from an arbitrary carry ``st0`` until done or
+        ``st.cycle >= budget`` — the restart hook (reference irc_data.h5,
+        irc.py:58): chunked budgets let the driver dump the carry at host
+        syncs and resume a killed run from the last dump."""
         n3 = 3 * n
 
         def eforce(q):
@@ -258,19 +262,12 @@ def _make_branch_runner(eforce_p, hvp_p, n: int, P: int, max_cycles: int,
                 done=done, conv=conv_g | conv_e)
 
         def cond(st):
-            return ~st.done
+            return (~st.done) & (st.cycle < budget)
 
-        st0 = _IrcState(
-            q_prev=q_ts, q_cur=q_start, e_prev=e_ts, g_prev=g_ts_mw,
-            h_prev=H_ts_mw, h_cur=H_ts_mw, have_prev=jnp.array(False),
-            path=jnp.zeros((max_cycles, n3)), path_e=jnp.zeros(max_cycles),
-            path_g=jnp.zeros((max_cycles, n3)), count=jnp.array(0),
-            cycle=jnp.array(0), done=jnp.array(False),
-            conv=jnp.array(False))
         return jax.lax.while_loop(cond, body, st0)
 
-    _BRANCH_CACHE[key] = run
-    return run
+    _BRANCH_CACHE[key] = resume
+    return resume
 
 
 def eulerpc_irc(
@@ -292,6 +289,7 @@ def eulerpc_irc(
     corr_func: str = "mbs",
     max_pred_steps: int = 500,
     callback: Optional[Callable] = None,
+    restart: Optional[Dict[str, Any]] = None,
     **_ignored,
 ) -> IrcResult:
     n = calc.n_atoms
@@ -344,11 +342,38 @@ def eulerpc_irc(
     def run_branch(sign: float) -> IrcBranch:
         q0 = np.asarray(q_ts) + sign * dq * np.asarray(mode_mw)
         q0 = np.where(np.asarray(free_flat) > 0, q0, np.asarray(q_ts))
-        st = runner(jnp.asarray(q0), q_ts, jnp.asarray(e_ts), g_ts_mw,
-                    jnp.asarray(Hmw), sqm, free_flat, calc.pack(),
-                    jnp.asarray(float(step_length)),
-                    jnp.asarray(float(rms_grad_thresh)),
-                    jnp.asarray(float(energy_thresh)))
+        n3 = 3 * n
+        st = _IrcState(
+            q_prev=q_ts, q_cur=jnp.asarray(q0), e_prev=jnp.asarray(e_ts),
+            g_prev=g_ts_mw, h_prev=jnp.asarray(Hmw), h_cur=jnp.asarray(Hmw),
+            have_prev=jnp.array(False),
+            path=jnp.zeros((max_cycles, n3)), path_e=jnp.zeros(max_cycles),
+            path_g=jnp.zeros((max_cycles, n3)), count=jnp.array(0),
+            cycle=jnp.array(0), done=jnp.array(False), conv=jnp.array(False))
+        args = (sqm, free_flat, calc.pack(),
+                jnp.asarray(float(step_length)),
+                jnp.asarray(float(rms_grad_thresh)),
+                jnp.asarray(float(energy_thresh)))
+        if restart:
+            from ..runtime.checkpoint import (content_key, load_state,
+                                              save_state)
+            every = int(restart.get("every", 10)) or 10
+            bname = f"{restart['name']}_{'fwd' if sign > 0 else 'bwd'}"
+            rkey = content_key(x_ts, np.asarray([sign]),
+                               extra=f"irc:{step_length}:{max_cycles}:"
+                                     f"{rms_grad_thresh}")
+            hit = load_state(restart["store"], bname, _IrcState,
+                             expect_key=rkey)
+            if hit is not None:
+                st = hit[1]
+            # chunked device loop, dumping the full carry every `every`
+            # cycles at the host sync (reference irc_data.h5, irc.py:58)
+            while not bool(st.done):
+                st = runner(st, *args, st.cycle + every)
+                save_state(restart["store"], bname, st,
+                           {"key": rkey, "done": bool(st.done)})
+        else:
+            st = runner(st, *args, jnp.asarray(np.iinfo(np.int32).max))
         cnt = int(st.count)
         calc.force_calls += cnt
         if k_recalc:

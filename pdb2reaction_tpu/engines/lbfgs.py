@@ -204,6 +204,7 @@ def lbfgs_minimize(
     line_search: bool = True,
     chunk: int = 0,                   # 0 = run fully on device
     callback: Optional[Callable] = None,
+    restart: Optional[Dict[str, Any]] = None,
     **_ignored,
 ) -> OptResult:
     """Minimize. ``callback(cycle, e, f)`` fires every ``chunk`` cycles when
@@ -212,6 +213,13 @@ def lbfgs_minimize(
     Pass a stable ``energy_force_fn`` (e.g. ``Calculator.au_energy_force_fn_p``)
     plus ``params`` to reuse the compiled loop across calls — scan drivers
     retarget restraints hundreds of times with ONE compilation.
+
+    ``restart={"store": CheckpointStore, "name": str, "every": int}``
+    enables mid-run restartability (reference ``dump_restart``,
+    opt.py:211-214, done TPU-first): the device loop runs in chunks of
+    ``every`` cycles and the full carry is dumped at each host sync; a
+    rerun with the same x0/threshold resumes from the last dump instead
+    of cycle 0.
     """
     th = get_thresholds(thresh)
     P3 = x0_bohr_pad.size
@@ -251,20 +259,43 @@ def lbfgs_minimize(
 
     p_arg = params if use_params else None
     x0f = x0_bohr_pad.reshape(-1)
-    e0, f0 = first(x0f, p_arg)
-    init = LBFGSState(
-        x=x0f, e=e0, f=f0,
-        s_hist=jnp.zeros((keep_last, P3)), y_hist=jnp.zeros((keep_last, P3)),
-        rho=jnp.zeros(keep_last), n_hist=jnp.array(0),
-        cycle=jnp.array(0), done=jnp.array(False),
-        last_step=jnp.zeros(P3), dE=jnp.array(0.0), gamma=jnp.array(1.0),
-    )
 
-    if chunk and callback is not None:
+    rst_every = 0
+    rkey = None
+    if restart:
+        from ..runtime.checkpoint import (content_key, load_state,
+                                          save_state)
+        rst_every = int(restart.get("every", 50)) or 50
+        rkey = content_key(np.asarray(x0f),
+                           extra=f"lbfgs:{thresh}:{keep_last}:{max_step}")
+        hit = load_state(restart["store"], restart["name"], LBFGSState,
+                         expect_key=rkey)
+    else:
+        hit = None
+
+    if hit is not None:
+        init = hit[1]
+    else:
+        e0, f0 = first(x0f, p_arg)
+        init = LBFGSState(
+            x=x0f, e=e0, f=f0,
+            s_hist=jnp.zeros((keep_last, P3)),
+            y_hist=jnp.zeros((keep_last, P3)),
+            rho=jnp.zeros(keep_last), n_hist=jnp.array(0),
+            cycle=jnp.array(0), done=jnp.array(False),
+            last_step=jnp.zeros(P3), dE=jnp.array(0.0), gamma=jnp.array(1.0),
+        )
+
+    if rst_every or (chunk and callback is not None):
+        step_c = rst_every or chunk
         st = init
         while (not bool(st.done)) and int(st.cycle) < max_cycles:
-            st = run(st, jnp.minimum(st.cycle + chunk, max_cycles), p_arg)
-            callback(int(st.cycle), float(st.e), np.asarray(st.f))
+            st = run(st, jnp.minimum(st.cycle + step_c, max_cycles), p_arg)
+            if callback is not None:
+                callback(int(st.cycle), float(st.e), np.asarray(st.f))
+            if rst_every:
+                save_state(restart["store"], restart["name"], st,
+                           {"key": rkey, "done": bool(st.done)})
     else:
         st = run(init, jnp.array(max_cycles), p_arg)
 

@@ -37,6 +37,38 @@ def content_key(*arrays, extra: str = "") -> str:
     return h.hexdigest()[:16]
 
 
+def save_state(store: "CheckpointStore", name: str, state,
+               meta: Optional[Dict[str, Any]] = None) -> None:
+    """Snapshot a NamedTuple-of-arrays engine state (LBFGSState,
+    _DimerState, _IrcState, ...) — the TPU-first analogue of the
+    reference's ``dump_restart`` YAML / ``irc_data.h5``
+    (/root/reference/pdb2reaction/opt.py:211-214, irc.py:58): the loop
+    carry IS the restart file."""
+    arrays = {f: np.asarray(getattr(state, f)) for f in state._fields}
+    store.save(name, {**(meta or {}), "_fields": list(state._fields)},
+               arrays)
+
+
+def load_state(store: "CheckpointStore", name: str, cls,
+               expect_key: Optional[str] = None):
+    """Load a state saved by :func:`save_state`. Returns (meta, state) or
+    None — also None when ``expect_key`` mismatches the stored content key
+    (resuming a DIFFERENT computation must never pick up a stale dump;
+    same guard as the reference's exact-coordinate Hessian cache,
+    tsopt.py:690-731)."""
+    import jax.numpy as jnp
+    rec = store.load(name)
+    if rec is None:
+        return None
+    meta, arrays = rec
+    if expect_key is not None and meta.get("key") != expect_key:
+        return None
+    if set(meta.get("_fields", [])) != set(cls._fields):
+        return None
+    state = cls(**{f: jnp.asarray(arrays[f]) for f in cls._fields})
+    return meta, state
+
+
 class CheckpointStore:
     def __init__(self, directory):
         self.dir = Path(directory)

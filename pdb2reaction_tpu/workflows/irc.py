@@ -30,6 +30,7 @@ def run_irc(
     out_dir="./result_irc/",
     mesh=None,
     verbose: bool = True,
+    dump_restart: int = 0,
     **irc_kw,
 ) -> Dict[str, Any]:
     t0 = time.time()
@@ -50,6 +51,14 @@ def run_irc(
         from .config import pretty_block
         print(pretty_block("irc", {**kw, "charge": q, "spin": s,
                                    "calc_mode": calc_mode, "model": model}))
+    if dump_restart:
+        # mid-run restartability (reference irc_data.h5, irc.py:58 —
+        # TPU-first: the branch carry is dumped every N cycles at host
+        # syncs; a rerun resumes the interrupted branch from the dump)
+        from ..runtime.checkpoint import CheckpointStore
+        kw["restart"] = {
+            "store": CheckpointStore(Path(out_dir) / "restart"),
+            "name": "irc", "every": int(dump_restart)}
     res = eulerpc_irc(calc, calc.pad_bohr(struct.coords_bohr), **kw)
 
     out = Path(out_dir)

@@ -93,6 +93,7 @@ def run_opt(
     mesh=None,
     convert_files: bool = True,
     dump: bool = False,
+    dump_restart: int = 0,
     verbose: bool = True,
     **calc_kw,
 ) -> Dict[str, Any]:
@@ -159,6 +160,14 @@ def run_opt(
                  if k in engine_keys}
     engine_kw.pop("thresh", None)
     engine_kw.pop("max_cycles", None)
+    if dump_restart and opt_mode == "lbfgs" and coord_type == "cart":
+        # mid-run restartability (reference dump_restart, opt.py:211-214):
+        # the L-BFGS carry is dumped every N cycles; a rerun resumes from
+        # the last dump (engines/lbfgs.py restart contract)
+        from ..runtime.checkpoint import CheckpointStore
+        engine_kw["restart"] = {
+            "store": CheckpointStore(Path(out_dir) / "restart"),
+            "name": "opt", "every": int(dump_restart)}
     coords, e, conv, cycles = optimize_structure(
         struct, calc, opt_mode=opt_mode, coord_type=coord_type,
         thresh=thresh, max_cycles=max_cycles,

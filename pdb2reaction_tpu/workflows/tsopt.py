@@ -46,6 +46,7 @@ def run_tsopt(
     hessian_dimer_kw: Optional[Dict[str, Any]] = None,
     rsirfo_kw: Optional[Dict[str, Any]] = None,
     write_imag_mode: bool = True,
+    dump_restart: int = 0,
     **calc_kw,
 ) -> Dict[str, Any]:
     t0 = time.time()
@@ -86,6 +87,13 @@ def run_tsopt(
         # hessian_dimer_kw) wins over the driver default
         if "max_cycles_total" not in (hessian_dimer_kw or {}):
             kw["max_cycles_total"] = max_cycles
+        if dump_restart:
+            # mid-run restartability (reference dump_restart semantics):
+            # Hessians/passes memoized + within-pass carry dumps
+            from ..runtime.checkpoint import CheckpointStore
+            kw["restart"] = {
+                "store": CheckpointStore(Path(out_dir) / "restart"),
+                "name": "tsopt", "every": int(dump_restart)}
         res = hessian_dimer(calc, x0, **kw)
         coords = calc.unpad(res.x)
         e = res.e
