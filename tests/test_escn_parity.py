@@ -103,6 +103,83 @@ def test_missing_tensor_raises(converted):
         convert_state_dict(sd, CFG)
 
 
+def _trees_equal(a, b):
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def _variant_ddp(sd):
+    """DDP wrapper: every key prefixed 'module.'."""
+    return {f"module.{k}": v for k, v in sd.items()}
+
+
+def _variant_trainer(sd):
+    """Trainer wrapper: 'model.' prefix, doubly wrapped."""
+    return {f"module.model.{k}": v for k, v in sd.items()}
+
+
+def _variant_modulelist_so2(sd):
+    """fairchem SO2_Convolution ModuleList spelling: fc_m{m}_r/_i ->
+    so2_m_conv.{m-1}.fc_r/fc_i (docs/fairchem_name_map.md)."""
+    import re
+    out = {}
+    for k, v in sd.items():
+        k = re.sub(r"\.fc_m(\d+)_r\.",
+                   lambda m: f".so2_m_conv.{int(m.group(1)) - 1}.fc_r.", k)
+        k = re.sub(r"\.fc_m(\d+)_i\.",
+                   lambda m: f".so2_m_conv.{int(m.group(1)) - 1}.fc_i.", k)
+        out[k] = v
+    return out
+
+
+def _variant_inner_embedding(sd):
+    """Embedding modules carrying an inner .embedding attribute."""
+    import re
+    return {re.sub(r"(sphere|source|target|charge|spin|task)"
+                   r"_embedding\.weight",
+                   lambda m: f"{m.group(1)}_embedding.embedding.weight", k): v
+            for k, v in sd.items()}
+
+
+def _variant_no_backbone(sd):
+    """State dict exported from the bare backbone (no 'backbone.' ns)."""
+    return {k[len("backbone."):] if k.startswith("backbone.") else k: v
+            for k, v in sd.items()}
+
+
+def _variant_container(sd):
+    """{'state_dict': ...} checkpoint container."""
+    return {"state_dict": dict(sd), "epoch": 3, "optimizer": None}
+
+
+def _variant_everything(sd):
+    return _variant_container(_variant_ddp(
+        _variant_modulelist_so2(_variant_inner_embedding(
+            _variant_no_backbone(sd)))))
+
+
+@pytest.mark.parametrize("variant", [
+    _variant_ddp, _variant_trainer, _variant_modulelist_so2,
+    _variant_inner_embedding, _variant_no_backbone, _variant_container,
+    _variant_everything,
+])
+def test_converter_synonym_layouts(converted, variant):
+    """VERDICT r3 item 8 (in-image fallback): every plausible real-fairchem
+    key layout — DDP/trainer prefixes, SO2 ModuleList spelling, inner
+    .embedding attrs, bare-backbone namespace, state_dict containers, and
+    all of them composed — must convert to the IDENTICAL params pytree and
+    the identical shape-inferred config as the canonical layout."""
+    model, params_ref = converted
+    sd = variant(dict(model.state_dict()))
+    icfg = infer_config(sd, dtype=jnp.float64)
+    assert icfg.lmax == CFG.lmax and icfg.num_layers == CFG.num_layers
+    params = convert_state_dict(sd, CFG)
+    _trees_equal(params, params_ref)
+
+
 def test_pt_checkpoint_through_calculator(tmp_path, converted):
     """The user-facing path: --checkpoint model.pt -> make_uma_calculator
     converts the fairchem-style state dict and serves forces matching the
