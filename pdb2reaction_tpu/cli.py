@@ -369,6 +369,10 @@ def path_opt_cmd(input_paths, mep_mode, max_nodes, preopt,
 @click.option("-i", "--input", "input_path", required=True,
               type=click.Path(path_type=Path, exists=True, dir_okay=False))
 @click.option("--opt-mode", default="light", help="light|dimer or heavy|rsirfo.")
+@click.option("--coord-type", default="cart",
+              type=click.Choice(["cart", "dlc"]),
+              help="Geometry coordinates for the rsirfo mode (reference "
+                   "geom.coord_type, tsopt.py:669; dimer runs cart).")
 @click.option("--thresh", default="baker")
 @click.option("--max-cycles", type=int, default=10000)
 @click.option("--flatten-imag-mode", type=BOOL, default="False",
@@ -379,12 +383,12 @@ def path_opt_cmd(input_paths, mep_mode, max_nodes, preopt,
               help="Dump dimer-pass carries every N cycles for mid-run "
                    "restart; 0 disables.")
 @common_options
-def tsopt_cmd(input_path, opt_mode, thresh, max_cycles, flatten_imag_mode,
-              dump_restart, **kw):
+def tsopt_cmd(input_path, opt_mode, coord_type, thresh, max_cycles,
+              flatten_imag_mode, dump_restart, **kw):
     from .workflows.tsopt import run_tsopt
     cfg: Dict[str, Any] = dict(
-        opt_mode=opt_mode, thresh=thresh, max_cycles=max_cycles,
-        dump_restart=dump_restart,
+        opt_mode=opt_mode, coord_type=coord_type, thresh=thresh,
+        max_cycles=max_cycles, dump_restart=dump_restart,
         hessian_dimer_kw={"flatten_max_iter":
                           10 if flatten_imag_mode else 0})
     yaml_overrides(kw.pop("args_yaml"), cfg,

@@ -23,6 +23,7 @@ def run_irc(
     *,
     charge: Optional[int] = None,
     spin: Optional[int] = None,
+    coord_type: str = "cart",
     freeze_atoms: Sequence = (),
     auto_freeze_links: bool = True,
     calc_mode: str = "uma",
@@ -34,6 +35,11 @@ def run_irc(
     **irc_kw,
 ) -> Dict[str, Any]:
     t0 = time.time()
+    if coord_type != "cart":
+        # EulerPC supports Cartesian coordinates only — the reference pins
+        # geom_cfg["coord_type"] = "cart" the same way (irc.py:345-346)
+        print(f"[irc] coord_type={coord_type!r} ignored: EulerPC runs "
+              "Cartesian (reference irc.py:346)")
     struct = common.load_structure(input_path)
     q, s = common.resolve_charge_spin(struct, charge, spin)
     freeze = common.merge_freeze(struct, [common.resolve_atom_spec(f, struct)

@@ -34,6 +34,7 @@ def run_tsopt(
     charge: Optional[int] = None,
     spin: Optional[int] = None,
     opt_mode: str = "dimer",
+    coord_type: str = "cart",
     thresh: str = "baker",
     max_cycles: int = 10000,
     freeze_atoms: Sequence = (),
@@ -57,6 +58,12 @@ def run_tsopt(
                                  auto_freeze_links)
     struct.freeze = freeze
     mode = normalize_choice(opt_mode, aliases=_TS_ALIASES, choices=TS_MODES)
+    if coord_type == "dlc" and mode == "dimer":
+        # pysisyphus' Dimer is a Cartesian calculator wrapper; like the
+        # reference, the light path runs cart regardless of geom config
+        print("[tsopt] coord_type=dlc applies to the rsirfo mode only; "
+              "dimer runs Cartesian")
+        coord_type = "cart"
     # YAML `hessian_dimer:`/`rsirfo:` sections merge into the top-level cfg
     # (config.apply_yaml_overrides); route recognised engine knobs to the
     # engines instead of silently dropping them into calc_kw
@@ -75,7 +82,8 @@ def run_tsopt(
     if verbose:
         from .config import pretty_block
         print(pretty_block("tsopt", {
-            "opt_mode": mode, "thresh": thresh, "max_cycles": max_cycles,
+            "opt_mode": mode, "coord_type": coord_type,
+            "thresh": thresh, "max_cycles": max_cycles,
             "charge": q, "spin": s, "calc_mode": calc_mode, "model": model,
             "hessian_dimer": dict(hessian_dimer_kw or {}),
             "rsirfo": dict(rsirfo_kw or {})}))
@@ -106,17 +114,28 @@ def run_tsopt(
         kw = {**RSIRFO_KW, **(rsirfo_kw or {})}
         kw["thresh"] = thresh or kw["thresh"]
         H0 = calc.get_hessian(struct.coords_bohr.reshape(-1))["hessian"]
-        r = rfo_optimize(calc.au_energy_force_fn_p(), x0,
-                         calc.system.free_mask, calc.n_atoms,
-                         params=calc.pack(),
-                         hessian0=H0, mode="ts", max_cycles=max_cycles,
-                         hessian_fn=lambda xp: calc.get_hessian(
-                             np.asarray(xp)[: calc.n_atoms].reshape(-1))["hessian"],
-                         **{k: v for k, v in kw.items()
-                            if k in ("roots", "thresh", "trust_radius",
-                                     "trust_max", "trust_min",
-                                     "hessian_update", "hessian_recalc",
-                                     "small_eigval_thresh")})
+        eng_kw = {k: v for k, v in kw.items()
+                  if k in ("roots", "thresh", "trust_radius",
+                           "trust_max", "trust_min",
+                           "hessian_update", "hessian_recalc",
+                           "small_eigval_thresh")}
+        hess_fn = lambda xp: calc.get_hessian(  # noqa: E731
+            np.asarray(xp)[: calc.n_atoms].reshape(-1))["hessian"]
+        if coord_type == "dlc":
+            # reference honors geom coord_type in the RS-I-RFO driver
+            # (tsopt.py:669,1523); RS-I-RFO in constrained DLC space
+            from ..engines.dlc import dlc_rfo_optimize
+            r = dlc_rfo_optimize(
+                calc.au_energy_force_fn_p(), x0, struct.numbers,
+                calc.n_atoms, params=calc.pack(), freeze=freeze,
+                hessian0=H0, mode="ts", max_cycles=max_cycles,
+                hessian_fn=hess_fn, **eng_kw)
+        else:
+            r = rfo_optimize(calc.au_energy_force_fn_p(), x0,
+                             calc.system.free_mask, calc.n_atoms,
+                             params=calc.pack(),
+                             hessian0=H0, mode="ts", max_cycles=max_cycles,
+                             hessian_fn=hess_fn, **eng_kw)
         coords = calc.unpad(r.x)
         e = r.e
         conv = r.converged
@@ -124,9 +143,22 @@ def run_tsopt(
         H = calc.get_hessian(coords.reshape(-1))["hessian"]
         vib = frequencies_and_modes(H, struct.numbers, coords, freeze)
         freqs = vib.freqs_cm
-        n_imag = count_imaginary(freqs)
         imode = (vib.modes_cart[int(np.argmin(freqs))]
                  if len(freqs) else None)
+        if len(freqs) == 0 and freeze:
+            # tiny active spaces: PHVA's in-subspace TR projection can
+            # annihilate every mode; report unprojected free-block
+            # wavenumbers instead (same fallback as the dimer engine)
+            from ..constants import NU_CM_FACTOR
+            from ..engines.vib import free_block_modes
+            from .. import elements
+            w, modes = free_block_modes(H, struct.numbers, freeze)
+            freqs = np.sign(w) * np.sqrt(np.abs(w)) * NU_CM_FACTOR
+            sqm = np.sqrt(np.repeat(elements.masses_of(
+                np.asarray(struct.numbers, int)), 3))
+            m = modes[int(np.argmin(freqs))] / sqm
+            imode = (m / max(np.linalg.norm(m), 1e-30)).reshape(-1, 3)
+        n_imag = count_imaginary(freqs)
 
     out = Path(out_dir)
     paths = common.write_outputs(out, "final_geometry", struct, coords,

@@ -127,3 +127,70 @@ def test_dlc_through_opt_workflow(tmp_path):
                   coord_type="dlc", out_dir=tmp_path / "o", verbose=False)
     assert res["converged"]
     assert res["cycles"] < 200
+
+
+def test_dlc_rfo_ts_double_well():
+    """RS-I-RFO in constrained DLC: frozen-endpoint 3-H double well.
+
+    With both ends frozen and a collinear geometry the constrained DLC set
+    collapses to ONE combination (the reaction coordinate) — the TS search
+    walks uphill in that subspace to the symmetric midpoint saddle."""
+    from pdb2reaction_tpu.engines.dlc import dlc_rfo_optimize
+    L = 2.4
+    st = Structure.from_symbols(
+        ["H", "H", "H"],
+        [[0, 0, 0], [1.05, 0.0, 0.0], [L, 0, 0]],
+        freeze=[0, 2])
+    calc = Calculator(st, potentials.make_morse())
+    fn = calc.au_energy_force_fn()
+    x0 = calc.pad_bohr(st.coords_bohr)
+    H0 = calc.get_hessian(st.coords_bohr.reshape(-1))["hessian"]
+    res = dlc_rfo_optimize(fn, x0, st.numbers, calc.n_atoms,
+                           hessian0=H0, mode="ts", roots=[0],
+                           freeze=st.freeze, thresh="baker",
+                           hessian_update="bofill", max_cycles=300)
+    assert res.converged
+    x = np.asarray(res.x)[:3] * BOHR2ANG
+    assert abs(x[1, 0] - L / 2) < 1e-3
+    # frozen endpoints never moved
+    np.testing.assert_allclose(np.asarray(res.x)[[0, 2]],
+                               st.coords_bohr[[0, 2]], atol=1e-12)
+
+
+def test_dlc_rfo_min_water_matches_cart():
+    """mode=min DLC-RFO reaches the same water minimum as Cartesian RFO
+    (internals are TR-invariant, so no small-eigval filtering is needed)."""
+    from pdb2reaction_tpu.engines.dlc import dlc_rfo_optimize
+    from pdb2reaction_tpu.engines.rfo import rfo_optimize
+    st = Structure.from_symbols(
+        ["O", "H", "H"],
+        [[0.0, 0.0, 0.0], [1.1, 0.1, 0.0], [-0.3, 1.05, 0.0]])
+    calc = Calculator(st, potentials.make_morse())
+    fn = calc.au_energy_force_fn()
+    x0 = calc.pad_bohr(st.coords_bohr)
+    H0 = calc.get_hessian(st.coords_bohr.reshape(-1))["hessian"]
+    res_d = dlc_rfo_optimize(fn, x0, st.numbers, calc.n_atoms,
+                             hessian0=H0, mode="min", thresh="gau",
+                             hessian_update="bfgs", max_cycles=200)
+    res_c = rfo_optimize(fn, x0, calc.system.free_mask, calc.n_atoms,
+                         hessian0=H0, thresh="gau", max_cycles=200)
+    assert res_d.converged and res_c.converged
+    # both under the gau force threshold; energy agreement limited by
+    # f32 force noise near the flat minimum, not by the coordinates
+    assert abs(res_d.e - float(res_c.e)) < 5e-5
+
+
+def test_dlc_rfo_through_tsopt_workflow(tmp_path):
+    """coord_type=dlc end-to-end through the tsopt rsirfo driver
+    (reference honors geom.coord_type there, tsopt.py:669,1523)."""
+    from pdb2reaction_tpu.workflows.tsopt import run_tsopt
+    xyz = tmp_path / "h3.xyz"
+    xyz.write_text("3\n\nH 0 0 0\nH 1.05 0 0\nH 2.4 0 0\n")
+    res = run_tsopt(xyz, charge=0, spin=1, calc_mode="morse",
+                    opt_mode="rsirfo", coord_type="dlc",
+                    freeze_atoms=[0, 2], auto_freeze_links=False,
+                    out_dir=tmp_path / "o", verbose=False)
+    assert res["converged"]
+    x = np.asarray(res["coords_bohr"]) * BOHR2ANG
+    assert abs(x[1, 0] - 1.2) < 1e-3
+    assert res["n_imag"] >= 1
