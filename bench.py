@@ -342,11 +342,24 @@ def _escn_section(sys_, coords):
                 ca = ca[0]
             fl = float(ca.get("flops", 0.0))
             if fl:
+                entry["cost_analysis_flops"] = fl
                 entry["mfu_vs_v5e_bf16_peak"] = round(
                     fl * rate / V5E_PEAK_FLOPS, 4)
         except Exception:
             pass
         out[name] = entry
+    # cost_analysis cannot see inside Pallas custom calls (the r4 first
+    # capture reported 0.11% for the kernel path): the honest MFU for the
+    # Pallas variant is the ALGORITHMIC flop count — the XLA variant's
+    # cost_analysis of the same math — over the Pallas wall-clock
+    xla_fl = out["escn-md-xla"].get("cost_analysis_flops")
+    if xla_fl:
+        out["escn-md-pallas"]["mfu_vs_v5e_bf16_peak"] = round(
+            xla_fl * out["escn-md-pallas"]["force_calls_per_sec"]
+            / V5E_PEAK_FLOPS, 4)
+        out["escn-md-pallas"]["mfu_note"] = (
+            "algorithmic flops from the XLA variant's cost_analysis "
+            "(Pallas custom-call flops are invisible to cost_analysis)")
     # NOTE: no eSCN-GSM segment — the batched-string eSCN program compiles
     # ~35 min through the axon remote-compile relay (measured), far too
     # heavy for the driver-run bench. The eSCN per-call rate above times
@@ -404,8 +417,12 @@ def _escn_gsm_section(sys_, coords):
     #                 see _gsm_section docstring — trained weights: 1e-3)
 
     kw = dict(max_nodes=10, conv_perp_rms=conv, climb=False, loop="host")
+    # warm through BOTH phases: growth for max_nodes=10 takes 5 cycles, so
+    # max_cycles=8 guarantees at least one relax cycle runs and the relax
+    # epilogue compiles here, not inside the measured wall-clock (the r4
+    # first capture lost 4+ min to exactly that)
     t0 = time.perf_counter()
-    gsm_mep(eb_fn, xA, xB, fm, max_cycles=2, stop_in_when_full=2, **kw)
+    gsm_mep(eb_fn, xA, xB, fm, max_cycles=8, stop_in_when_full=2, **kw)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     res = gsm_mep(eb_fn, xA, xB, fm, max_cycles=max_cycles,

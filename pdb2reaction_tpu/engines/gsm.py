@@ -150,10 +150,27 @@ def make_macro_step(eforce_batch_fn, free_mask, max_step: float,
         return hit
 
     fm = free_mask[None, :, None]
+    core = _make_step_core(fm, max_step, scale_step, fix_ends)
 
     @jax.jit
     def step_fn(images, img_mask, climb_on, hei_idx, tau_hei, use_tau_hei):
         E, F = eforce_batch_fn(images)
+        return core(images, E, F, img_mask, climb_on, hei_idx, tau_hei,
+                    use_tau_hei)
+
+    _STEP_CACHE[key] = step_fn
+    return step_fn
+
+
+def _make_step_core(fm, max_step: float, scale_step: str, fix_ends: bool):
+    """Everything in a GSM macro step AFTER the batched force call:
+    tangents, projection, climbing, step scaling, metrics. Shared between
+    the fused step program (make_macro_step — device loops) and the
+    host-loop epilogue programs (make_host_cycles), so both loop drivers
+    run literally the same math."""
+
+    def core(images, E, F, img_mask, climb_on, hei_idx, tau_hei,
+             use_tau_hei):
         F = F * fm
         tau = _tangents(images, E, img_mask)
         # climb_lanczos: the HEI tangent may be overridden by the Lanczos
@@ -193,8 +210,7 @@ def make_macro_step(eforce_batch_fn, free_mask, max_step: float,
         hei_fmax = jnp.max(jnp.abs(climb_vec[hei_idx] * fm[0]))
         return new_images, E, perp_rms, rms_all, hei_fmax
 
-    _STEP_CACHE[key] = step_fn
-    return step_fn
+    return core
 
 
 def _hei_device(E):
@@ -434,18 +450,27 @@ def make_host_cycles(eforce_batch_fn, free_mask, max_step: float,
                      max_micro_cycles: int, climb: bool, climb_rms: float,
                      conv_perp_rms: float, hvp_fn=None,
                      lanczos_iters: int = 10, fix_ends: bool = True):
-    """Host-driven GSM: one jitted program per macro cycle (growth and
-    relaxation each), driven from a Python loop.
+    """Host-driven GSM: one macro cycle per Python-loop iteration, split
+    into TWO jitted programs — the caller's batched force program (shared
+    by growth and relaxation, compiled ONCE) plus a tiny per-cycle
+    epilogue (tangents/projection/step/bookkeeping on [M,P,3] arrays,
+    compiles in seconds).
 
-    Why this exists next to the device while_loops: the while_loop programs
-    embed the whole batched force call in their body — for the 300-atom
-    eSCN backbone that single program took ~35 min to compile through the
-    axon relay (bench.py round-2/3 note). These per-cycle programs compile
-    in roughly the time of the batched force call itself; the price is one
+    Why this exists next to the device while_loops: the while_loop
+    programs embed the whole batched force call in their body — for the
+    300-atom eSCN backbone that single program took ~35 min to compile
+    through the axon relay (bench.py round-2/3 note). Round-4 lesson
+    (BENCH r4 first capture): even per-cycle programs that EMBED the
+    force call cost ~6 min of compile EACH through the relay's remote
+    compiler, and an unwarmed relax program put its whole compile inside
+    the measured flagship wall-clock. Keeping the force program as its
+    own dispatch means the expensive compile is paid exactly once for
+    both phases, and the epilogues are negligible. The price is one extra
     host<->device round trip per macro cycle (~ms), negligible against a
-    ~100 ms 12-image eSCN force batch. Use via ``gsm_mep(..., loop="host")``.
+    ~100 ms+ 12-image eSCN force batch. Use via ``gsm_mep(..., loop="host")``.
 
-    Returns jitted ``(grow_cycle, relax_cycle)``; both are one dispatch.
+    Returns ``(grow_cycle, relax_cycle)`` — plain callables, two
+    dispatches each (force + epilogue).
     """
     key = (eforce_batch_fn, float(max_step), scale_step,
            float(perp_thresh), int(max_micro_cycles), bool(climb),
@@ -455,19 +480,20 @@ def make_host_cycles(eforce_batch_fn, free_mask, max_step: float,
     if hit is not None:
         return hit
 
-    step_fn = make_macro_step(eforce_batch_fn, free_mask, max_step,
-                              scale_step, fix_ends)
+    fm = free_mask[None, :, None]
+    core = _make_step_core(fm, max_step, scale_step, fix_ends)
     fm_flat = jnp.repeat(free_mask, 3)
 
     @jax.jit
-    def grow_cycle(images, nl, nr, stall):
+    def grow_epilogue(images, E, F, nl, nr, stall):
         # identical bookkeeping to make_device_growth's body, minus the
-        # while_loop wrapper (host owns the loop)
+        # while_loop wrapper (host owns the loop) and the force call
+        # (its own dispatch)
         M = images.shape[0]
         k = jnp.arange(M)
         gm = ((k <= nl) | (k >= M - 1 - nr)).astype(images.dtype)
-        imgs_new, E, perp_rms, rms_all, _ = step_fn(
-            images, gm, jnp.array(False), jnp.asarray(M // 2),
+        imgs_new, E, perp_rms, rms_all, _ = core(
+            images, E, F, gm, jnp.array(False), jnp.asarray(M // 2),
             jnp.zeros_like(images[0]), jnp.array(False))
         imgs2 = jnp.where(gm[:, None, None] > 0, imgs_new, images)
         can = (nl + nr) < (M - 2)
@@ -494,26 +520,13 @@ def make_host_cycles(eforce_batch_fn, free_mask, max_step: float,
         return imgs3, nl3, nr3, stall3, E
 
     @jax.jit
-    def relax_cycle(images, img_mask, climb_on, E_prev):
-        # identical math to make_device_relax's body, one dispatch
-        M = images.shape[0]
-        D = images.shape[1] * 3
+    def relax_epilogue(images, E, F, img_mask, climb_on, E_prev, tau_l,
+                       use_l):
+        # identical math to make_device_relax's body, minus the force
+        # call and the Lanczos tangent (each its own dispatch)
         hei = _hei_device(E_prev)
-        if hvp_fn is not None:
-            def mk_tau(_):
-                xh = images[hei]
-                v0 = (images[jnp.minimum(hei + 1, M - 1)]
-                      - images[jnp.maximum(hei - 1, 0)]).reshape(-1)
-                return lanczos_lowest_mode(hvp_fn, xh, v0, fm_flat,
-                                           lanczos_iters)
-            tau_l = jax.lax.cond(climb_on, mk_tau,
-                                 lambda _: jnp.zeros(D, images.dtype), None)
-            use_l = climb_on
-        else:
-            tau_l = jnp.zeros(D, images.dtype)
-            use_l = jnp.array(False)
-        imgs2, E, perp, rms_all, hei_fmax = step_fn(
-            images, img_mask, climb_on, hei,
+        imgs2, E, perp, rms_all, hei_fmax = core(
+            images, E, F, img_mask, climb_on, hei,
             tau_l.reshape(images.shape[1], 3), use_l)
         hei_pos = imgs2[hei]
         reparamed = _reparam_equal_arc(imgs2, img_mask)
@@ -524,6 +537,37 @@ def make_host_cycles(eforce_batch_fn, free_mask, max_step: float,
             climb_on & (hei_fmax < jnp.maximum(conv_perp_rms, climb_rms)))
         done = (rms_all < conv_perp_rms) & climb_ok
         return reparamed, E, rms_all, climb_on2, done
+
+    if hvp_fn is not None:
+        @jax.jit
+        def lanczos_tau(images, E_prev):
+            # same math as make_device_relax's mk_tau branch; a separate
+            # program so relax_epilogue never embeds the (big) hvp_fn
+            M = images.shape[0]
+            hei = _hei_device(E_prev)
+            xh = images[hei]
+            v0 = (images[jnp.minimum(hei + 1, M - 1)]
+                  - images[jnp.maximum(hei - 1, 0)]).reshape(-1)
+            return lanczos_lowest_mode(hvp_fn, xh, v0, fm_flat,
+                                       lanczos_iters)
+
+    def grow_cycle(images, nl, nr, stall):
+        E, F = eforce_batch_fn(images)
+        return grow_epilogue(images, E, F, nl, nr, stall)
+
+    def relax_cycle(images, img_mask, climb_on, E_prev):
+        D = images.shape[1] * 3
+        E, F = eforce_batch_fn(images)
+        # climb_on is already host-synced once per cycle by the loop
+        # (`bool(done)`), so branching on it here costs nothing extra
+        if hvp_fn is not None and bool(climb_on):
+            tau_l = lanczos_tau(images, E_prev)
+            use_l = jnp.array(True)
+        else:
+            tau_l = jnp.zeros(D, images.dtype)
+            use_l = jnp.array(False)
+        return relax_epilogue(images, E, F, img_mask, climb_on, E_prev,
+                              tau_l, use_l)
 
     _HOST_CYCLE_CACHE[key] = (grow_cycle, relax_cycle)
     return grow_cycle, relax_cycle
