@@ -12,6 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from pdb2reaction_tpu.workflows.common import enable_compile_cache  # noqa: F401 (side effect)
 print("devices:", jax.devices())
 from __graft_entry__ import _flagship_system
 from pdb2reaction_tpu.mlip.escn import (ESCN_CONFIGS, make_escn_model,
