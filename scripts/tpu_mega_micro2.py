@@ -68,16 +68,27 @@ tables = (jnp.asarray(tg_e, f32), jnp.asarray(fg_e, f32))
 N1, N2 = 4, 16
 
 
-def marginal(tag, make_loop):
+def marginal(tag, make_loop, reps=8):
+    """Min-of-reps marginal: single executions through the relay carry
+    multi-ms additive latency spikes (measured 1.04-2.59 ms/iter spread
+    on one cached program), so take the MINIMUM over several executions
+    of each loop length before subtracting. Every execution gets a
+    DISTINCT input (the relay memoizes identical (program, args) pairs —
+    bench.py docstring), pre-staged on device outside the timed window."""
     f1, f2 = make_loop(N1), make_loop(N2)
+    xs = [jax.block_until_ready(x_t + jnp.float32(1e-6 * r))
+          for r in range(reps)]
     for f in (f1, f2):
         jax.block_until_ready(f(x_t))
         jax.block_until_ready(f(x_t))
     ts = []
     for f in (f1, f2):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(x_t))
-        ts.append(time.perf_counter() - t0)
+        best = float("inf")
+        for r in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(xs[r]))
+            best = min(best, time.perf_counter() - t0)
+        ts.append(best)
     ms = (ts[1] - ts[0]) / (N2 - N1) * 1e3
     print(f"{tag:28s} {ms:7.2f} ms/call  (x4 layers = {4*ms:.1f} ms)",
           flush=True)
