@@ -25,44 +25,27 @@ cfg0 = dataclasses.replace(ESCN_CONFIGS["escn-md"],
 fn, params, cfg = make_escn_model(cfg0, seed=0)
 params = premerge_escn_params(params, cfg)
 
-N1, N2 = 6, 18
+from _marginal import dyn_marginal
 
 
-def marginal(tag, make_loop):
-    f1, f2 = make_loop(N1), make_loop(N2)
-    for f in (f1, f2):
-        jax.block_until_ready(f(params, coords0))
-        jax.block_until_ready(f(params, coords0))
-    ts = []
-    for f in (f1, f2):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(params, coords0))
-        ts.append(time.perf_counter() - t0)
-    ms = (ts[1] - ts[0]) / (N2 - N1) * 1e3
-    print(f"{tag:40s} {ms:8.2f} ms/iter", flush=True)
-    return ms
+@jax.jit
+def run_e(n, p, c):
+    def body(i, c):
+        e = fn(c, sys_, p)
+        return c * (1.0 + 0.0 * e) + 1e-9 * e
+    return jax.lax.fori_loop(0, n, body, c)
 
 
-def make_e(n):
-    @jax.jit
-    def run(p, c):
-        def body(i, c):
-            e = fn(c, sys_, p)
-            return c * (1.0 + 0.0 * e) + 1e-9 * e
-        return jax.lax.fori_loop(0, n, body, c)
-    return run
+@jax.jit
+def run_vg(n, p, c):
+    def body(i, c):
+        e, g = jax.value_and_grad(lambda cc: fn(cc, sys_, p))(c)
+        return c + 1e-9 * g
+    return jax.lax.fori_loop(0, n, body, c)
 
 
-def make_vg(n):
-    @jax.jit
-    def run(p, c):
-        def body(i, c):
-            e, g = jax.value_and_grad(lambda cc: fn(cc, sys_, p))(c)
-            return c + 1e-9 * g
-        return jax.lax.fori_loop(0, n, body, c)
-    return run
-
-
-t_f = marginal("energy only (fwd)", make_e)
-t_vg = marginal("value_and_grad (fwd+bwd)", make_vg)
+t_f = dyn_marginal("energy only (fwd)",
+                   lambda n, c: run_e(n, params, c), coords0)
+t_vg = dyn_marginal("value_and_grad (fwd+bwd)",
+                    lambda n, c: run_vg(n, params, c), coords0)
 print(f"implied bwd: {t_vg - t_f:.2f} ms", flush=True)

@@ -52,30 +52,7 @@ nnz = len(_rot_nz(cfg.lmax, cfg.mmax)[0])
 print(f"P={P} K={K} E={E_} M={M} C={C} nnz={nnz}")
 
 rng = np.random.default_rng(0)
-N1, N2 = 4, 16
-
-
-def marginal(tag, make_loop, arg, reps=8):
-    """Min-of-reps marginal with distinct inputs per execution (the relay
-    memoizes identical (program, args) pairs and adds multi-ms latency
-    spikes to single executions — see tpu_mega_micro2.py)."""
-    f1, f2 = make_loop(N1), make_loop(N2)
-    args = [jax.block_until_ready(arg + jnp.asarray(1e-6 * r, arg.dtype))
-            for r in range(reps)]
-    for f in (f1, f2):
-        jax.block_until_ready(f(arg))
-        jax.block_until_ready(f(arg))
-    ts = []
-    for f in (f1, f2):
-        best = float("inf")
-        for r in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(args[r]))
-            best = min(best, time.perf_counter() - t0)
-        ts.append(best)
-    ms = (ts[1] - ts[0]) / (N2 - N1) * 1e3
-    print(f"{tag:34s} {ms:7.2f} ms/iter", flush=True)
-    return ms
+from _marginal import dyn_marginal as marginal
 
 
 # ---- node S2-FFN kernel ----------------------------------------------------
@@ -88,30 +65,26 @@ W2, b2 = blk["ffn"][1]["w"], blk["ffn"][1]["b"]
 x0 = jnp.asarray(rng.normal(size=(P, M, C)) * 0.3, dt)
 
 
-def make_ffn_fwd(n):
-    @jax.jit
-    def run(x):
-        def body(i, x):
-            return x + 1e-6 * fused_node_ffn(cfg, x, (W1, b1, W2, b2),
-                                             (tg, fg)).astype(dt)
-        return jax.lax.fori_loop(0, n, body, x)
-    return run
+@jax.jit
+def run_ffn_fwd(n, x):
+    def body(i, x):
+        return x + 1e-6 * fused_node_ffn(cfg, x, (W1, b1, W2, b2),
+                                         (tg, fg)).astype(dt)
+    return jax.lax.fori_loop(0, n, body, x)
 
 
-def make_ffn_fwdbwd(n):
-    @jax.jit
-    def run(x):
-        def body(i, x):
-            g = jax.grad(lambda xx: jnp.sum(fused_node_ffn(
-                cfg, xx, (W1, b1, W2, b2), (tg, fg)) ** 2))(x)
-            return x + 1e-9 * g
-        return jax.lax.fori_loop(0, n, body, x)
-    return run
+@jax.jit
+def run_ffn_fwdbwd(n, x):
+    def body(i, x):
+        g = jax.grad(lambda xx: jnp.sum(fused_node_ffn(
+            cfg, xx, (W1, b1, W2, b2), (tg, fg)) ** 2))(x)
+        return x + 1e-9 * g
+    return jax.lax.fori_loop(0, n, body, x)
 
 
-t = marginal("ffn fwd", make_ffn_fwd, x0)
+t = marginal("ffn fwd", run_ffn_fwd, x0)
 print(f"  x4 layers = {4*t:.1f} ms")
-t = marginal("ffn fwd+bwd", make_ffn_fwdbwd, x0)
+t = marginal("ffn fwd+bwd", run_ffn_fwdbwd, x0)
 print(f"  x4 layers = {4*t:.1f} ms")
 
 
@@ -140,30 +113,26 @@ ct1 = jnp.asarray(rng.normal(size=(nnz, E_)), jnp.float32)
 ct2 = jnp.asarray(rng.normal(size=(nnz, E_)), jnp.float32)
 
 
-def make_geom_fwd(n):
-    @jax.jit
-    def run(c):
-        def body(i, c):
-            a, b = geom_chain(c)
-            return c + 1e-9 * jnp.sum(a[0, :3] + b[0, :3])
-        return jax.lax.fori_loop(0, n, body, c)
-    return run
+@jax.jit
+def run_geom_fwd(n, c):
+    def body(i, c):
+        a, b = geom_chain(c)
+        return c + 1e-9 * jnp.sum(a[0, :3] + b[0, :3])
+    return jax.lax.fori_loop(0, n, body, c)
 
 
-def make_geom_fwdbwd(n):
-    @jax.jit
-    def run(c):
-        def body(i, c):
-            def loss(cc):
-                a, b = geom_chain(cc)
-                return jnp.sum(a * ct1) + jnp.sum(b * ct2)
-            return c + 1e-12 * jax.grad(loss)(c)
-        return jax.lax.fori_loop(0, n, body, c)
-    return run
+@jax.jit
+def run_geom_fwdbwd(n, c):
+    def body(i, c):
+        def loss(cc):
+            a, b = geom_chain(cc)
+            return jnp.sum(a * ct1) + jnp.sum(b * ct2)
+        return c + 1e-12 * jax.grad(loss)(c)
+    return jax.lax.fori_loop(0, n, body, c)
 
 
-marginal("geom chain fwd (once/call)", make_geom_fwd, coords0)
-marginal("geom chain fwd+vjp", make_geom_fwdbwd, coords0)
+marginal("geom chain fwd (once/call)", run_geom_fwd, coords0)
+marginal("geom chain fwd+vjp", run_geom_fwdbwd, coords0)
 
 
 # ---- invariant edge scalars -------------------------------------------------
@@ -186,14 +155,12 @@ d0 = jnp.asarray(rng.uniform(0.8, 5.0, size=(P, K)), dt)
 ct3 = jnp.asarray(rng.normal(size=(P, K, cfg.edge_channels)), dt)
 
 
-def make_es_fwdbwd(n):
-    @jax.jit
-    def run(d):
-        def body(i, d):
-            g = jax.grad(lambda dd: jnp.sum(edge_scalars(dd) * ct3))(d)
-            return d + 1e-12 * g
-        return jax.lax.fori_loop(0, n, body, d)
-    return run
+@jax.jit
+def run_es_fwdbwd(n, d):
+    def body(i, d):
+        g = jax.grad(lambda dd: jnp.sum(edge_scalars(dd) * ct3))(d)
+        return d + 1e-12 * g
+    return jax.lax.fori_loop(0, n, body, d)
 
 
-marginal("edge scalars fwd+vjp (once/call)", make_es_fwdbwd, d0)
+marginal("edge scalars fwd+vjp (once/call)", run_es_fwdbwd, d0)

@@ -65,61 +65,36 @@ weights = (W0, Wrs, Wis, b0, brs, bis, V0, Vrs, Vis, c0, crs, cis)
 tg_e, fg_e = _edge_grid_tables(cfg.lmax, cfg.mmax)
 tables = (jnp.asarray(tg_e, f32), jnp.asarray(fg_e, f32))
 
-N1, N2 = 4, 16
+from _marginal import dyn_marginal
 
 
-def marginal(tag, make_loop, reps=8):
-    """Min-of-reps marginal: single executions through the relay carry
-    multi-ms additive latency spikes (measured 1.04-2.59 ms/iter spread
-    on one cached program), so take the MINIMUM over several executions
-    of each loop length before subtracting. Every execution gets a
-    DISTINCT input (the relay memoizes identical (program, args) pairs —
-    bench.py docstring), pre-staged on device outside the timed window."""
-    f1, f2 = make_loop(N1), make_loop(N2)
-    xs = [jax.block_until_ready(x_t + jnp.float32(1e-6 * r))
-          for r in range(reps)]
-    for f in (f1, f2):
-        jax.block_until_ready(f(x_t))
-        jax.block_until_ready(f(x_t))
-    ts = []
-    for f in (f1, f2):
-        best = float("inf")
-        for r in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(xs[r]))
-            best = min(best, time.perf_counter() - t0)
-        ts.append(best)
-    ms = (ts[1] - ts[0]) / (N2 - N1) * 1e3
-    print(f"{tag:28s} {ms:7.2f} ms/call  (x4 layers = {4*ms:.1f} ms)",
-          flush=True)
-    return ms
+@jax.jit
+def run_fwd(n, x0):
+    def body(i, x):
+        o = ek.fused_edge_mega(cfg, x, srcf, es, Dp, Dpe, weights,
+                               tables)
+        return x + 1e-6 * o
+    return jax.lax.fori_loop(0, n, body, x0)
 
 
-def make_fwd(n):
-    @jax.jit
-    def run(x0):
-        def body(i, x):
-            o = ek.fused_edge_mega(cfg, x, srcf, es, Dp, Dpe, weights,
-                                   tables)
-            return x + 1e-6 * o
-        return jax.lax.fori_loop(0, n, body, x0)
-    return run
+@jax.jit
+def run_fwdbwd(n, x0):
+    def body(i, x):
+        def loss(xx):
+            return jnp.sum(ek.fused_edge_mega(
+                cfg, xx, srcf, es, Dp, Dpe, weights, tables) ** 2)
+        g = jax.grad(loss)(x)
+        return x + 1e-9 * g
+    return jax.lax.fori_loop(0, n, body, x0)
 
 
-def make_fwdbwd(n):
-    @jax.jit
-    def run(x0):
-        def body(i, x):
-            def loss(xx):
-                return jnp.sum(ek.fused_edge_mega(
-                    cfg, xx, srcf, es, Dp, Dpe, weights, tables) ** 2)
-            g = jax.grad(loss)(x)
-            return x + 1e-9 * g
-        return jax.lax.fori_loop(0, n, body, x0)
-    return run
+def marginal(tag, run):
+    return dyn_marginal(tag, run, x_t, suffix="  (x4 layers noted)")
 
 
-t_f = marginal("mega fwd", make_fwd)
-t_fb = marginal("mega fwd+bwd", make_fwdbwd)
+t_f = marginal("mega fwd", run_fwd)
+print(f"  x4 layers = {4*t_f:.1f} ms", flush=True)
+t_fb = marginal("mega fwd+bwd", run_fwdbwd)
+print(f"  x4 layers = {4*t_fb:.1f} ms", flush=True)
 print(f"implied kernel bwd: {t_fb - t_f:.2f} ms/layer "
       f"(x4 = {4 * (t_fb - t_f):.1f} ms)", flush=True)
