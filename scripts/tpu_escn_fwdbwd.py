@@ -25,27 +25,29 @@ cfg0 = dataclasses.replace(ESCN_CONFIGS["escn-md"],
 fn, params, cfg = make_escn_model(cfg0, seed=0)
 params = premerge_escn_params(params, cfg)
 
-from _marginal import dyn_marginal
+from _marginal import static_marginal
 
 
-@jax.jit
-def run_e(n, p, c):
-    def body(i, c):
-        e = fn(c, sys_, p)
-        return c * (1.0 + 0.0 * e) + 1e-9 * e
-    return jax.lax.fori_loop(0, n, body, c)
+def make_e(n):
+    @jax.jit
+    def run(c):
+        def body(i, c):
+            e = fn(c, sys_, params)
+            return c * (1.0 + 0.0 * e) + 1e-9 * e
+        return jax.lax.fori_loop(0, n, body, c)
+    return run
 
 
-@jax.jit
-def run_vg(n, p, c):
-    def body(i, c):
-        e, g = jax.value_and_grad(lambda cc: fn(cc, sys_, p))(c)
-        return c + 1e-9 * g
-    return jax.lax.fori_loop(0, n, body, c)
+def make_vg(n):
+    @jax.jit
+    def run(c):
+        def body(i, c):
+            e, g = jax.value_and_grad(lambda cc: fn(cc, sys_, params))(c)
+            return c + 1e-9 * g
+        return jax.lax.fori_loop(0, n, body, c)
+    return run
 
 
-t_f = dyn_marginal("energy only (fwd)",
-                   lambda n, c: run_e(n, params, c), coords0)
-t_vg = dyn_marginal("value_and_grad (fwd+bwd)",
-                    lambda n, c: run_vg(n, params, c), coords0)
+t_f = static_marginal("energy only (fwd)", make_e, coords0)
+t_vg = static_marginal("value_and_grad (fwd+bwd)", make_vg, coords0)
 print(f"implied bwd: {t_vg - t_f:.2f} ms", flush=True)

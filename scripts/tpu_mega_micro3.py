@@ -1,11 +1,14 @@
 """Kernel-only microbench of fused_edge_mega at escn-md scale (P=320)
-via fori_loop marginal cost (defeats relay per-dispatch overhead and
-memoization — scripts/tpu_mega_micro.py's host chained loop was too
-noisy to apportion anything). Honors PDB2R_TPU_MEGA_A_{FWD,BWD}.
-
-Compare against scripts/tpu_escn_fwdbwd.py (full model, 4 layers) to
-split the force call into 4x kernel + XLA remainder."""
+sweeping the BACKWARD tile size in one process: measure fwd (A_FWD=32),
+then fwd+bwd at A_BWD=8 (default) and A_BWD=16 (the bf16 grid-space VJP
+chain was landed precisely to make A=16 fit the VMEM budget — commit
+b7d8107 — but was never measured before the r3 relay outage). The bwd
+call builder is lru_cached and reads PDB2R_TPU_MEGA_A_BWD at build time,
+so each sweep point clears the cache and re-jits. Static fori trip
+counts (see scripts/_marginal.py docstring: traced-n never finished
+compiling on the relay)."""
 import dataclasses
+import os
 import sys
 import time
 from pathlib import Path
@@ -31,10 +34,7 @@ h = cfg.hidden_channels
 Ce = cfg.edge_channels
 nl0, nls, U, G = ek._dims(cfg)
 nnz = len(ek._rot_nz(cfg.lmax, cfg.mmax)[0])
-import os
-print(f"P={P} K={K} E={E} M={M} C={C} h={h} U={U} G={G} nnz={nnz} "
-      f"A_FWD={os.environ.get('PDB2R_TPU_MEGA_A_FWD', 'def32')} "
-      f"A_BWD={os.environ.get('PDB2R_TPU_MEGA_A_BWD', 'def8')}")
+print(f"P={P} K={K} E={E} M={M} C={C} h={h} U={U} G={G} nnz={nnz}")
 
 rng = np.random.default_rng(0)
 f32 = jnp.float32
@@ -92,14 +92,18 @@ def make_fwdbwd(n):
     return run
 
 
-def marginal(tag, make_run):
-    return static_marginal(tag, make_run, x_t,
-                           suffix="  (x4 layers noted)")
-
-
-t_f = marginal("mega fwd", make_fwd)
+t_f = static_marginal("mega fwd (A_FWD=32)", make_fwd, x_t)
 print(f"  x4 layers = {4*t_f:.1f} ms", flush=True)
-t_fb = marginal("mega fwd+bwd", make_fwdbwd)
-print(f"  x4 layers = {4*t_fb:.1f} ms", flush=True)
-print(f"implied kernel bwd: {t_fb - t_f:.2f} ms/layer "
-      f"(x4 = {4 * (t_fb - t_f):.1f} ms)", flush=True)
+
+for a_bwd in (8, 16):
+    os.environ["PDB2R_TPU_MEGA_A_BWD"] = str(a_bwd)
+    ek._bwd_call_mega.cache_clear()
+    try:
+        t_fb = static_marginal(f"mega fwd+bwd (A_BWD={a_bwd})",
+                               make_fwdbwd, x_t)
+        print(f"  x4 layers = {4*t_fb:.1f} ms | implied kernel bwd "
+              f"{t_fb - t_f:.2f} ms/layer (x4 = {4*(t_fb-t_f):.1f} ms)",
+              flush=True)
+    except Exception as e:
+        print(f"  A_BWD={a_bwd} FAILED: {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
