@@ -61,6 +61,17 @@ def _silu(x):
     return x * jax.nn.sigmoid(x)
 
 
+def _ablate():
+    """Comma-separated kernel ablations (PDB2R_TPU_MEGA_ABLATE) for the
+    apportionment microbench ONLY (scripts/tpu_mega_micro4.py): 'noact'
+    drops the S2 grid-activation chain, 'nosilu' keeps its matmuls but
+    drops the transcendentals, 'norot' replaces the block-sparse Wigner
+    rotations with row slices. All change the math — never set outside a
+    microbench. Builders are lru_cached: clear them after changing."""
+    import os
+    return os.environ.get("PDB2R_TPU_MEGA_ABLATE", "")
+
+
 def _dot(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
@@ -930,8 +941,11 @@ def _mega_tile(cfg, P, cap=32):
     small [*, A] atom block (4x fewer one-hot MXU flops than a direct
     [P, T] one-hot at A=32/P=320). The forward fits A=32 at escn-md
     scale; the backward carries ~3x the live per-edge state (cotangent
-    mirrors of both convs + the activation VJP) and caps at A=8
-    (measured: A=16/32 exceed the 100 MB kernel VMEM budget)."""
+    mirrors of both convs + the activation VJP) — with the f32 grid
+    chain it capped at A=8 (A=16/32 exceeded the 100 MB kernel VMEM
+    budget); the bf16 grid-space VJP chain fits A=16 under the 128 MB
+    budget (measured on v5e 2026-08-19: 2.31 vs 2.43 ms/layer at
+    escn-md/P=320 — now the default)."""
     A = cap
     while A > 1 and P % A:
         A //= 2
@@ -941,8 +955,8 @@ def _mega_tile(cfg, P, cap=32):
 def _mega_cap(cfg, which, default):
     """A-cap for the mega kernel's edge tiles. The default is calibrated
     at escn-md scale (C=h=128, K=32: fwd A=32 fits the VMEM budget, bwd
-    A=8) and scaled inversely with the per-edge VMEM footprint for other
-    configs — T = A*K and every live tensor is ~T x (C or h) — so e.g.
+    A=16 with the bf16 grid chain) and scaled inversely with the
+    per-edge VMEM footprint for other configs — T = A*K and every live tensor is ~T x (C or h) — so e.g.
     escn-uma-s (h=256, K=64) does not default to a guaranteed-OOM tile.
     Env-tunable via PDB2R_TPU_MEGA_A_{FWD,BWD} for sweeps (fresh process
     per value — the call builders are lru_cached)."""
@@ -1029,17 +1043,28 @@ def _fwd_kernel_mega(cfg, P, T, refs):
     # Source atoms are arbitrary -> full [P, T] one-hot. Target atoms are
     # the tile's A consecutive atoms -> stage through the [*, A] block:
     # [P, A] pick + [A, T] expand costs ~A/T + P/T of the direct one-hot.
-    rowpi = jax.lax.broadcasted_iota(jnp.int32, (P, T), 0)
-    src_i = jnp.broadcast_to(srow[0:1, :], (P, T)).astype(jnp.int32)
-    oh_src = _oh(rowpi, src_i, bf)
-    oh_pa, oh_at = _tgt_stage(P, T, A, K, i, bf)
-    xs = _dot(x[:], oh_src).astype(bf)              # [M*C, T]
-    xt = _dot(_dot(x[:], oh_pa).astype(bf), oh_at).astype(bf)
+    abl = _ablate()
+    if "nogather" in abl:               # microbench ablation (wrong math)
+        xs = jnp.broadcast_to(x[:, 0:1], (x.shape[0], T)).astype(bf)
+        xt = xs
+    else:
+        rowpi = jax.lax.broadcasted_iota(jnp.int32, (P, T), 0)
+        src_i = jnp.broadcast_to(srow[0:1, :], (P, T)).astype(jnp.int32)
+        oh_src = _oh(rowpi, src_i, bf)
+        oh_pa, oh_at = _tgt_stage(P, T, A, K, i, bf)
+        xs = _dot(x[:], oh_src).astype(bf)          # [M*C, T]
+        xt = _dot(_dot(x[:], oh_pa).astype(bf), oh_at).astype(bf)
 
     # ---- rotation -> conv1 -> S2 act -> conv2 -> back-rotation (v2) -----
     groups = [[(j, m_list[j]) for j in by_u[u]] for u in range(U)]
-    rs = _rotate_rows(Dp[:], xs, groups, C, lambda a: a)
-    rt = _rotate_rows(Dp[:], xt, groups, C, lambda a: a)
+    if "norot" in abl:                  # microbench ablation (wrong math)
+        rs = [xs[u * C:(u + 1) * C, :].astype(jnp.float32)
+              for u in range(U)]
+        rt = [xt[u * C:(u + 1) * C, :].astype(jnp.float32)
+              for u in range(U)]
+    else:
+        rs = _rotate_rows(Dp[:], xs, groups, C, lambda a: a)
+        rt = _rotate_rows(Dp[:], xt, groups, C, lambda a: a)
     pr = jnp.concatenate(
         [blk for u in range(U) for blk in (rs[u], rt[u])],
         axis=0).astype(bf)
@@ -1051,17 +1076,27 @@ def _fwd_kernel_mega(cfg, P, T, refs):
     # the [U, h*T] packing interleaves h with THIS tile's edge count, so
     # a backward running a different tile size would read garbage windows
     msg_ref[:] = msg.astype(msg_ref.dtype).reshape(U * h, T)
-    grid = _dot(tg[:], msg.astype(tg.dtype))
-    act = _dot(fg[:], _silu(grid).astype(fg.dtype))
-    act = jnp.concatenate([_silu(msg[0:1, :]), act[1:, :]], axis=0)
+    if "noact" in abl:                  # microbench ablation (wrong math)
+        act = msg
+    elif "nosilu" in abl:               # microbench ablation (wrong math)
+        grid = _dot(tg[:], msg.astype(tg.dtype))
+        act = _dot(fg[:], grid.astype(fg.dtype))
+    else:
+        grid = _dot(tg[:], msg.astype(tg.dtype))
+        act = _dot(fg[:], _silu(grid).astype(fg.dtype))
+        act = jnp.concatenate([_silu(msg[0:1, :]), act[1:, :]], axis=0)
     out = _conv(act.astype(bf).reshape(U * h, T), None,
                 (V0t[:], [w[:] for w in Vrt], [w[:] for w in Vit]),
                 (c0[:], [b[:] for b in crs], [b[:] for b in cis]),
                 nl0, nls, h, C, T).reshape(U * C, T)
     outsv_ref[:] = out.astype(outsv_ref.dtype)
     groups_t = [[(j, u_list[j]) for j in by_m[mf]] for mf in range(M)]
-    back = _rotate_rows(Dpe[:], out.astype(bf), groups_t, C,
-                        lambda a: a.astype(bf))
+    if "norot" in abl:                  # microbench ablation (wrong math)
+        back = [out[min(mf, U - 1) * C:(min(mf, U - 1) + 1) * C, :]
+                .astype(bf) for mf in range(M)]
+    else:
+        back = _rotate_rows(Dpe[:], out.astype(bf), groups_t, C,
+                            lambda a: a.astype(bf))
     back_cat = jnp.concatenate(back, axis=0)        # [M*C, T] bf16
 
     # ---- K-sum scatter into the node accumulator (staged via A) ---------
@@ -1253,7 +1288,7 @@ def _fwd_call_mega(cfg, P):
                 + [_full_spec((G, U)), _full_spec((U, G))])
     Ep = P * K
     # msg is saved [(u,h)-rows, edge-cols] so the backward may run a
-    # DIFFERENT tile size (fwd fits A=32, bwd only A=8 — see _mega_tile)
+    # DIFFERENT tile size (fwd A=32, bwd A=16 — see _mega_tile)
     out_shape = (jax.ShapeDtypeStruct((M * C, P), jnp.float32),
                  jax.ShapeDtypeStruct((U * h, Ep), _bf()),
                  jax.ShapeDtypeStruct((U * C, Ep), _bf()))
@@ -1278,7 +1313,7 @@ def _bwd_call_mega(cfg, P):
     M = (cfg.lmax + 1) ** 2
     h, C, Ce = cfg.hidden_channels, cfg.sphere_channels, cfg.edge_channels
     K = cfg.max_neighbors
-    T = _mega_tile(cfg, P, cap=_mega_cap(cfg, "BWD", 8))
+    T = _mega_tile(cfg, P, cap=_mega_cap(cfg, "BWD", 16))
     E = P * K
     NZp = _nzp(cfg)
     d0 = nl0 * 2 * C + Ce
