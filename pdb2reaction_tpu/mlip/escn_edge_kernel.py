@@ -72,6 +72,19 @@ def _ablate():
     return os.environ.get("PDB2R_TPU_MEGA_ABLATE", "")
 
 
+def _ablate_bwd():
+    """BACKWARD-kernel ablations (PDB2R_TPU_MEGA_ABLATE_BWD), gated by a
+    separate env var so a fwd+bwd fori-marginal with only this set
+    isolates the backward component directly against an unablated
+    forward (scripts/tpu_mega_micro5.py). Values: 'noact' (drop the
+    grid VJP chain), 'nosilu' (keep its matmuls, drop transcendentals),
+    'norot' (row slices for the three rotation transposes), 'nogd'
+    (skip the gdp/gdpe VPU row-sums), 'nogather' (drop one-hot
+    gather/scatter matmuls). Wrong math — microbench only."""
+    import os
+    return os.environ.get("PDB2R_TPU_MEGA_ABLATE_BWD", "")
+
+
 def _dot(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
@@ -1150,15 +1163,23 @@ def _bwd_kernel_mega(cfg, P, T, refs):
     nnz = len(u_list)
     Ce = ges_ref.shape[0]
 
+    abl = _ablate_bwd()
+
     # ---- gathers (target side staged through the A block) ---------------
-    rowpi = jax.lax.broadcasted_iota(jnp.int32, (P, T), 0)
-    src_i = jnp.broadcast_to(srow[0:1, :], (P, T)).astype(jnp.int32)
-    oh_src = _oh(rowpi, src_i, bf)
-    oh_pa, oh_at = _tgt_stage(P, T, A, K, i, bf)
-    xs = _dot(x[:], oh_src).astype(bf)
-    xt = _dot(_dot(x[:], oh_pa).astype(bf), oh_at).astype(bf)
-    g_back = _dot(_dot(gnode[:].astype(bf), oh_pa).astype(bf),
-                  oh_at)                            # [M*C, T] f32
+    if "nogather" in abl:               # microbench ablation (wrong math)
+        xs = jnp.broadcast_to(x[:, 0:1], (x.shape[0], T)).astype(bf)
+        xt = xs
+        g_back = jnp.broadcast_to(gnode[:, 0:1],
+                                  (gnode.shape[0], T)).astype(jnp.float32)
+    else:
+        rowpi = jax.lax.broadcasted_iota(jnp.int32, (P, T), 0)
+        src_i = jnp.broadcast_to(srow[0:1, :], (P, T)).astype(jnp.int32)
+        oh_src = _oh(rowpi, src_i, bf)
+        oh_pa, oh_at = _tgt_stage(P, T, A, K, i, bf)
+        xs = _dot(x[:], oh_src).astype(bf)
+        xt = _dot(_dot(x[:], oh_pa).astype(bf), oh_at).astype(bf)
+        g_back = _dot(_dot(gnode[:].astype(bf), oh_pa).astype(bf),
+                      oh_at)                        # [M*C, T] f32
 
     # ---- activation state from the saved conv-1 output ------------------
     # (saved as [(u,h), edge] — reshape to this tile's [U, h*T] view)
@@ -1166,23 +1187,36 @@ def _bwd_kernel_mega(cfg, P, T, refs):
     # kernel ([G, h*T]); bf16 halves them so the tile can grow (A=8 -> 16),
     # and the dsilu factor is well-conditioned (|dsilu| <= ~1.1)
     msg = msg_s[:].reshape(U, h * T)
-    grid = _dot(tg[:], msg)
-    sig_g = jax.nn.sigmoid(grid)
-    dsilu_16 = (sig_g * (1.0 + grid * (1.0 - sig_g))).astype(bf)
+    if "noact" in abl:                  # microbench ablation (wrong math)
+        dsilu_16 = None
+    elif "nosilu" in abl:               # microbench ablation (wrong math)
+        grid = _dot(tg[:], msg)
+        dsilu_16 = grid.astype(bf)
+    else:
+        grid = _dot(tg[:], msg)
+        sig_g = jax.nn.sigmoid(grid)
+        dsilu_16 = (sig_g * (1.0 + grid * (1.0 - sig_g))).astype(bf)
     out = outsv[:]
 
     # ---- back-rotation transpose + g_Dpe --------------------------------
-    groups_o = [[(j, m_list[j]) for j in by_u[u]] for u in range(U)]
-    g_out_parts = _rotate_rows(Dpe[:], g_back, groups_o, C, lambda a: a)
-    g_out = jnp.concatenate(g_out_parts, axis=0)    # [U*C, T] f32
-    gdpe_rows = []
-    for j in range(nnz):
-        u, mf = u_list[j], m_list[j]
-        prod = out[u * C:(u + 1) * C, :].astype(jnp.float32) \
-            * g_back[mf * C:(mf + 1) * C, :]
-        gdpe_rows.append(jnp.sum(prod, axis=0, keepdims=True))
-    gdpe_rows.append(jnp.zeros((NZp - nnz, T), jnp.float32))
-    gdpe_ref[:] = jnp.concatenate(gdpe_rows, axis=0)
+    if "norot" in abl:                  # microbench ablation (wrong math)
+        g_out = g_back[0:U * C, :]
+    else:
+        groups_o = [[(j, m_list[j]) for j in by_u[u]] for u in range(U)]
+        g_out_parts = _rotate_rows(Dpe[:], g_back, groups_o, C,
+                                   lambda a: a)
+        g_out = jnp.concatenate(g_out_parts, axis=0)  # [U*C, T] f32
+    if "nogd" in abl:                   # microbench ablation (wrong math)
+        gdpe_ref[:] = jnp.zeros_like(gdpe_ref)
+    else:
+        gdpe_rows = []
+        for j in range(nnz):
+            u, mf = u_list[j], m_list[j]
+            prod = out[u * C:(u + 1) * C, :].astype(jnp.float32) \
+                * g_back[mf * C:(mf + 1) * C, :]
+            gdpe_rows.append(jnp.sum(prod, axis=0, keepdims=True))
+        gdpe_rows.append(jnp.zeros((NZp - nnz, T), jnp.float32))
+        gdpe_ref[:] = jnp.concatenate(gdpe_rows, axis=0)
 
     # ---- conv2^T -> act VJP -> conv1^T (as v2) --------------------------
     g16 = g_out.astype(bf)
@@ -1197,16 +1231,24 @@ def _bwd_kernel_mega(cfg, P, T, refs):
                       + _dot(Vrs[i2][:], gn)).reshape(nl, h * T))
         off += 2 * nl * C
     g_act = jnp.concatenate(parts, axis=0)
-    g_b = jnp.concatenate(
-        [jnp.zeros((1, h * T), jnp.float32), g_act[1:, :]], axis=0)
-    g_grid = _dot(fgT[:], g_b.astype(bf)).astype(bf) * dsilu_16
-    g_msg = _dot(tgT[:], g_grid)
-    m0 = msg[0:1, :].astype(jnp.float32)
-    s_sig = jax.nn.sigmoid(m0)
-    g_msg = jnp.concatenate(
-        [g_msg[0:1, :] + g_act[0:1, :] * s_sig * (1.0 + m0 * (1.0 - s_sig)),
-         g_msg[1:, :]], axis=0)
-    gm16 = g_msg.astype(bf)
+    if "noact" in abl:                  # microbench ablation (wrong math)
+        gm16 = g_act.astype(bf)
+    else:
+        g_b = jnp.concatenate(
+            [jnp.zeros((1, h * T), jnp.float32), g_act[1:, :]], axis=0)
+        g_grid = _dot(fgT[:], g_b.astype(bf)).astype(bf) * dsilu_16
+        g_msg = _dot(tgT[:], g_grid)
+        if "nosilu" in abl:             # microbench ablation (wrong math)
+            g_msg = jnp.concatenate(
+                [g_msg[0:1, :] + g_act[0:1, :], g_msg[1:, :]], axis=0)
+        else:
+            m0 = msg[0:1, :].astype(jnp.float32)
+            s_sig = jax.nn.sigmoid(m0)
+            g_msg = jnp.concatenate(
+                [g_msg[0:1, :]
+                 + g_act[0:1, :] * s_sig * (1.0 + m0 * (1.0 - s_sig)),
+                 g_msg[1:, :]], axis=0)
+        gm16 = g_msg.astype(bf)
     gx0 = _dot(W0[:], gm16[:nl0].reshape(nl0 * h, T))
     gpr_parts = [gx0[0:nl0 * 2 * C, :]]
     ges_ref[:] = gx0[nl0 * 2 * C:nl0 * 2 * C + Ce, :]
@@ -1226,47 +1268,61 @@ def _bwd_kernel_mega(cfg, P, T, refs):
     def tgt_block(v, u):
         return v[u * 2 * C + C:(u + 1) * 2 * C, :]
 
-    gxs_parts, gxt_parts = [], []
-    for mf in range(M):
-        acc_s = None
-        acc_t = None
-        for j in by_m[mf]:
-            u = u_list[j]
-            d = Dp[j:j + 1, :].astype(jnp.float32)
-            ts_ = d * src_block(g_pr, u)
-            tt_ = d * tgt_block(g_pr, u)
-            acc_s = ts_ if acc_s is None else acc_s + ts_
-            acc_t = tt_ if acc_t is None else acc_t + tt_
-        gxs_parts.append(acc_s.astype(bf))
-        gxt_parts.append(acc_t.astype(bf))
+    if "norot" in abl:                  # microbench ablation (wrong math)
+        gxs_parts = [src_block(g_pr, min(mf, U - 1)).astype(bf)
+                     for mf in range(M)]
+        gxt_parts = [tgt_block(g_pr, min(mf, U - 1)).astype(bf)
+                     for mf in range(M)]
+    else:
+        gxs_parts, gxt_parts = [], []
+        for mf in range(M):
+            acc_s = None
+            acc_t = None
+            for j in by_m[mf]:
+                u = u_list[j]
+                d = Dp[j:j + 1, :].astype(jnp.float32)
+                ts_ = d * src_block(g_pr, u)
+                tt_ = d * tgt_block(g_pr, u)
+                acc_s = ts_ if acc_s is None else acc_s + ts_
+                acc_t = tt_ if acc_t is None else acc_t + tt_
+            gxs_parts.append(acc_s.astype(bf))
+            gxt_parts.append(acc_t.astype(bf))
     gxs_cat = jnp.concatenate(gxs_parts, axis=0)    # [M*C, T] bf16
     gxt_cat = jnp.concatenate(gxt_parts, axis=0)
 
-    gdp_rows = []
-    for j in range(nnz):
-        u, mf = u_list[j], m_list[j]
-        ps = xs[mf * C:(mf + 1) * C, :].astype(jnp.float32) \
-            * src_block(g_pr, u)
-        pt = xt[mf * C:(mf + 1) * C, :].astype(jnp.float32) \
-            * tgt_block(g_pr, u)
-        gdp_rows.append(jnp.sum(ps + pt, axis=0, keepdims=True))
-    gdp_rows.append(jnp.zeros((NZp - nnz, T), jnp.float32))
-    gdp_ref[:] = jnp.concatenate(gdp_rows, axis=0)
+    if "nogd" in abl:                   # microbench ablation (wrong math)
+        gdp_ref[:] = jnp.zeros_like(gdp_ref)
+    else:
+        gdp_rows = []
+        for j in range(nnz):
+            u, mf = u_list[j], m_list[j]
+            ps = xs[mf * C:(mf + 1) * C, :].astype(jnp.float32) \
+                * src_block(g_pr, u)
+            pt = xt[mf * C:(mf + 1) * C, :].astype(jnp.float32) \
+                * tgt_block(g_pr, u)
+            gdp_rows.append(jnp.sum(ps + pt, axis=0, keepdims=True))
+        gdp_rows.append(jnp.zeros((NZp - nnz, T), jnp.float32))
+        gdp_ref[:] = jnp.concatenate(gdp_rows, axis=0)
 
     # ---- scatter into the node accumulator ------------------------------
     # source side: arbitrary atoms -> full [T, P] transposed one-hot;
     # target side: staged K-sum + A-block scatter
-    colpi = jax.lax.broadcasted_iota(jnp.int32, (T, P), 1)    # atom idx
-    scol_i = jnp.broadcast_to(scol[:, 0:1], (T, P)).astype(jnp.int32)
-    ohT_src = _oh(colpi, scol_i, bf)
-    oh_ta, oh_ap = _tgt_stage_t(P, T, A, K, i, bf)
-    gxt_a = _dot(gxt_cat, oh_ta)                    # [M*C, A] f32
-    contrib = _dot(gxs_cat, ohT_src) + _dot(gxt_a.astype(bf), oh_ap)
-
     @pl.when(i == 0)
     def _():
         dx_ref[:] = jnp.zeros_like(dx_ref)
-    dx_ref[:] += contrib
+
+    if "nogather" in abl:               # microbench ablation (wrong math)
+        dx_ref[:] += jnp.broadcast_to(
+            (gxs_cat[:, 0:1] + gxt_cat[:, 0:1]).astype(jnp.float32),
+            dx_ref.shape)
+    else:
+        colpi = jax.lax.broadcasted_iota(jnp.int32, (T, P), 1)  # atom idx
+        scol_i = jnp.broadcast_to(scol[:, 0:1], (T, P)).astype(jnp.int32)
+        ohT_src = _oh(colpi, scol_i, bf)
+        oh_ta, oh_ap = _tgt_stage_t(P, T, A, K, i, bf)
+        gxt_a = _dot(gxt_cat, oh_ta)                # [M*C, A] f32
+        dx_ref[:] += _dot(gxs_cat, ohT_src) \
+            + _dot(gxt_a.astype(bf), oh_ap)
 
 
 @functools.lru_cache(maxsize=None)
