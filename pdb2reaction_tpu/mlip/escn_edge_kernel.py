@@ -95,6 +95,39 @@ def _dot(a, b):
 # kernel bodies
 # ---------------------------------------------------------------------------
 
+def _merge_so2(A, B, s):
+    """Merge an SO(2) real/imag weight pair into one block matrix
+    [[A, s*B], [-s*B, A]] so the four per-m-order matmuls become ONE
+    2x-wider MXU matmul (same FLOPs, fewer+larger ops — measured the
+    conv chain at ~50% MXU as four separate dots at escn-md scale).
+    s=-1 gives the transposed (fwd-compute) orientation
+    [[Wrt, -Wit], [Wit, Wrt]]; s=+1 the fwd orientation used by the
+    backward's cotangent path [[Wr, Wi], [-Wi, Wr]]."""
+    top = jnp.concatenate([A, s * B], axis=1)
+    bot = jnp.concatenate([-s * B, A], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _conv_merged(x_rows, es, Wt, bs, nl0, nls, c_in, h, T):
+    """Like _conv but with the m>0 real/imag pairs pre-merged into one
+    block matrix per m-order (_merge_so2): Wt = (W0t, W2t list); bs =
+    (b0, b2 list) with b2 = concat(br, bi). Returns [U, h*T] f32."""
+    W0t, W2t = Wt
+    b0, b2s = bs
+    x0 = x_rows[0:nl0 * c_in, :]
+    if es is not None:
+        x0 = jnp.concatenate([x0, es], axis=0)
+    parts = [(_dot(W0t, x0) + b0).reshape(nl0, h * T)]
+    off = nl0 * c_in
+    for i, nl in enumerate(nls):
+        xcat = x_rows[off:off + 2 * nl * c_in, :]
+        y2 = _dot(W2t[i], xcat) + b2s[i]
+        parts.append(y2[0:nl * h, :].reshape(nl, h * T))
+        parts.append(y2[nl * h:, :].reshape(nl, h * T))
+        off += 2 * nl * c_in
+    return jnp.concatenate(parts, axis=0)
+
+
 def _conv(x_rows, es, Wt, bs, nl0, nls, c_in, h, T):
     """One SO(2) conv on row-sliced input [U*c_in(+Ce via es), T].
     Wt = (W0t, Wrt list, Wit list); bs = (b0, brs, bis) column biases.
@@ -986,6 +1019,48 @@ def _mega_cap(cfg, which, default):
     return cap
 
 
+def _mega_weight_specs(cfg):
+    """Transposed-orientation weight specs for the mega FORWARD kernel:
+    m>0 real/imag pairs merged into one [[Wrt,-Wit],[Wit,Wrt]] block per
+    m-order (_merge_so2), with concat(br, bi) bias columns."""
+    nl0, nls, U, G = _dims(cfg)
+    h, C, Ce = cfg.hidden_channels, cfg.sphere_channels, cfg.edge_channels
+    d0 = nl0 * 2 * C + Ce
+    specs = [_full_spec((nl0 * h, d0))]
+    specs += [_full_spec((2 * nl * h, 2 * nl * 2 * C)) for nl in nls]
+    specs += [_full_spec((nl0 * h, 1))]
+    specs += [_full_spec((2 * nl * h, 1)) for nl in nls]
+    specs += [_full_spec((nl0 * C, nl0 * h))]
+    specs += [_full_spec((2 * nl * C, 2 * nl * h)) for nl in nls]
+    specs += [_full_spec((nl0 * C, 1))]
+    specs += [_full_spec((2 * nl * C, 1)) for nl in nls]
+    return specs
+
+
+def _mega_flat_weights_t(weights):
+    """Transposed-orientation mega forward weight flats with merged m>0
+    blocks + bias columns (matches _mega_weight_specs)."""
+    (W0, Wrs, Wis, b0, brs, bis, V0, Vrs, Vis, c0, crs, cis) = weights
+    bf = _bf()
+
+    def col(b):
+        return b.astype(jnp.float32)[:, None]
+
+    out = [W0.T.astype(bf)]
+    out += [_merge_so2(Wr.T, Wi.T, -1).astype(bf)
+            for Wr, Wi in zip(Wrs, Wis)]
+    out += [col(b0)]
+    out += [col(jnp.concatenate([br, bi]))
+            for br, bi in zip(brs, bis)]
+    out += [V0.T.astype(bf)]
+    out += [_merge_so2(Vr.T, Vi.T, -1).astype(bf)
+            for Vr, Vi in zip(Vrs, Vis)]
+    out += [col(c0)]
+    out += [col(jnp.concatenate([cr, ci]))
+            for cr, ci in zip(crs, cis)]
+    return out
+
+
 def _oh(eq_a, eq_b, dtype):
     return (eq_a == eq_b).astype(dtype)
 
@@ -1030,17 +1105,13 @@ def _fwd_kernel_mega(cfg, P, T, refs):
     Dp = next(it)
     Dpe = next(it)
     W0t = next(it)
-    Wrt = [next(it) for _ in nls]
-    Wit = [next(it) for _ in nls]
+    W2t = [next(it) for _ in nls]       # merged [[Wrt,-Wit],[Wit,Wrt]]
     b0 = next(it)
-    brs = [next(it) for _ in nls]
-    bis = [next(it) for _ in nls]
+    b2s = [next(it) for _ in nls]       # concat(br, bi) columns
     V0t = next(it)
-    Vrt = [next(it) for _ in nls]
-    Vit = [next(it) for _ in nls]
+    V2t = [next(it) for _ in nls]
     c0 = next(it)
-    crs = [next(it) for _ in nls]
-    cis = [next(it) for _ in nls]
+    c2s = [next(it) for _ in nls]
     tg = next(it)
     fg = next(it)
     out_ref = next(it)                  # [M*C, P] f32 accumulated (lane
@@ -1081,10 +1152,10 @@ def _fwd_kernel_mega(cfg, P, T, refs):
     pr = jnp.concatenate(
         [blk for u in range(U) for blk in (rs[u], rt[u])],
         axis=0).astype(bf)
-    msg = _conv(pr, es[:],
-                (W0t[:], [w[:] for w in Wrt], [w[:] for w in Wit]),
-                (b0[:], [b[:] for b in brs], [b[:] for b in bis]),
-                nl0, nls, 2 * C, h, T)
+    msg = _conv_merged(pr, es[:],
+                       (W0t[:], [w[:] for w in W2t]),
+                       (b0[:], [b[:] for b in b2s]),
+                       nl0, nls, 2 * C, h, T)
     # save in the tile-size-INDEPENDENT [(u,h)-rows, edge-cols] layout:
     # the [U, h*T] packing interleaves h with THIS tile's edge count, so
     # a backward running a different tile size would read garbage windows
@@ -1098,10 +1169,10 @@ def _fwd_kernel_mega(cfg, P, T, refs):
         grid = _dot(tg[:], msg.astype(tg.dtype))
         act = _dot(fg[:], _silu(grid).astype(fg.dtype))
         act = jnp.concatenate([_silu(msg[0:1, :]), act[1:, :]], axis=0)
-    out = _conv(act.astype(bf).reshape(U * h, T), None,
-                (V0t[:], [w[:] for w in Vrt], [w[:] for w in Vit]),
-                (c0[:], [b[:] for b in crs], [b[:] for b in cis]),
-                nl0, nls, h, C, T).reshape(U * C, T)
+    out = _conv_merged(act.astype(bf).reshape(U * h, T), None,
+                       (V0t[:], [w[:] for w in V2t]),
+                       (c0[:], [b[:] for b in c2s]),
+                       nl0, nls, h, C, T).reshape(U * C, T)
     outsv_ref[:] = out.astype(outsv_ref.dtype)
     groups_t = [[(j, u_list[j]) for j in by_m[mf]] for mf in range(M)]
     if "norot" in abl:                  # microbench ablation (wrong math)
@@ -1142,13 +1213,12 @@ def _bwd_kernel_mega(cfg, P, T, refs):
     Dpe = next(it)
     msg_s = next(it)                    # [U, h*T] bf16 saved conv1 out
     outsv = next(it)                    # [U*C, T] bf16 saved conv2 out
-    # fwd-orientation conv weights (cotangent path)
+    # fwd-orientation conv weights (cotangent path), m>0 pairs merged
+    # into [[Wr, Wi], [-Wi, Wr]] blocks (_merge_so2 s=+1)
     W0 = next(it)
-    Wrs = [next(it) for _ in nls]
-    Wis = [next(it) for _ in nls]
+    W2f = [next(it) for _ in nls]
     V0 = next(it)
-    Vrs = [next(it) for _ in nls]
-    Vis = [next(it) for _ in nls]
+    V2f = [next(it) for _ in nls]
     tg = next(it)
     tgT = next(it)
     fgT = next(it)
@@ -1218,17 +1288,14 @@ def _bwd_kernel_mega(cfg, P, T, refs):
         gdpe_rows.append(jnp.zeros((NZp - nnz, T), jnp.float32))
         gdpe_ref[:] = jnp.concatenate(gdpe_rows, axis=0)
 
-    # ---- conv2^T -> act VJP -> conv1^T (as v2) --------------------------
+    # ---- conv2^T -> act VJP -> conv1^T (merged m>0 blocks) --------------
     g16 = g_out.astype(bf)
     parts = [_dot(V0[:], g16[0:nl0 * C, :]).reshape(nl0, h * T)]
     off = nl0 * C
     for i2, nl in enumerate(nls):
-        gp = g16[off:off + nl * C, :]
-        gn = g16[off + nl * C:off + 2 * nl * C, :]
-        parts.append((_dot(Vrs[i2][:], gp)
-                      + _dot(Vis[i2][:], gn)).reshape(nl, h * T))
-        parts.append((-_dot(Vis[i2][:], gp)
-                      + _dot(Vrs[i2][:], gn)).reshape(nl, h * T))
+        y2 = _dot(V2f[i2][:], g16[off:off + 2 * nl * C, :])
+        parts.append(y2[0:nl * h, :].reshape(nl, h * T))
+        parts.append(y2[nl * h:, :].reshape(nl, h * T))
         off += 2 * nl * C
     g_act = jnp.concatenate(parts, axis=0)
     if "noact" in abl:                  # microbench ablation (wrong math)
@@ -1254,10 +1321,8 @@ def _bwd_kernel_mega(cfg, P, T, refs):
     ges_ref[:] = gx0[nl0 * 2 * C:nl0 * 2 * C + Ce, :]
     off = nl0
     for i2, nl in enumerate(nls):
-        gyp = gm16[off:off + nl].reshape(nl * h, T)
-        gyn = gm16[off + nl:off + 2 * nl].reshape(nl * h, T)
-        gpr_parts.append(_dot(Wrs[i2][:], gyp) + _dot(Wis[i2][:], gyn))
-        gpr_parts.append(-_dot(Wis[i2][:], gyp) + _dot(Wrs[i2][:], gyn))
+        gy2 = gm16[off:off + 2 * nl].reshape(2 * nl * h, T)
+        gpr_parts.append(_dot(W2f[i2][:], gy2))     # [gxp; gxn] rows
         off += 2 * nl
     g_pr = jnp.concatenate(gpr_parts, axis=0)       # [U*2C, T] f32
 
@@ -1340,7 +1405,7 @@ def _fwd_call_mega(cfg, P):
                  _col_spec(Ce, T),
                  _col_spec(NZp, T),
                  _col_spec(NZp, T)]
-                + _weight_specs(cfg, transposed=True)
+                + _mega_weight_specs(cfg)
                 + [_full_spec((G, U)), _full_spec((U, G))])
     Ep = P * K
     # msg is saved [(u,h)-rows, edge-cols] so the backward may run a
@@ -1374,9 +1439,9 @@ def _bwd_call_mega(cfg, P):
     NZp = _nzp(cfg)
     d0 = nl0 * 2 * C + Ce
     fwd_wspecs = [_full_spec((d0, nl0 * h))]
-    fwd_wspecs += [_full_spec((nl * 2 * C, nl * h)) for nl in nls] * 2
+    fwd_wspecs += [_full_spec((2 * nl * 2 * C, 2 * nl * h)) for nl in nls]
     fwd_wspecs += [_full_spec((nl0 * h, nl0 * C))]
-    fwd_wspecs += [_full_spec((nl * h, nl * C)) for nl in nls] * 2
+    fwd_wspecs += [_full_spec((2 * nl * h, 2 * nl * C)) for nl in nls]
     in_specs = ([_full_spec((M * C, P)),             # x
                  _full_spec((M * C, P)),             # g (node cotangent)
                  _col_spec(1, T),                    # src row layout
@@ -1413,13 +1478,16 @@ def _bwd_call_mega(cfg, P):
 
 def _mega_fwd_weight_flats(cfg, weights):
     """conv1 + conv2 fwd orientation (no biases) — the cotangent path of
-    the mega backward (the recompute path reuses the transposed set)."""
+    the mega backward; m>0 real/imag pairs merged into one
+    [[Wr, Wi], [-Wi, Wr]] block per m-order (_merge_so2 s=+1)."""
     (W0, Wrs, Wis, b0, brs, bis, V0, Vrs, Vis, c0, crs, cis) = weights
     bf = _bf()
-    out = [W0.astype(bf)] + [w.astype(bf) for w in Wrs] \
-        + [w.astype(bf) for w in Wis]
-    out += [V0.astype(bf)] + [w.astype(bf) for w in Vrs] \
-        + [w.astype(bf) for w in Vis]
+    out = [W0.astype(bf)]
+    out += [_merge_so2(Wr, Wi, 1).astype(bf)
+            for Wr, Wi in zip(Wrs, Wis)]
+    out += [V0.astype(bf)]
+    out += [_merge_so2(Vr, Vi, 1).astype(bf)
+            for Vr, Vi in zip(Vrs, Vis)]
     return out
 
 
@@ -1448,7 +1516,7 @@ def _fwd_impl_mega(cfg, x_t, srcf, es, Dp, Dpe, weights, tables):
             es.astype(bf),
             _pad_rows(Dp, NZp).astype(bf),
             _pad_rows(Dpe, NZp).astype(bf)]
-           + _flat_weights(weights, True, True)
+           + _mega_flat_weights_t(weights)
            + [tables[0].astype(bf), tables[1].astype(bf)])
     out, msg, outsv = _fwd_call_mega(cfg, P)(*ins)
     return out, (msg, outsv)
