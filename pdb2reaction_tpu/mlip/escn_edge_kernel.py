@@ -1152,27 +1152,38 @@ def _fwd_kernel_mega(cfg, P, T, refs):
     pr = jnp.concatenate(
         [blk for u in range(U) for blk in (rs[u], rt[u])],
         axis=0).astype(bf)
-    msg = _conv_merged(pr, es[:],
-                       (W0t[:], [w[:] for w in W2t]),
-                       (b0[:], [b[:] for b in b2s]),
-                       nl0, nls, 2 * C, h, T)
+    if "noconv1" in abl:                # microbench ablation (wrong math)
+        msg = jnp.broadcast_to(pr[0:U, 0:1].astype(jnp.float32),
+                               (U, h * T))
+    else:
+        msg = _conv_merged(pr, es[:],
+                           (W0t[:], [w[:] for w in W2t]),
+                           (b0[:], [b[:] for b in b2s]),
+                           nl0, nls, 2 * C, h, T)
     # save in the tile-size-INDEPENDENT [(u,h)-rows, edge-cols] layout:
     # the [U, h*T] packing interleaves h with THIS tile's edge count, so
     # a backward running a different tile size would read garbage windows
     msg_ref[:] = msg.astype(msg_ref.dtype).reshape(U * h, T)
+    # grid chain in bf16 (as the backward's VJP chain): the [G, h*T] grid
+    # is the largest live tensor in the kernel (26 MB f32 at escn-md
+    # A=32) — bf16 halves it, relieving VMEM pressure on the pipeline
     if "noact" in abl:                  # microbench ablation (wrong math)
         act = msg
     elif "nosilu" in abl:               # microbench ablation (wrong math)
-        grid = _dot(tg[:], msg.astype(tg.dtype))
-        act = _dot(fg[:], grid.astype(fg.dtype))
+        grid16 = _dot(tg[:], msg.astype(tg.dtype)).astype(bf)
+        act = _dot(fg[:], grid16.astype(fg.dtype))
     else:
-        grid = _dot(tg[:], msg.astype(tg.dtype))
-        act = _dot(fg[:], _silu(grid).astype(fg.dtype))
+        grid16 = _dot(tg[:], msg.astype(tg.dtype)).astype(bf)
+        act = _dot(fg[:], _silu(grid16).astype(fg.dtype))
         act = jnp.concatenate([_silu(msg[0:1, :]), act[1:, :]], axis=0)
-    out = _conv_merged(act.astype(bf).reshape(U * h, T), None,
-                       (V0t[:], [w[:] for w in V2t]),
-                       (c0[:], [b[:] for b in c2s]),
-                       nl0, nls, h, C, T).reshape(U * C, T)
+    if "noconv2" in abl and h >= C:     # microbench ablation (wrong math)
+        out = act.astype(bf).reshape(U * h, T)[0:U * C, :] \
+            .astype(jnp.float32)
+    else:
+        out = _conv_merged(act.astype(bf).reshape(U * h, T), None,
+                           (V0t[:], [w[:] for w in V2t]),
+                           (c0[:], [b[:] for b in c2s]),
+                           nl0, nls, h, C, T).reshape(U * C, T)
     outsv_ref[:] = out.astype(outsv_ref.dtype)
     groups_t = [[(j, u_list[j]) for j in by_m[mf]] for mf in range(M)]
     if "norot" in abl:                  # microbench ablation (wrong math)

@@ -91,9 +91,18 @@ def point(tag, ablate="", a_fwd=None):
         return float("nan")
 
 
+import os as _os
+
+abls = _os.environ.get(
+    "PDB2R_TPU_MICRO4_ABLS", "noact,nosilu,norot,nogather").split(",")
 base = point("fwd baseline (A=32)")
-for abl in ("noact", "nosilu", "norot", "nogather"):
+for abl in [a for a in abls if a]:
     t = point(f"fwd ABLATE={abl}", ablate=abl)
     print(f"  -> {abl} accounts for {base - t:.2f} ms/layer", flush=True)
-t64 = point("fwd A_FWD=64", a_fwd=64)
-print(f"  -> A=64 vs 32: {base - t64:+.2f} ms/layer", flush=True)
+if _os.environ.get("PDB2R_TPU_MICRO4_A64"):
+    t64 = point("fwd A_FWD=64", a_fwd=64)
+    print(f"  -> A=64 vs 32: {base - t64:+.2f} ms/layer", flush=True)
+for a in _os.environ.get("PDB2R_TPU_MICRO4_ASWEEP", "").split(","):
+    if a:
+        ta = point(f"fwd A_FWD={a}", a_fwd=int(a))
+        print(f"  -> A={a} vs 32: {base - ta:+.2f} ms/layer", flush=True)
