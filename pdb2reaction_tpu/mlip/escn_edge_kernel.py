@@ -108,22 +108,24 @@ def _merge_so2(A, B, s):
     return jnp.concatenate([top, bot], axis=0)
 
 
-def _conv_merged(x_rows, es, Wt, bs, nl0, nls, c_in, h, T):
-    """Like _conv but with the m>0 real/imag pairs pre-merged into one
-    block matrix per m-order (_merge_so2): Wt = (W0t, W2t list); bs =
-    (b0, b2 list) with b2 = concat(br, bi). Returns [U, h*T] f32."""
+def _conv_merged_raw(x_rows, es, Wt, bs, nl0, nls, c_in, h, T):
+    """Merged-pair SO(2) conv in RAW row layout: returns [U*h, T] f32
+    (u-major, h-minor rows — exactly the matmul output order, NO
+    per-part [nl, h*T] relayout). The grid-layout view when needed is
+    one reshape: out.reshape(U, h*T) maps (u*h+hi, t) -> (u, hi*T+t).
+    Wt = (W0t, W2t list) with the m>0 real/imag pairs pre-merged into
+    one [[Wrt,-Wit],[Wit,Wrt]] block per m-order (_merge_so2); bs =
+    (b0, b2 list), b2 = concat(br, bi)."""
     W0t, W2t = Wt
     b0, b2s = bs
     x0 = x_rows[0:nl0 * c_in, :]
     if es is not None:
         x0 = jnp.concatenate([x0, es], axis=0)
-    parts = [(_dot(W0t, x0) + b0).reshape(nl0, h * T)]
+    parts = [_dot(W0t, x0) + b0]
     off = nl0 * c_in
     for i, nl in enumerate(nls):
         xcat = x_rows[off:off + 2 * nl * c_in, :]
-        y2 = _dot(W2t[i], xcat) + b2s[i]
-        parts.append(y2[0:nl * h, :].reshape(nl, h * T))
-        parts.append(y2[nl * h:, :].reshape(nl, h * T))
+        parts.append(_dot(W2t[i], xcat) + b2s[i])
         off += 2 * nl * c_in
     return jnp.concatenate(parts, axis=0)
 
@@ -1153,17 +1155,18 @@ def _fwd_kernel_mega(cfg, P, T, refs):
         [blk for u in range(U) for blk in (rs[u], rt[u])],
         axis=0).astype(bf)
     if "noconv1" in abl:                # microbench ablation (wrong math)
-        msg = jnp.broadcast_to(pr[0:U, 0:1].astype(jnp.float32),
-                               (U, h * T))
+        msg_raw = jnp.broadcast_to(pr[0:U * h, 0:1].astype(jnp.float32),
+                                   (U * h, T))
     else:
-        msg = _conv_merged(pr, es[:],
-                           (W0t[:], [w[:] for w in W2t]),
-                           (b0[:], [b[:] for b in b2s]),
-                           nl0, nls, 2 * C, h, T)
-    # save in the tile-size-INDEPENDENT [(u,h)-rows, edge-cols] layout:
-    # the [U, h*T] packing interleaves h with THIS tile's edge count, so
-    # a backward running a different tile size would read garbage windows
-    msg_ref[:] = msg.astype(msg_ref.dtype).reshape(U * h, T)
+        msg_raw = _conv_merged_raw(pr, es[:],
+                                   (W0t[:], [w[:] for w in W2t]),
+                                   (b0[:], [b[:] for b in b2s]),
+                                   nl0, nls, 2 * C, h, T)
+    # the raw [(u,h)-rows, edge-cols] matmul-output layout IS the
+    # tile-size-independent save layout — write it with NO relayout;
+    # the grid chain below takes the one [U, h*T] reshape instead
+    msg_ref[:] = msg_raw.astype(msg_ref.dtype)
+    msg = msg_raw.reshape(U, h * T)
     # grid chain in bf16 (as the backward's VJP chain): the [G, h*T] grid
     # is the largest live tensor in the kernel (26 MB f32 at escn-md
     # A=32) — bf16 halves it, relieving VMEM pressure on the pipeline
@@ -1180,10 +1183,10 @@ def _fwd_kernel_mega(cfg, P, T, refs):
         out = act.astype(bf).reshape(U * h, T)[0:U * C, :] \
             .astype(jnp.float32)
     else:
-        out = _conv_merged(act.astype(bf).reshape(U * h, T), None,
-                           (V0t[:], [w[:] for w in V2t]),
-                           (c0[:], [b[:] for b in c2s]),
-                           nl0, nls, h, C, T).reshape(U * C, T)
+        out = _conv_merged_raw(act.astype(bf).reshape(U * h, T), None,
+                               (V0t[:], [w[:] for w in V2t]),
+                               (c0[:], [b[:] for b in c2s]),
+                               nl0, nls, h, C, T)      # [U*C, T] raw
     outsv_ref[:] = out.astype(outsv_ref.dtype)
     groups_t = [[(j, u_list[j]) for j in by_m[mf]] for mf in range(M)]
     if "norot" in abl:                  # microbench ablation (wrong math)
@@ -1299,16 +1302,14 @@ def _bwd_kernel_mega(cfg, P, T, refs):
         gdpe_rows.append(jnp.zeros((NZp - nnz, T), jnp.float32))
         gdpe_ref[:] = jnp.concatenate(gdpe_rows, axis=0)
 
-    # ---- conv2^T -> act VJP -> conv1^T (merged m>0 blocks) --------------
+    # ---- conv2^T -> act VJP -> conv1^T (merged m>0 blocks; raw rows) ----
     g16 = g_out.astype(bf)
-    parts = [_dot(V0[:], g16[0:nl0 * C, :]).reshape(nl0, h * T)]
+    parts = [_dot(V0[:], g16[0:nl0 * C, :])]
     off = nl0 * C
     for i2, nl in enumerate(nls):
-        y2 = _dot(V2f[i2][:], g16[off:off + 2 * nl * C, :])
-        parts.append(y2[0:nl * h, :].reshape(nl, h * T))
-        parts.append(y2[nl * h:, :].reshape(nl, h * T))
+        parts.append(_dot(V2f[i2][:], g16[off:off + 2 * nl * C, :]))
         off += 2 * nl * C
-    g_act = jnp.concatenate(parts, axis=0)
+    g_act = jnp.concatenate(parts, axis=0).reshape(U, h * T)
     if "noact" in abl:                  # microbench ablation (wrong math)
         gm16 = g_act.astype(bf)
     else:
@@ -1327,14 +1328,15 @@ def _bwd_kernel_mega(cfg, P, T, refs):
                  + g_act[0:1, :] * s_sig * (1.0 + m0 * (1.0 - s_sig)),
                  g_msg[1:, :]], axis=0)
         gm16 = g_msg.astype(bf)
-    gx0 = _dot(W0[:], gm16[:nl0].reshape(nl0 * h, T))
+    gm_raw = gm16.reshape(U * h, T)                 # one relayout
+    gx0 = _dot(W0[:], gm_raw[0:nl0 * h, :])
     gpr_parts = [gx0[0:nl0 * 2 * C, :]]
     ges_ref[:] = gx0[nl0 * 2 * C:nl0 * 2 * C + Ce, :]
-    off = nl0
+    off = nl0 * h
     for i2, nl in enumerate(nls):
-        gy2 = gm16[off:off + 2 * nl].reshape(2 * nl * h, T)
+        gy2 = gm_raw[off:off + 2 * nl * h, :]
         gpr_parts.append(_dot(W2f[i2][:], gy2))     # [gxp; gxn] rows
-        off += 2 * nl
+        off += 2 * nl * h
     g_pr = jnp.concatenate(gpr_parts, axis=0)       # [U*2C, T] f32
 
     # ---- rotation transpose + g_Dp --------------------------------------
