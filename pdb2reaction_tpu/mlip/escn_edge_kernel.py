@@ -58,7 +58,10 @@ def _dims(cfg):
 
 
 def _silu(x):
-    return x * jax.nn.sigmoid(x)
+    # x / (1 + exp(-x)) with a dtype-matched constant: jax.nn.sigmoid
+    # lowers with an f32 scalar broadcast that Mosaic rejects for bf16
+    # vectors ('vector.broadcast' f32 -> vector<...xbf16>)
+    return x / (jnp.asarray(1, x.dtype) + jnp.exp(-x))
 
 
 def _ablate():
@@ -83,6 +86,19 @@ def _ablate_bwd():
     gather/scatter matmuls). Wrong math — microbench only."""
     import os
     return os.environ.get("PDB2R_TPU_MEGA_ABLATE_BWD", "")
+
+
+def _rot16():
+    """When set (PDB2R_TPU_MEGA_ROT16=1), the mega kernel's block-sparse
+    Wigner rotations multiply-accumulate in bf16 instead of f32. The
+    rotation outputs are rounded to bf16 immediately afterwards anyway
+    (they feed the bf16 SO(2) conv matmuls), so this only moves the
+    rounding from after the <=(2l+1)-term accumulation to per-term —
+    while roughly halving the VPU vreg traffic of the dominant
+    non-matmul cost (115 nnz x [C, T] FMA passes, 3 per direction).
+    Builders are lru_cached: clear them after changing."""
+    import os
+    return os.environ.get("PDB2R_TPU_MEGA_ROT16", "") not in ("", "0")
 
 
 def _dot(a, b):
@@ -527,16 +543,17 @@ def pack_d(cfg, D_sel):
     return D_sel[..., jnp.asarray(u_list), jnp.asarray(m_list)]
 
 
-def _rotate_rows(Dp, x, idx_groups, C, cast):
+def _rotate_rows(Dp, x, idx_groups, C, cast, mul_dtype=jnp.float32):
     """parts[g] = sum_{j in group g} Dp[j] * x[m_j*C:(m_j+1)*C]  — the
     block-sparse rotation. ``idx_groups`` maps output group -> (j, src)
-    pairs."""
+    pairs. ``mul_dtype`` is the multiply-accumulate precision (bf16
+    under _rot16 — see its docstring for why that is safe)."""
     outs = []
     for pairs in idx_groups:
         acc = None
         for (j, src) in pairs:
-            term = Dp[j:j + 1, :].astype(jnp.float32) \
-                * x[src * C:(src + 1) * C, :].astype(jnp.float32)
+            term = Dp[j:j + 1, :].astype(mul_dtype) \
+                * x[src * C:(src + 1) * C, :].astype(mul_dtype)
             acc = term if acc is None else acc + term
         outs.append(cast(acc))
     return outs
@@ -1149,8 +1166,9 @@ def _fwd_kernel_mega(cfg, P, T, refs):
         rt = [xt[u * C:(u + 1) * C, :].astype(jnp.float32)
               for u in range(U)]
     else:
-        rs = _rotate_rows(Dp[:], xs, groups, C, lambda a: a)
-        rt = _rotate_rows(Dp[:], xt, groups, C, lambda a: a)
+        rdt = bf if _rot16() else jnp.float32
+        rs = _rotate_rows(Dp[:], xs, groups, C, lambda a: a, rdt)
+        rt = _rotate_rows(Dp[:], xt, groups, C, lambda a: a, rdt)
     pr = jnp.concatenate(
         [blk for u in range(U) for blk in (rs[u], rt[u])],
         axis=0).astype(bf)
@@ -1194,7 +1212,8 @@ def _fwd_kernel_mega(cfg, P, T, refs):
                 .astype(bf) for mf in range(M)]
     else:
         back = _rotate_rows(Dpe[:], out.astype(bf), groups_t, C,
-                            lambda a: a.astype(bf))
+                            lambda a: a.astype(bf),
+                            bf if _rot16() else jnp.float32)
     back_cat = jnp.concatenate(back, axis=0)        # [M*C, T] bf16
 
     # ---- K-sum scatter into the node accumulator (staged via A) ---------
@@ -1287,9 +1306,12 @@ def _bwd_kernel_mega(cfg, P, T, refs):
         g_out = g_back[0:U * C, :]
     else:
         groups_o = [[(j, m_list[j]) for j in by_u[u]] for u in range(U)]
-        g_out_parts = _rotate_rows(Dpe[:], g_back, groups_o, C,
-                                   lambda a: a)
-        g_out = jnp.concatenate(g_out_parts, axis=0)  # [U*C, T] f32
+        # g_out only feeds the bf16 conv2^T matmuls (g16) — under rot16
+        # rotate a bf16 view of g_back directly
+        g_out_parts = _rotate_rows(
+            Dpe[:], g_back.astype(bf) if _rot16() else g_back,
+            groups_o, C, lambda a: a, bf if _rot16() else jnp.float32)
+        g_out = jnp.concatenate(g_out_parts, axis=0)  # [U*C, T]
     if "nogd" in abl:                   # microbench ablation (wrong math)
         gdpe_ref[:] = jnp.zeros_like(gdpe_ref)
     else:
@@ -1352,15 +1374,20 @@ def _bwd_kernel_mega(cfg, P, T, refs):
         gxt_parts = [tgt_block(g_pr, min(mf, U - 1)).astype(bf)
                      for mf in range(M)]
     else:
+        # the accumulated parts are rounded to bf16 for the scatter
+        # matmuls regardless — under rot16 do the FMA chain in bf16 on
+        # a bf16 view of g_pr (see _rot16)
+        rdt = bf if _rot16() else jnp.float32
+        g_pr_r = g_pr.astype(bf) if _rot16() else g_pr
         gxs_parts, gxt_parts = [], []
         for mf in range(M):
             acc_s = None
             acc_t = None
             for j in by_m[mf]:
                 u = u_list[j]
-                d = Dp[j:j + 1, :].astype(jnp.float32)
-                ts_ = d * src_block(g_pr, u)
-                tt_ = d * tgt_block(g_pr, u)
+                d = Dp[j:j + 1, :].astype(rdt)
+                ts_ = d * src_block(g_pr_r, u)
+                tt_ = d * tgt_block(g_pr_r, u)
                 acc_s = ts_ if acc_s is None else acc_s + ts_
                 acc_t = tt_ if acc_t is None else acc_t + tt_
             gxs_parts.append(acc_s.astype(bf))

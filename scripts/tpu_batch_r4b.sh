@@ -25,4 +25,6 @@ PDB2R_TPU_MICRO4_ABLS="noact,nosilu,norot,nogather,noconv1,noconv2" \
 run micro5 scripts/tpu_mega_micro5.py
 # 4. full-model fwd/bwd split (end-to-end ms/force-call)
 run fwdbwd scripts/tpu_escn_fwdbwd.py
+# 5. bf16 rotation mode: kernel marginals + full-model parity vs XLA
+run rot16 scripts/tpu_rot16.py
 echo "=== QUEUE DONE $(date +%H:%M:%S) ===" | tee -a /tmp/r4b_queue.log
