@@ -101,10 +101,29 @@ def _rot16():
     return os.environ.get("PDB2R_TPU_MEGA_ROT16", "") not in ("", "0")
 
 
+def _gd16():
+    """When set (PDB2R_TPU_MEGA_GD16=1), the backward kernel's g_Dp /
+    g_Dpe channel reductions multiply in bf16 and reduce with a
+    ones-row MXU matmul (f32 accumulation) instead of f32 VPU
+    multiplies + sublane tree reductions. The per-term products are
+    rounded to bf16 (inputs out/xs/xt are already bf16 residuals; the
+    cotangent side is cast once); the C-sum itself stays exact in the
+    MXU's f32 accumulator. Builders are lru_cached: clear after
+    changing."""
+    import os
+    return os.environ.get("PDB2R_TPU_MEGA_GD16", "") not in ("", "0")
+
+
 def _dot(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+
+
+def _rowsum(x):
+    """[C, T] -> [1, T] column sums on the MXU (ones-row matmul,
+    f32 accumulation)."""
+    return _dot(jnp.ones((1, x.shape[0]), x.dtype), x)
 
 
 # ---------------------------------------------------------------------------
@@ -1314,6 +1333,16 @@ def _bwd_kernel_mega(cfg, P, T, refs):
         g_out = jnp.concatenate(g_out_parts, axis=0)  # [U*C, T]
     if "nogd" in abl:                   # microbench ablation (wrong math)
         gdpe_ref[:] = jnp.zeros_like(gdpe_ref)
+    elif _gd16():
+        g_back16 = g_back.astype(bf)
+        gdpe_rows = []
+        for j in range(nnz):
+            u, mf = u_list[j], m_list[j]
+            prod = out[u * C:(u + 1) * C, :] \
+                * g_back16[mf * C:(mf + 1) * C, :]
+            gdpe_rows.append(_rowsum(prod))
+        gdpe_rows.append(jnp.zeros((NZp - nnz, T), jnp.float32))
+        gdpe_ref[:] = jnp.concatenate(gdpe_rows, axis=0)
     else:
         gdpe_rows = []
         for j in range(nnz):
@@ -1397,6 +1426,16 @@ def _bwd_kernel_mega(cfg, P, T, refs):
 
     if "nogd" in abl:                   # microbench ablation (wrong math)
         gdp_ref[:] = jnp.zeros_like(gdp_ref)
+    elif _gd16():
+        g_pr16 = g_pr.astype(bf)
+        gdp_rows = []
+        for j in range(nnz):
+            u, mf = u_list[j], m_list[j]
+            ps = xs[mf * C:(mf + 1) * C, :] * src_block(g_pr16, u)
+            pt = xt[mf * C:(mf + 1) * C, :] * tgt_block(g_pr16, u)
+            gdp_rows.append(_rowsum(ps + pt))
+        gdp_rows.append(jnp.zeros((NZp - nnz, T), jnp.float32))
+        gdp_ref[:] = jnp.concatenate(gdp_rows, axis=0)
     else:
         gdp_rows = []
         for j in range(nnz):
