@@ -1500,11 +1500,13 @@ def _fwd_call_mega(cfg, P):
     def kernel(*refs):
         _fwd_kernel_mega(cfg, P, T, refs)
 
+    vmem_mb = int(__import__("os").environ.get(
+        "PDB2R_TPU_MEGA_A_VMEM_MB", 100))
     return pl.pallas_call(
         kernel, grid=(E // T,), in_specs=in_specs, out_shape=out_shape,
         out_specs=out_specs, interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024))
+            vmem_limit_bytes=vmem_mb * 1024 * 1024))
 
 
 @functools.lru_cache(maxsize=None)
