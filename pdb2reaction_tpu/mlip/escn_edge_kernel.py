@@ -69,8 +69,11 @@ def _ablate():
     apportionment microbench ONLY (scripts/tpu_mega_micro4.py): 'noact'
     drops the S2 grid-activation chain, 'nosilu' keeps its matmuls but
     drops the transcendentals, 'norot' replaces the block-sparse Wigner
-    rotations with row slices. All change the math — never set outside a
-    microbench. Builders are lru_cached: clear them after changing."""
+    rotations with row slices, 'nogather' drops all one-hot
+    gather/scatter matmuls, 'noxs'/'noxt' drop only the source-gather /
+    target-staging halves, 'noscat' drops only the final K-sum scatter.
+    All change the math — never set outside a microbench. Builders are
+    lru_cached: clear them after changing."""
     import os
     return os.environ.get("PDB2R_TPU_MEGA_ABLATE", "")
 
@@ -1170,12 +1173,19 @@ def _fwd_kernel_mega(cfg, P, T, refs):
         xs = jnp.broadcast_to(x[:, 0:1], (x.shape[0], T)).astype(bf)
         xt = xs
     else:
-        rowpi = jax.lax.broadcasted_iota(jnp.int32, (P, T), 0)
-        src_i = jnp.broadcast_to(srow[0:1, :], (P, T)).astype(jnp.int32)
-        oh_src = _oh(rowpi, src_i, bf)
-        oh_pa, oh_at = _tgt_stage(P, T, A, K, i, bf)
-        xs = _dot(x[:], oh_src).astype(bf)          # [M*C, T]
-        xt = _dot(_dot(x[:], oh_pa).astype(bf), oh_at).astype(bf)
+        if "noxs" in abl:               # microbench ablation (wrong math)
+            xs = jnp.broadcast_to(x[:, 0:1], (x.shape[0], T)).astype(bf)
+        else:
+            rowpi = jax.lax.broadcasted_iota(jnp.int32, (P, T), 0)
+            src_i = jnp.broadcast_to(srow[0:1, :],
+                                     (P, T)).astype(jnp.int32)
+            oh_src = _oh(rowpi, src_i, bf)
+            xs = _dot(x[:], oh_src).astype(bf)      # [M*C, T]
+        if "noxt" in abl:               # microbench ablation (wrong math)
+            xt = xs
+        else:
+            oh_pa, oh_at = _tgt_stage(P, T, A, K, i, bf)
+            xt = _dot(_dot(x[:], oh_pa).astype(bf), oh_at).astype(bf)
 
     # ---- rotation -> conv1 -> S2 act -> conv2 -> back-rotation (v2) -----
     groups = [[(j, m_list[j]) for j in by_u[u]] for u in range(U)]
@@ -1241,8 +1251,12 @@ def _fwd_kernel_mega(cfg, P, T, refs):
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
-    part = _dot(back_cat, oh_ta)                    # [M*C, A] f32 K-sum
-    out_ref[:] += _dot(part.astype(bf), oh_ap)      # f32 accum
+    if "noscat" in abl:                 # microbench ablation (wrong math)
+        out_ref[:] += jnp.broadcast_to(
+            back_cat[:, 0:1].astype(jnp.float32), out_ref.shape)
+    else:
+        part = _dot(back_cat, oh_ta)                # [M*C, A] f32 K-sum
+        out_ref[:] += _dot(part.astype(bf), oh_ap)  # f32 accum
 
 
 def _bwd_kernel_mega(cfg, P, T, refs):
@@ -1294,14 +1308,23 @@ def _bwd_kernel_mega(cfg, P, T, refs):
         g_back = jnp.broadcast_to(gnode[:, 0:1],
                                   (gnode.shape[0], T)).astype(jnp.float32)
     else:
-        rowpi = jax.lax.broadcasted_iota(jnp.int32, (P, T), 0)
-        src_i = jnp.broadcast_to(srow[0:1, :], (P, T)).astype(jnp.int32)
-        oh_src = _oh(rowpi, src_i, bf)
         oh_pa, oh_at = _tgt_stage(P, T, A, K, i, bf)
-        xs = _dot(x[:], oh_src).astype(bf)
-        xt = _dot(_dot(x[:], oh_pa).astype(bf), oh_at).astype(bf)
-        g_back = _dot(_dot(gnode[:].astype(bf), oh_pa).astype(bf),
-                      oh_at)                        # [M*C, T] f32
+        if "noxs" in abl:               # microbench ablation (wrong math)
+            xs = jnp.broadcast_to(x[:, 0:1], (x.shape[0], T)).astype(bf)
+        else:
+            rowpi = jax.lax.broadcasted_iota(jnp.int32, (P, T), 0)
+            src_i = jnp.broadcast_to(srow[0:1, :],
+                                     (P, T)).astype(jnp.int32)
+            oh_src = _oh(rowpi, src_i, bf)
+            xs = _dot(x[:], oh_src).astype(bf)
+        if "noxt" in abl:               # microbench ablation (wrong math)
+            xt = xs
+            g_back = jnp.broadcast_to(
+                gnode[:, 0:1], (gnode.shape[0], T)).astype(jnp.float32)
+        else:
+            xt = _dot(_dot(x[:], oh_pa).astype(bf), oh_at).astype(bf)
+            g_back = _dot(_dot(gnode[:].astype(bf), oh_pa).astype(bf),
+                          oh_at)                    # [M*C, T] f32
 
     # ---- activation state from the saved conv-1 output ------------------
     # (saved as [(u,h), edge] — reshape to this tile's [U, h*T] view)
@@ -1455,7 +1478,7 @@ def _bwd_kernel_mega(cfg, P, T, refs):
     def _():
         dx_ref[:] = jnp.zeros_like(dx_ref)
 
-    if "nogather" in abl:               # microbench ablation (wrong math)
+    if "nogather" in abl or "noscat" in abl:   # microbench only
         dx_ref[:] += jnp.broadcast_to(
             (gxs_cat[:, 0:1] + gxt_cat[:, 0:1]).astype(jnp.float32),
             dx_ref.shape)

@@ -24,4 +24,9 @@ PDB2R_TPU_MEGA_ROT16=1 PDB2R_TPU_MEGA_GD16=1 \
 PDB2R_TPU_MEGA_A_VMEM_MB=128 PDB2R_TPU_MICRO4_ABLS="" \
 PDB2R_TPU_MICRO4_ASWEEP="64,16" \
   run asweep scripts/tpu_mega_micro4.py
+# 4. split the gather cost: fwd noxs/noxt/noscat, bwd noxt/noscat
+PDB2R_TPU_MICRO4_ABLS="noxs,noxt,noscat" \
+  run gsplit_fwd scripts/tpu_mega_micro4.py
+PDB2R_TPU_MICRO5_ABLS="noxs,noxt,noscat" \
+  run gsplit_bwd scripts/tpu_mega_micro5.py
 echo "=== QUEUE DONE $(date +%H:%M:%S) ===" | tee -a /tmp/r4c_queue.log

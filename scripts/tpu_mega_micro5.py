@@ -92,7 +92,9 @@ def point(tag, ablate=""):
 
 
 base = point("fwd+bwd baseline (A_BWD=16)")
-for abl in ("noact", "nosilu", "norot", "nogd", "nogather"):
+abls = os.environ.get("PDB2R_TPU_MICRO5_ABLS",
+                      "noact,nosilu,norot,nogd,nogather").split(",")
+for abl in [a for a in abls if a]:
     t = point(f"bwd ABLATE={abl}", ablate=abl)
     print(f"  -> {abl} accounts for {base - t:.2f} ms/layer of the bwd",
           flush=True)
