@@ -15,12 +15,12 @@ run() {
     "/tmp/r4c_${name}.log" | tail -12 | tee -a /tmp/r4c_queue.log
 }
 
-# 1. ROT16+GD16 kernel marginals + A_BWD=32 probe + model parity/rate
-run fast16 scripts/tpu_fast16.py
+# 1. GD16 kernel marginals + A_BWD=32 probe + model parity/rate
+run gd16 scripts/tpu_gd16.py
 # 2. XLA remainder apportionment (node FFN, geometry chain, edge scalars)
 run remainder scripts/tpu_escn_remainder.py
 # 3. fwd tile sweep under fast16 (A=64 needs the bigger VMEM budget)
-PDB2R_TPU_MEGA_ROT16=1 PDB2R_TPU_MEGA_GD16=1 \
+PDB2R_TPU_MEGA_GD16=1 \
 PDB2R_TPU_MEGA_A_VMEM_MB=128 PDB2R_TPU_MICRO4_ABLS="" \
 PDB2R_TPU_MICRO4_ASWEEP="64,16" \
   run asweep scripts/tpu_mega_micro4.py

@@ -1,9 +1,13 @@
-"""Measure the combined bf16 fast paths (PDB2R_TPU_MEGA_ROT16 +
-PDB2R_TPU_MEGA_GD16): kernel fwd and fwd+bwd fori marginals at escn-md
-scale (P=320), a bwd-tile probe at A_BWD=32 (the bf16 rotations/gd free
-VMEM that may admit a bigger backward tile), then full-model
-energy/force parity + chained force-call rate of pallas-mega(fast16)
-vs the XLA edge chain on the 300-atom flagship cluster."""
+"""Measure the GD16 path (PDB2R_TPU_MEGA_GD16: backward g_Dp/g_Dpe
+channel reductions as bf16 multiplies + ones-row MXU matmuls): kernel
+fwd and fwd+bwd fori marginals at escn-md scale (P=320), a bwd-tile
+probe at A_BWD=32, then full-model energy/force parity + chained
+force-call rate of pallas-mega(gd16) vs the XLA edge chain on the
+300-atom flagship cluster. ROT16 is deliberately NOT set: measured
+2026-08-19, bf16 rotations gave no speedup (fwd 1.62 vs 1.52-1.62
+baseline, fwd+bwd 3.94 vs 3.73) and cost parity (rel force deviation
+1.2e-2 vs XLA) — the v5e VPU does not run bf16 elementwise faster, so
+the added casts only hurt."""
 import dataclasses
 import os
 import sys
@@ -12,7 +16,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-os.environ["PDB2R_TPU_MEGA_ROT16"] = "1"
 os.environ["PDB2R_TPU_MEGA_GD16"] = "1"
 
 import numpy as np
@@ -94,13 +97,13 @@ def make_fwdbwd(n):
     return run
 
 
-static_marginal("fast16 fwd", make_fwd, x_t, suffix="  (x4 layers)")
-static_marginal("fast16 fwd+bwd (A_BWD=16)", make_fwdbwd, x_t,
+static_marginal("gd16 fwd", make_fwd, x_t, suffix="  (x4 layers)")
+static_marginal("gd16 fwd+bwd (A_BWD=16)", make_fwdbwd, x_t,
                 suffix="  (x4 layers)")
 os.environ["PDB2R_TPU_MEGA_A_BWD"] = "32"
 ek._bwd_call_mega.cache_clear()
 try:
-    static_marginal("fast16 fwd+bwd (A_BWD=32)", make_fwdbwd, x_t,
+    static_marginal("gd16 fwd+bwd (A_BWD=32)", make_fwdbwd, x_t,
                     suffix="  (x4 layers)")
 except Exception as e:
     print(f"  A_BWD=32 FAILED: {type(e).__name__}: {str(e)[:300]}",
@@ -114,7 +117,7 @@ sys_ = _flagship_system()
 coords = jnp.asarray(sys_.coords, jnp.float32)
 
 res = {}
-for label, ekname in (("mega-fast16", "pallas-mega"), ("xla", None)):
+for label, ekname in (("mega-gd16", "pallas-mega"), ("xla", None)):
     c2 = ESCN_CONFIGS["escn-md"]
     if ekname is not None:
         c2 = dataclasses.replace(c2, edge_kernel=ekname)
@@ -130,7 +133,7 @@ for label, ekname in (("mega-fast16", "pallas-mega"), ("xla", None)):
     jax.block_until_ready(f)
     res[label] = (float(e), np.asarray(f))
     print(f"{label}: E={float(e):+.6f}", flush=True)
-    if label == "mega-fast16":
+    if label == "mega-gd16":
         c = coords
         t0 = time.perf_counter()
         for _ in range(10):
@@ -138,11 +141,11 @@ for label, ekname in (("mega-fast16", "pallas-mega"), ("xla", None)):
             e, f = eforce(params, c)
         jax.block_until_ready(f)
         dt = (time.perf_counter() - t0) / 10
-        print(f"mega-fast16: {dt*1e3:.1f} ms/force-call chained "
+        print(f"mega-gd16: {dt*1e3:.1f} ms/force-call chained "
               f"({1/dt:.1f}/s)", flush=True)
 
-de = abs(res["mega-fast16"][0] - res["xla"][0])
-df = np.max(np.abs(res["mega-fast16"][1] - res["xla"][1]))
+de = abs(res["mega-gd16"][0] - res["xla"][0])
+df = np.max(np.abs(res["mega-gd16"][1] - res["xla"][1]))
 fscale = np.max(np.abs(res["xla"][1]))
-print(f"fast16 parity vs XLA: |dE|={de:.3e} Ha, max|dF|={df:.3e} "
+print(f"gd16 parity vs XLA: |dE|={de:.3e} Ha, max|dF|={df:.3e} "
       f"(max|F|={fscale:.3e}, rel {df/max(fscale,1e-30):.3e})", flush=True)
