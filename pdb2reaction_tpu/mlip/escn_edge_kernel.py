@@ -93,13 +93,15 @@ def _ablate_bwd():
 
 def _rot16():
     """When set (PDB2R_TPU_MEGA_ROT16=1), the mega kernel's block-sparse
-    Wigner rotations multiply-accumulate in bf16 instead of f32. The
-    rotation outputs are rounded to bf16 immediately afterwards anyway
-    (they feed the bf16 SO(2) conv matmuls), so this only moves the
-    rounding from after the <=(2l+1)-term accumulation to per-term —
-    while roughly halving the VPU vreg traffic of the dominant
-    non-matmul cost (115 nnz x [C, T] FMA passes, 3 per direction).
-    Builders are lru_cached: clear them after changing."""
+    Wigner rotations multiply-accumulate in bf16 instead of f32.
+
+    MEASURED NEGATIVE (v5e, 2026-08-19, scripts/tpu_rot16.py): no
+    speedup (kernel fwd 1.62 vs 1.52-1.62 baseline ms/layer, fwd+bwd
+    3.94 vs 3.73) and force parity vs the XLA chain degrades to 1.2e-2
+    relative (baseline ~1e-4) — Mosaic's VPU elementwise runs bf16 at
+    f32 rate on v5e, so the extra casts only add cost while the
+    per-term rounding compounds. Kept env-gated OFF as the recorded
+    experiment; do not enable in production."""
     import os
     return os.environ.get("PDB2R_TPU_MEGA_ROT16", "") not in ("", "0")
 
@@ -108,11 +110,14 @@ def _gd16():
     """When set (PDB2R_TPU_MEGA_GD16=1), the backward kernel's g_Dp /
     g_Dpe channel reductions multiply in bf16 and reduce with a
     ones-row MXU matmul (f32 accumulation) instead of f32 VPU
-    multiplies + sublane tree reductions. The per-term products are
-    rounded to bf16 (inputs out/xs/xt are already bf16 residuals; the
-    cotangent side is cast once); the C-sum itself stays exact in the
-    MXU's f32 accumulator. Builders are lru_cached: clear after
-    changing."""
+    multiplies + sublane tree reductions.
+
+    MEASURED NEGATIVE (v5e, 2026-08-19, scripts/tpu_gd16.py): fwd+bwd
+    3.96 vs 3.73 baseline ms/layer (A_BWD=16; 3.91 at A_BWD=32) and
+    |dE| 5.7e-3 Ha vs the XLA chain — 115 one-row matmuls per tile are
+    MXU-latency-dominated and lose to the VPU sublane reductions, and
+    the bf16 product rounding compounds. Kept env-gated OFF as the
+    recorded experiment; do not enable in production."""
     import os
     return os.environ.get("PDB2R_TPU_MEGA_GD16", "") not in ("", "0")
 
