@@ -574,13 +574,18 @@ def _rotate_rows(Dp, x, idx_groups, C, cast, mul_dtype=jnp.float32):
     """parts[g] = sum_{j in group g} Dp[j] * x[m_j*C:(m_j+1)*C]  — the
     block-sparse rotation. ``idx_groups`` maps output group -> (j, src)
     pairs. ``mul_dtype`` is the multiply-accumulate precision (bf16
-    under _rot16 — see its docstring for why that is safe)."""
+    under _rot16 — see its docstring for why that is safe).
+
+    The input is cast to ``mul_dtype`` ONCE up front: each source block
+    feeds every coupled output row (~nnz/M ≈ 4.6 at escn-md), so per-term
+    casts repeat the same bf16->f32 relayout that many times."""
+    xr = x if x.dtype == mul_dtype else x.astype(mul_dtype)
+    Dr = Dp if Dp.dtype == mul_dtype else Dp.astype(mul_dtype)
     outs = []
     for pairs in idx_groups:
         acc = None
         for (j, src) in pairs:
-            term = Dp[j:j + 1, :].astype(mul_dtype) \
-                * x[src * C:(src + 1) * C, :].astype(mul_dtype)
+            term = Dr[j:j + 1, :] * xr[src * C:(src + 1) * C, :]
             acc = term if acc is None else acc + term
         outs.append(cast(acc))
     return outs

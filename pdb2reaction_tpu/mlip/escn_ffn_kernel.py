@@ -47,39 +47,51 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .escn_edge_kernel import _bf, _dot, _full_spec, _interpret, _silu
 
-_TP = 8     # nodes per grid step
+def _tp():
+    """Nodes per grid step. The FFN matmuls are batched ACROSS the tile
+    (one [TP*G, C] x [C, H] matmul instead of TP separate [G, C] x [C, H]
+    ones — amortizes the MXU weight load and widens the sublane dim), so
+    TP directly sets the FFN matmul height. Env-tunable for sweeps
+    (PDB2R_TPU_FFN_TP; builders are lru_cached — fresh process per value)."""
+    import os
+    return int(os.environ.get("PDB2R_TPU_FFN_TP", "8"))
 
 
 def _ffn_fwd_kernel(TP, refs):
     x_ref, w1, b1, w2, b2, tg, fg, out_ref = refs
+    G = tg.shape[0]
+    # per-node to-grid (contraction dim is only M: batching would need a
+    # lane->sublane relayout), then ONE tile-wide FFN matmul pair
+    gcat = jnp.concatenate([_dot(tg[:], x_ref[i]) for i in range(TP)],
+                           axis=0)                      # [TP*G, C] f32
+    h = _silu(_dot(gcat.astype(w1.dtype), w1[:]) + b1[:])
+    y = _dot(h.astype(w2.dtype), w2[:]) + b2[:]         # [TP*G, C] f32
     for i in range(TP):
-        xi = x_ref[i]                                   # [M, C]
-        gi = _dot(tg[:], xi)                            # [G, C] f32
-        hi = _silu(_dot(gi.astype(w1.dtype), w1[:]) + b1[:])
-        yi = _dot(hi.astype(w2.dtype), w2[:]) + b2[:]   # [G, C] f32
-        out_ref[i] = _dot(fg[:], yi.astype(fg.dtype)) \
+        out_ref[i] = _dot(fg[:], y[i * G:(i + 1) * G, :].astype(fg.dtype)) \
             .astype(out_ref.dtype)
 
 
 def _ffn_bwd_kernel(TP, refs):
     x_ref, g_ref, w1, b1, w1t, w2t, tg, tgt, fgt, dx_ref = refs
+    G = tg.shape[0]
+    grid = jnp.concatenate([_dot(tg[:], x_ref[i]) for i in range(TP)],
+                           axis=0)                      # [TP*G, C] f32
+    pre = _dot(grid.astype(w1.dtype), w1[:]) + b1[:]    # [TP*G, H]
+    s = jax.nn.sigmoid(pre)
+    dy = jnp.concatenate(
+        [_dot(fgt[:], g_ref[i].astype(fgt.dtype)) for i in range(TP)],
+        axis=0)                                         # [TP*G, C]
+    dh = _dot(dy.astype(w2t.dtype), w2t[:])             # [TP*G, H]
+    dpre = dh * (s * (1.0 + pre * (1.0 - s)))           # silu'
+    dgrid = _dot(dpre.astype(w1t.dtype), w1t[:])        # [TP*G, C]
     for i in range(TP):
-        xi = x_ref[i]
-        gct = g_ref[i]                                  # [M, C] f32
-        grid = _dot(tg[:], xi)                          # [G, C]
-        pre = _dot(grid.astype(w1.dtype), w1[:]) + b1[:]
-        s = jax.nn.sigmoid(pre)
-        dy = _dot(fgt[:], gct.astype(fgt.dtype))        # [G, C]
-        dh = _dot(dy.astype(w2t.dtype), w2t[:])         # [G, H]
-        dpre = dh * (s * (1.0 + pre * (1.0 - s)))       # silu'
-        dgrid = _dot(dpre.astype(w1t.dtype), w1t[:])    # [G, C]
-        dx_ref[i] = _dot(tgt[:], dgrid.astype(tgt.dtype)) \
+        dx_ref[i] = _dot(
+            tgt[:], dgrid[i * G:(i + 1) * G, :].astype(tgt.dtype)) \
             .astype(dx_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
-def _ffn_fwd_call(M, C, H, G, P):
-    TP = _TP
+def _ffn_fwd_call(M, C, H, G, P, TP):
     Pp = ((P + TP - 1) // TP) * TP
     bf = _bf()
     in_specs = [
@@ -105,8 +117,7 @@ def _ffn_fwd_call(M, C, H, G, P):
 
 
 @functools.lru_cache(maxsize=None)
-def _ffn_bwd_call(M, C, H, G, P):
-    TP = _TP
+def _ffn_bwd_call(M, C, H, G, P, TP):
     Pp = ((P + TP - 1) // TP) * TP
     node_spec = pl.BlockSpec((TP, M, C), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -176,8 +187,8 @@ def _ffn_fwd_impl(x, weights, tables):
     P, M, C = x.shape
     H = weights[0].shape[1]
     G = tables[0].shape[0]
-    xp = _pad_nodes(x, _TP).astype(_bf())
-    out = _ffn_fwd_call(M, C, H, G, P)(
+    xp = _pad_nodes(x, _tp()).astype(_bf())
+    out = _ffn_fwd_call(M, C, H, G, P, _tp())(
         xp, *_ffn_flat(weights, tables, for_bwd=False))
     return out[:P], xp
 
@@ -192,8 +203,8 @@ def _ffn_vjp_bwd(cfg, res, g):
     P, M, C = x.shape
     H = weights[0].shape[1]
     G = tables[0].shape[0]
-    gp = _pad_nodes(g.astype(jnp.float32), _TP)
-    dx = _ffn_bwd_call(M, C, H, G, P)(
+    gp = _pad_nodes(g.astype(jnp.float32), _tp())
+    dx = _ffn_bwd_call(M, C, H, G, P, _tp())(
         xp, gp, *_ffn_flat(weights, tables, for_bwd=True))[:P]
 
     # weight cotangents via XLA replay (DCE'd by force-only calls)
