@@ -17,10 +17,12 @@ keeps the full per-node chain
 
 in VMEM for a tile of TP nodes, so the only HBM traffic per layer is the
 node features in ([P, M, C]) and the residual out — ~6 MB instead of
-~6 GB at escn-md scale. All four steps are plain 2-D MXU matmuls in the
-node loop (no batched dot needed, mirroring escn_edge_kernel's layout
-rule). Matmuls run in bf16 with f32 accumulation on TPU, f32 in
-interpret mode (same policy as the edge kernel).
+~6 GB at escn-md scale. to-grid/from-grid run per node (their contraction
+dim is only M); the two FFN matmuls are batched ACROSS the tile as one
+[TP*G, C] x [C, H] pair (no batched dot needed, mirroring
+escn_edge_kernel's layout rule). Matmuls run in bf16 with f32
+accumulation on TPU, f32 in interpret mode (same policy as the edge
+kernel).
 
 Backward: ``jax.custom_vjp`` with a mirrored Pallas kernel that
 recomputes the cheap grid/hidden intermediates from the saved input
@@ -52,9 +54,15 @@ def _tp():
     (one [TP*G, C] x [C, H] matmul instead of TP separate [G, C] x [C, H]
     ones — amortizes the MXU weight load and widens the sublane dim), so
     TP directly sets the FFN matmul height. Env-tunable for sweeps
-    (PDB2R_TPU_FFN_TP; builders are lru_cached — fresh process per value)."""
+    (PDB2R_TPU_FFN_TP; builders are lru_cached — fresh process per value).
+
+    Default 16: measured on v5e at escn-md scale (P=320, G=460, H=256,
+    2026-08-19) the force-call chain (fwd+bwd marginal) runs 0.33 ms/layer
+    at TP=16 vs 0.43 at TP=8 vs 0.51 with the original per-node matmuls;
+    the fwd-only marginal slightly prefers TP=8 (0.12 vs 0.23) but force
+    calls dominate every workflow."""
     import os
-    return int(os.environ.get("PDB2R_TPU_FFN_TP", "8"))
+    return int(os.environ.get("PDB2R_TPU_FFN_TP", "16"))
 
 
 def _ffn_fwd_kernel(TP, refs):

@@ -64,6 +64,17 @@ class ModelConfig:
     # activation memory; off by default since the A/d layout + f32 policy
     # already fit 64-image batches
     remat_layers: bool = False
+    # MXU multiply precision for the radial-contraction dots. None = JAX
+    # default, which on TPU is ONE bf16 pass per f32 matmul — measured on
+    # v5e (scripts/tpu_matmul_precision.py, 2026-08-19) at the dense-path
+    # shape: DEFAULT max rel err vs f64 = 2.4e-3 (identical to bf16
+    # inputs), "high" (3 bf16 passes) = 1.4e-5, "highest" (6 passes) =
+    # 1.5e-7. The default matches this framework's MLIP precision policy
+    # (the eSCN Pallas kernels run bf16 multiplies with f32 accumulation
+    # for the same reason: ~1e-3 relative is below UMA-class force-error
+    # floors); set "highest" for strict-f32 parity work on TPU. CPU
+    # backends always compute true f32 regardless.
+    matmul_precision: Any = None
 
 
 # Registry of named configs. "uma-s-1p1" is the flagship surrogate matching
@@ -263,12 +274,19 @@ def energy_fn_dense(coords_ang, system, params, cfg) -> jnp.ndarray:
     A[i,j,r] = bessel_r(d_ij) * env(d_ij) (plus an env-only channel for
     the filter bias), the PaiNN message
         ds[i,c] = sum_j phi[j,c] * w[i,j,c],  w = A @ W
-    contracts exactly as
-        T[i,r,c] = sum_j A[i,j,r] phi[j,c]   (MXU batched matmul)
-        ds[i,c]  = sum_r T[i,r,c] W[r,c]
-    so no [P,K,3C] gather intermediates ever exist (the gather variant OOMs
-    at image-batch 64 on v5e: 32.5 GB of HLO temps). Also exact: every
-    in-cutoff neighbor contributes (no max_neighbors truncation).
+    contracts as ONE deep matmul over the JOINT (j, r) axis:
+        ds[i,c] = sum_{(j,r)} A2[i,(j,r)] * (phi[j,c] W[r,c])
+    i.e. A reshaped [P, P*(R+1)] against a broadcast-product right-hand
+    side — the per-stream [P,R+1,C]/[P,R+1,3,C] intermediates of the
+    earlier two-einsum form (and their backward copies) never exist, and
+    all three streams sharing an adjacency ride one [P, P*(R+1)] x
+    [P*(R+1), 4C] dot (round-4: the whole per-image force call is
+    HBM-bound, not MXU-bound — see ModelConfig.matmul_precision). Exactly
+    the same math: only the (j, r) summation is reassociated. No [P,K,3C]
+    gather intermediates ever exist either (the gather variant OOMs at
+    image-batch 64 on v5e: 32.5 GB of HLO temps), and the formulation is
+    exact: every in-cutoff neighbor contributes (no max_neighbors
+    truncation).
     """
     dt = cfg.dtype
     P = coords_ang.shape[0]
@@ -298,6 +316,17 @@ def energy_fn_dense(coords_ang, system, params, cfg) -> jnp.ndarray:
     z, s = _embed_nodes(system, params, cfg, atom_mask)
     v = jnp.zeros((P, 3, C), dt)
 
+    R1 = cfg.n_radial + 1
+    A2 = A.reshape(P, P * R1)                            # [i, (j,r)]
+    Ad2 = Ad.reshape(P, P * R1)
+    prec = cfg.matmul_precision
+
+    def jr_dot(adj2, rhs):
+        # sum over the joint (j, r) axis: [P, P*R1] x [P*R1, cols]
+        return jax.lax.dot_general(adj2, rhs, (((1,), (0,)), ((), ())),
+                                   precision=prec,
+                                   preferred_element_type=dt)
+
     def layer(carry, lp):
         s, v = carry
         W = jnp.concatenate([lp["w_radial"]["w"],
@@ -305,29 +334,24 @@ def energy_fn_dense(coords_ang, system, params, cfg) -> jnp.ndarray:
         W_s, W_vv, W_vs = jnp.split(W, 3, axis=-1)       # [R+1,C]
         phi = _apply_mlp(lp["phi"], s)                   # [P,3C]
         phi_s, phi_vv, phi_vs = jnp.split(phi, 3, axis=-1)
-        # scalar stream: T = A . phi  -> contract radial weights
-        T_s = jnp.einsum("ijr,jc->irc", A, phi_s,
-                         preferred_element_type=dt)
-        ds = jnp.einsum("irc,rc->ic", T_s, W_s,
-                        preferred_element_type=dt)
-        # vector stream 1: neighbor vector features
+        # fused double contraction, scalar + vector-1 streams (shared A):
+        #   out[i, m] = sum_{j,r} A[i,j,r] rhs[j, m] W[r, m-block]
         phiv = (phi_vv[:, None, :] * v).reshape(P, 3 * C)
-        T_v = jnp.einsum("ijr,jm->irm", A, phiv,
-                         preferred_element_type=dt).reshape(P, -1, 3, C)
-        dv = jnp.einsum("irkc,rc->ikc", T_v, W_vv,
-                        preferred_element_type=dt)
+        rhsA = jnp.concatenate(
+            [phi_s[:, None, :] * W_s[None],
+             phiv[:, None, :] * jnp.tile(W_vv, (1, 3))[None]],
+            axis=-1).reshape(P * R1, 4 * C)              # [(j,r), 4C]
+        outA = jr_dot(A2, rhsA)                          # [P, 4C]
+        ds = outA[:, :C]
+        dv = outA[:, C:].reshape(P, 3, C)
         # vector stream 2 via the A/d split (no directional adjacency)
         featsB = jnp.concatenate(
             [x[:, k:k + 1] * phi_vs for k in range(3)] + [phi_vs], -1)
-        Q = jnp.einsum("ijr,jm->irm", Ad, featsB,
-                       preferred_element_type=dt)        # [P,R+1,4C]
-        Q1 = Q[..., : 3 * C].reshape(P, -1, 3, C)
-        Q2 = Q[..., 3 * C:]
-        dv2 = jnp.einsum("irc,rc->ic", Q2, W_vs,
-                         preferred_element_type=dt)[:, None, :] \
-            * x[:, :, None] \
-            - jnp.einsum("irkc,rc->ikc", Q1, W_vs,
-                         preferred_element_type=dt)
+        rhsB = (featsB[:, None, :] * jnp.tile(W_vs, (1, 4))[None]) \
+            .reshape(P * R1, 4 * C)
+        outB = jr_dot(Ad2, rhsB)                         # [P, 4C]
+        dv2 = outB[:, 3 * C:][:, None, :] * x[:, :, None] \
+            - outB[:, :3 * C].reshape(P, 3, C)
         s = s + ds * atom_mask[:, None]
         v = v + (dv + dv2) * atom_mask[:, None, None]
         s, v = _update_block(lp, s, v, atom_mask)
