@@ -20,7 +20,9 @@ from pdb2reaction_tpu.mlip.escn import (ESCN_CONFIGS, make_escn_model,
 
 sys_ = _flagship_system()
 coords0 = jnp.asarray(sys_.coords, jnp.float32)
-cfg0 = dataclasses.replace(ESCN_CONFIGS["escn-md"],
+cfg_name = sys.argv[1] if len(sys.argv) > 1 else "escn-md"
+print("config:", cfg_name)
+cfg0 = dataclasses.replace(ESCN_CONFIGS[cfg_name],
                            edge_kernel="pallas-mega")
 fn, params, cfg = make_escn_model(cfg0, seed=0)
 params = premerge_escn_params(params, cfg)

@@ -78,18 +78,30 @@ print(f"batched chained rate: {1.0/best:.1f} calls/s "
 
 
 # batched program ON-DEVICE marginal (separates compute from the relay's
-# per-execution dispatch + transfer)
-def make_batched(n):
+# per-execution dispatch + transfer), swept over the lax.map chunk
+# (vectorization width; calculator.py PDB2R_TPU_BATCH_CHUNK)
+import os
+
+for chunk in [int(c) for c in
+              os.environ.get("PDB2R_SURRO_CHUNKS", "1,4,16").split(",")]:
+
     @jax.jit
-    def run(b0):
-        def body(i, b):
-            e, f = eforce_batch(params, b)
-            return b + 1e-6 * f
-        return jax.lax.fori_loop(0, n, body, b0)
-    return run
+    def eforce_chunked(params, coords_b, _chunk=chunk):
+        def one(c):
+            e, g = jax.value_and_grad(lambda cc: fn(cc, sys_, params))(c)
+            return e, -g
+        return jax.lax.map(one, coords_b, batch_size=_chunk)
 
+    def make_batched(n, _f=eforce_chunked):
+        @jax.jit
+        def run(b0):
+            def body(i, b):
+                e, f = _f(params, b)
+                return b + 1e-6 * f
+            return jax.lax.fori_loop(0, n, body, b0)
+        return run
 
-ms = static_marginal("batched B=64 (device)", make_batched, batch,
-                     n1=1, n2=4, reps=4)
-print(f"   -> {B * 1000.0 / ms:.1f} calls/s on-device "
-      f"({ms / B:.2f} ms/image)")
+    ms = static_marginal(f"batched B=64 chunk={chunk} (device)",
+                         make_batched, batch, n1=1, n2=4, reps=4)
+    print(f"   -> {B * 1000.0 / ms:.1f} calls/s on-device "
+          f"({ms / B:.2f} ms/image)")
