@@ -98,3 +98,85 @@ def test_hessian_on_mlip(water, model):
     H = calc.get_hessian(water.coords_bohr.reshape(-1))["hessian"]
     assert H.shape == (9, 9)
     np.testing.assert_allclose(H, H.T, atol=1e-7)
+
+
+def test_dense_fused_jr_contraction_matches_two_einsum_form():
+    """The round-4 dense-path layer fuses each (A then W) double
+    contraction into ONE matmul over the joint (j, r) axis
+    (model.py layer(), energy_fn_dense docstring). Pin it against the
+    original two-einsum formulation, evaluated here explicitly: the
+    rewrite only reassociates the (j, r) sum, so under x64 the two
+    forms must agree to strict tolerance on energy AND forces."""
+    import dataclasses
+
+    from pdb2reaction_tpu.mlip.model import (_apply_mlp, _embed_nodes,
+                                             _readout, _update_block,
+                                             energy_fn_dense)
+    from pdb2reaction_tpu.mlip.radial import bessel_basis, cosine_envelope
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg = dataclasses.replace(CONFIGS["small"], dtype=jnp.float64)
+        fn64, params, _ = make_model(cfg, seed=3)
+        rng = np.random.default_rng(0)
+        st = Structure.from_symbols(
+            ["C", "O", "N", "H", "H", "H", "C"],
+            rng.normal(size=(7, 3)) * 1.8)
+        sys_ = pad_to(st, n_pad=8)
+        coords = jnp.asarray(sys_.coords, jnp.float64)
+
+        def energy_two_einsum(coords_ang):
+            # the pre-round-4 formulation, verbatim semantics
+            dt = cfg.dtype
+            P = coords_ang.shape[0]
+            C = cfg.hidden
+            atom_mask = sys_.atom_mask.astype(dt)
+            x = coords_ang.astype(dt)
+            diff = x[:, None, :] - x[None, :, :]
+            d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-12))
+            eye = jnp.eye(P, dtype=bool)
+            pair = (atom_mask[:, None] * atom_mask[None, :]
+                    * (1.0 - jnp.eye(P, dtype=dt)))
+            within = (d <= cfg.cutoff) & (~eye)
+            env = cosine_envelope(d, cfg.cutoff) * pair * within.astype(dt)
+            d_safe = jnp.where(within, d, 1.0)
+            A = jnp.concatenate(
+                [bessel_basis(d_safe, cfg.cutoff, cfg.n_radial)
+                 * env[..., None], env[..., None]], -1)
+            Ad = A / d_safe[..., None]
+            z, s = _embed_nodes(sys_, params, cfg, atom_mask)
+            v = jnp.zeros((P, 3, C), dt)
+            for lp in params["layers"]:
+                W = jnp.concatenate([lp["w_radial"]["w"],
+                                     lp["w_radial"]["b"][None, :]], 0)
+                W_s, W_vv, W_vs = jnp.split(W, 3, axis=-1)
+                phi = _apply_mlp(lp["phi"], s)
+                phi_s, phi_vv, phi_vs = jnp.split(phi, 3, axis=-1)
+                T_s = jnp.einsum("ijr,jc->irc", A, phi_s)
+                ds = jnp.einsum("irc,rc->ic", T_s, W_s)
+                phiv = (phi_vv[:, None, :] * v).reshape(P, 3 * C)
+                T_v = jnp.einsum("ijr,jm->irm", A, phiv) \
+                    .reshape(P, -1, 3, C)
+                dv = jnp.einsum("irkc,rc->ikc", T_v, W_vv)
+                featsB = jnp.concatenate(
+                    [x[:, k:k + 1] * phi_vs for k in range(3)]
+                    + [phi_vs], -1)
+                Q = jnp.einsum("ijr,jm->irm", Ad, featsB)
+                Q1 = Q[..., : 3 * C].reshape(P, -1, 3, C)
+                Q2 = Q[..., 3 * C:]
+                dv2 = jnp.einsum("irc,rc->ic", Q2, W_vs)[:, None, :] \
+                    * x[:, :, None] \
+                    - jnp.einsum("irkc,rc->ikc", Q1, W_vs)
+                s = s + ds * atom_mask[:, None]
+                v = v + (dv + dv2) * atom_mask[:, None, None]
+                s, v = _update_block(lp, s, v, atom_mask)
+            return _readout(params, s, z, atom_mask, coords_ang.dtype)
+
+        e_ref, f_ref = jax.value_and_grad(energy_two_einsum)(coords)
+        e_new, f_new = jax.value_and_grad(
+            lambda c: energy_fn_dense(c, sys_, params, cfg))(coords)
+        assert abs(float(e_ref) - float(e_new)) < 1e-10
+        np.testing.assert_allclose(np.asarray(f_new), np.asarray(f_ref),
+                                   atol=1e-10)
+    finally:
+        jax.config.update("jax_enable_x64", False)
