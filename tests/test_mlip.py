@@ -114,6 +114,7 @@ def test_dense_fused_jr_contraction_matches_two_einsum_form():
                                              energy_fn_dense)
     from pdb2reaction_tpu.mlip.radial import bessel_basis, cosine_envelope
 
+    prev_x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     try:
         cfg = dataclasses.replace(CONFIGS["small"], dtype=jnp.float64)
@@ -179,4 +180,4 @@ def test_dense_fused_jr_contraction_matches_two_einsum_form():
         np.testing.assert_allclose(np.asarray(f_new), np.asarray(f_ref),
                                    atol=1e-10)
     finally:
-        jax.config.update("jax_enable_x64", False)
+        jax.config.update("jax_enable_x64", prev_x64)
