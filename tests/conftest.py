@@ -59,6 +59,7 @@ _SLOW_TESTS = {
     # test_escn.py — eSCN backbone + Pallas kernel parity sweeps
     "test_edge_kernel_parity_md_shape",
     "test_mega_kernel_multi_fwd_tile",
+    "test_mega_kernel_vmap_batch_parity",
     "test_edge_kernel_pallas_parity",
     "test_premerge_exact",
     "test_escn_symmetries",

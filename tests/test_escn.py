@@ -367,3 +367,31 @@ def test_mega_tile_caps_scale_with_config():
     assert _mega_cap(uma, "FWD", 32) <= 8     # h=256, K=64: 4x footprint
     assert _mega_cap(uma, "BWD", 8) <= 2
     assert _mega_cap(test, "FWD", 32) == 32   # tiny: never above default
+
+
+def test_mega_kernel_vmap_batch_parity():
+    """jax.vmap of value_and_grad THROUGH the pallas-mega custom_vjp (the
+    chunked image-batch path, calculator.py lax.map(batch_size=chunk>1)):
+    the batching rule adds a leading grid dimension to both Pallas calls
+    with per-image blocks, so every image must reproduce the sequential
+    per-image result exactly — energies AND forces."""
+    import dataclasses
+    rng = np.random.default_rng(5)
+    n = 20
+    zs = rng.choice([1, 6, 8], size=n).astype(np.int32)
+    pts = np.stack(np.meshgrid(*[np.arange(3)] * 3), -1).reshape(-1, 3)
+    st = Structure(zs, pts[:n] * 1.7 + rng.normal(scale=0.1, size=(n, 3)))
+    sysp = pad_to(st, n_pad=32)
+    cfg = dataclasses.replace(ESCN_CONFIGS["escn-test"],
+                              edge_kernel="pallas-mega")
+    fn, p, _ = make_escn_model(cfg, seed=2)
+    c0 = jnp.asarray(sysp.coords, jnp.float32)
+    B = 3
+    cb = jnp.stack([c0 + 0.02 * jnp.asarray(
+        rng.normal(size=c0.shape), jnp.float32) for _ in range(B)])
+    vg = jax.value_and_grad(lambda cc: fn(cc, sysp, p))
+    e_seq, g_seq = zip(*[vg(cb[i]) for i in range(B)])
+    e_v, g_v = jax.jit(jax.vmap(vg))(cb)
+    for i in range(B):
+        assert abs(float(e_v[i]) - float(e_seq[i])) < 1e-6
+        assert np.abs(np.asarray(g_v[i]) - np.asarray(g_seq[i])).max() < 1e-6
