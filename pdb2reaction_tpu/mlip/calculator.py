@@ -49,7 +49,14 @@ CALC_KW: Dict[str, Any] = {
     "max_neigh": None,              # override neighbor cap
     "radius": None,                 # override cutoff (Angstrom)
     "freeze_atoms": [],
-    "hessian_calc_mode": "Analytical",   # TPU default: analytic is cheap here
+    "hessian_calc_mode": "auto",    # Analytical for dense backbones (exact,
+    #   batched HVPs, sharded over the mesh); FiniteDifference for
+    #   Pallas-kernel eSCN (custom_vjp has no forward mode, so analytic
+    #   HVPs route through the all-XLA variant — measured v5e 2026-08-19
+    #   at 300 atoms: the 904-tangent HVP program crashes the TPU worker
+    #   (per-edge grid tensors of the fwd-over-rev XLA chain exhaust
+    #   HBM), while batched FD through the mega kernel takes 34.8 s warm.
+    #   FD is also the reference's own default (uma_pysis.py:160).
     "hessian_double": True,
     "return_partial_hessian": False,
     "fd_step": 1.0e-3,              # Angstrom, FD displacement (reference eps)
@@ -253,6 +260,7 @@ class Calculator:
         mesh=None,
         weights_source: str = "analytic",
         energy_fn_hessian: Callable = None,
+        batch_chunk: int = None,
     ):
         if freeze_atoms is not None:
             structure = structure.copy()
@@ -266,6 +274,8 @@ class Calculator:
             _normalize_energy_fn(energy_fn_hessian)
             if energy_fn_hessian is not None else None)
         self.params = params
+        if hessian_calc_mode == "auto":
+            hessian_calc_mode = "Analytical"   # dense paths: HVPs are cheap
         self.hessian_calc_mode = hessian_calc_mode or "FiniteDifference"
         self.return_partial_hessian = return_partial_hessian
         self.hessian_double = hessian_double
@@ -276,11 +286,19 @@ class Calculator:
         self.weights_source = str(weights_source)
         self.force_calls = 0          # bench contract: count every force eval
         self.energy_calls = 0
+        # lax.map vectorization width for the batched kernels (image
+        # batches, FD displacements, HVP tangents). None -> env override
+        # or 1. The right value is backbone-dependent: dense surrogates
+        # OOM/lose under vmap (see _get_kernels note), Pallas-kernel eSCN
+        # never materializes per-edge tensors so moderate chunks batch
+        # the XLA remainder for free (make_uma_calculator sets it).
+        self.batch_chunk = batch_chunk
         self._build()
 
     # -- compiled kernels ---------------------------------------------------
     def _build(self):
-        chunk = int(os.environ.get("PDB2R_TPU_BATCH_CHUNK", "1"))
+        chunk = (int(self.batch_chunk) if self.batch_chunk
+                 else int(os.environ.get("PDB2R_TPU_BATCH_CHUNK", "1")))
         k = _get_kernels(self.energy_fn, chunk, self.mesh,
                          efn_h=self.energy_fn_hessian)
         self._energy_j = k["energy"]

@@ -127,13 +127,14 @@ def make_uma_calculator(
     checkpoint: Optional[str] = None,
     seed: int = 0,
     mesh=None,
-    hessian_calc_mode: str = "Analytical",
+    hessian_calc_mode: str = "auto",
     return_partial_hessian: bool = False,
     hessian_double: bool = True,
     fd_step: float = 1.0e-3,
     max_neigh: Optional[int] = None,
     radius: Optional[float] = None,
     spatial: Optional[int] = None,
+    batch_chunk: Optional[int] = None,
     **_ignored,
 ) -> Calculator:
     """``spatial > 1`` shards the ATOM axis of the forward pass over that
@@ -214,6 +215,15 @@ def make_uma_calculator(
             fn_h = ESCN_FN_FOR(dataclasses.replace(
                 ecfg, edge_kernel="xla", ffn_kernel="xla"))
             fn = ESCN_FN_FOR(ecfg)
+            if hessian_calc_mode == "auto":
+                # measured v5e 2026-08-19, 300 atoms: batched-FD through
+                # the mega kernel = 34.8 s warm; the analytic route (904
+                # HVP tangents through the fwd-over-rev XLA variant)
+                # crashes the TPU worker (HBM exhaustion). FD is also the
+                # reference's own default (uma_pysis.py:160, eps=1e-3 A).
+                hessian_calc_mode = "FiniteDifference"
+        if hessian_calc_mode == "auto":
+            hessian_calc_mode = "Analytical"
         pad_multiple = 8
         if spatial > 1:
             fn, mesh, pad_multiple = _spatialize(ecfg, mesh, spatial)
@@ -238,6 +248,7 @@ def make_uma_calculator(
             mesh=mesh,
             weights_source=weights_source,
             energy_fn_hessian=fn_h,
+            batch_chunk=batch_chunk,
         )
 
     cfg = CONFIGS[model]
@@ -286,4 +297,5 @@ def make_uma_calculator(
         pad_multiple=pad_multiple,
         mesh=mesh,
         weights_source=weights_source,
+        batch_chunk=batch_chunk,
     )

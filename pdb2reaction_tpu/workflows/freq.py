@@ -31,7 +31,7 @@ def run_freq(
     auto_freeze_links: bool = True,
     calc_mode: str = "uma",
     model: str = "uma-s-1p1",
-    hessian_calc_mode: str = "Analytical",
+    hessian_calc_mode: str = "auto",
     temperature: float = 298.15,
     pressure: float = 101325.0,
     max_write_modes: int = 10,

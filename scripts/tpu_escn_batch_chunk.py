@@ -7,6 +7,16 @@ staging stays per-image) and the XLA remainder (node FFN, geometry chain,
 norms) batches into wider matmuls. chunk=1 is the current calculator
 default (measured for the surrogate in r2; never measured for eSCN).
 
+RECORDED NEGATIVE (v5e relay, 2026-08-19): the chunk=12 program's
+remote compile ran >25 min without finishing (same class as the 35-min
+batched-string while_loop compile — vmapping the mega kernel's Pallas
+custom calls explodes Mosaic compile time), while the available win is
+bounded by the XLA remainder only (~2 ms of the 18.4 ms call: the 12
+images already share ONE program dispatch via lax.map, and the kernels
+themselves are per-image either way). chunk=1 stays the eSCN default;
+the vmap path remains supported + parity-tested for small configs
+(tests/test_escn.py::test_mega_kernel_vmap_batch_parity).
+
 Usage: PDB2R_ESCN_CHUNKS=1,4,12 python scripts/tpu_escn_batch_chunk.py
 """
 import dataclasses

@@ -16,7 +16,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 
-def _run_bench(env_extra, timeout=240):
+def _run_bench(env_extra, timeout=540):
+    # generous timeout: each probe subprocess pays a full python+jax
+    # import (~20 s cold on this 1-CPU host, minutes when a concurrent
+    # compile is hogging the core) — 240 s flaked under load
     env = dict(os.environ, **env_extra)
     r = subprocess.run([sys.executable, str(REPO / "bench.py")],
                        capture_output=True, text=True, cwd=str(REPO),
@@ -29,7 +32,7 @@ def test_bench_backend_down_emits_valid_json():
     line, structured outage marker, no traceback on stdout."""
     r = _run_bench({
         "JAX_PLATFORMS": "bogus_backend_for_outage_test",
-        "PDB2R_BENCH_PROBE_TIMEOUT": "60",
+        "PDB2R_BENCH_PROBE_TIMEOUT": "120",
         "PDB2R_BENCH_PROBE_RETRIES": "2",
         "PDB2R_BENCH_PROBE_BACKOFF": "0.1",
     })

@@ -94,3 +94,22 @@ def test_checkpoint_provenance_no_warning(water, tmp_path, capsys):
     err = capsys.readouterr().err
     assert "SURROGATE" not in err
     assert calc2.weights_source == f"checkpoint:{ckpt}"
+
+
+def test_hessian_mode_auto_resolution(water):
+    """"auto" resolves per backbone: FiniteDifference for Pallas-kernel
+    eSCN (analytic HVPs would route through the fwd-over-rev XLA variant,
+    which exhausts HBM at production scale — measured v5e; FD is also the
+    reference default, uma_pysis.py:160), Analytical for dense backbones.
+    An explicit mode is always honored."""
+    c_escn = make_uma_calculator(water, model="escn-test",
+                                 edge_kernel="pallas-mega")
+    assert c_escn.hessian_calc_mode == "FiniteDifference"
+    c_escn_xla = make_uma_calculator(water, model="escn-test")
+    assert c_escn_xla.hessian_calc_mode == "Analytical"
+    c_dense = make_uma_calculator(water, model="small")
+    assert c_dense.hessian_calc_mode == "Analytical"
+    c_expl = make_uma_calculator(water, model="escn-test",
+                                 edge_kernel="pallas-mega",
+                                 hessian_calc_mode="Analytical")
+    assert c_expl.hessian_calc_mode == "Analytical"
