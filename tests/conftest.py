@@ -69,8 +69,6 @@ _SLOW_TESTS = {
     "test_energy_force_parity",
     "test_pt_checkpoint_through_calculator",
     "test_energy_forces_vs_independent_golden",
-    # test_bench_resilience.py — spawns a wedged-backend subprocess
-    "test_bench_backend_down_emits_valid_json",
     # test_pallas_ops.py
     "test_pallas_mode_matches_dense_mode",
     # test_all_pipeline.py / test_cli.py end-to-end drives

@@ -27,11 +27,25 @@ def _run_bench(env_extra, timeout=540):
     return r
 
 
-def test_bench_backend_down_emits_valid_json():
-    """Simulated backend-down run (bogus JAX platform): rc 0, one JSON
-    line, structured outage marker, no traceback on stdout."""
+def test_bench_backend_down_emits_valid_json(tmp_path):
+    """Simulated backend-down run: rc 0, one JSON line, structured outage
+    marker, no traceback on stdout.
+
+    Simulation: a poisoned ``jax`` module on PYTHONPATH whose import
+    raises the exact error the real outage raised (BENCH_r03). A bogus
+    ``JAX_PLATFORMS`` no longer works — the axon plugin registers and
+    serves devices regardless of that variable (observed 2026-08-20:
+    JAX_PLATFORMS=bogus still yields the real TPU), which silently turned
+    this test into a full bench run that timed out. The shim keeps the
+    REAL probe/retry/emit path under test: the probe subprocess imports
+    jax, hits the RuntimeError, and bench must emit the outage payload."""
+    shim = tmp_path / "shim"
+    shim.mkdir()
+    (shim / "jax.py").write_text(
+        "raise RuntimeError(\"Unable to initialize backend 'axon': "
+        "relay down (simulated outage)\")\n")
     r = _run_bench({
-        "JAX_PLATFORMS": "bogus_backend_for_outage_test",
+        "PYTHONPATH": str(shim),
         "PDB2R_BENCH_PROBE_TIMEOUT": "120",
         "PDB2R_BENCH_PROBE_RETRIES": "2",
         "PDB2R_BENCH_PROBE_BACKOFF": "0.1",
