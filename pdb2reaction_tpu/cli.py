@@ -653,6 +653,21 @@ def align_cmd(inputs, out_dir, freeze_atoms, relax, charge, spin,
 @click.option("-c", "--center", default=None,
               help="Substrate spec for pocket extraction (PDB inputs).")
 @click.option("--ligand-charge", default=None)
+# stage-1 extraction passthroughs (reference all.py:1870-1915)
+@click.option("-r", "--radius", type=float, default=2.6,
+              help="Extraction inclusion cutoff [Ang] around the substrate.")
+@click.option("--radius-het2het", type=float, default=0.0,
+              help="Independent hetero-hetero cutoff [Ang] for non-C/H.")
+@click.option("--include-H2O", "--include-h2o", "include_h2o", type=BOOL,
+              default="True", callback=_bool_cb,
+              help="Include waters (HOH/WAT/TIP3/SOL) in the pocket.")
+@click.option("--exclude-backbone", type=BOOL, default="True",
+              callback=_bool_cb)
+@click.option("--add-linkH", "--add-linkh", "add_link_h", type=BOOL,
+              default="True", callback=_bool_cb,
+              help="Add link hydrogens for severed bonds in pockets.")
+@click.option("--selected_resn", "--selected-resn", "selected_resn",
+              default="", help="Force-include residue IDs (comma sep).")
 @click.option("--scan-lists", "scan_lists", multiple=True,
               help="Stage spec 'i,j,target[;k,l,target]' (repeatable).")
 @click.option("--mep-mode", default="gsm", type=click.Choice(["gsm", "dmf"]))
@@ -689,11 +704,41 @@ def align_cmd(inputs, out_dir, freeze_atoms, relax, charge, spin,
 @click.option("--scan-relax-max-cycles", type=int, default=500)
 @click.option("--freq-temperature", type=float, default=298.15)
 @click.option("--freq-pressure", type=float, default=101325.0)
+# per-stage freq overrides (reference all.py freq passthroughs; None =
+# keep the freq subcommand defaults)
+@click.option("--freq-max-write", type=int, default=None,
+              help="Override freq --max-write for stage-4/TSOPT-only freq.")
+@click.option("--freq-amplitude-ang", type=float, default=None,
+              help="Override freq --amplitude-ang [Ang].")
+@click.option("--freq-n-frames", type=int, default=None,
+              help="Override freq --n-frames.")
+@click.option("--freq-sort", type=click.Choice(["value", "abs"],
+                                               case_sensitive=False),
+              default=None, help="Override freq mode sorting.")
 @click.option("--dft-func-basis", default=None,
               help="'FUNC/BASIS' for stage-4 DFT single points.")
 @click.option("--dft-max-cycle", type=int, default=100)
 @click.option("--dft-conv-tol", type=float, default=1e-9)
 @click.option("--dft-grid-level", type=int, default=3)
+@click.option("--dft-engine", type=click.Choice(["gpu", "cpu", "auto"],
+                                                case_sensitive=False),
+              default="gpu",
+              help="SCF engine policy (the gpu->cpu fallback collapses "
+                   "to the CPU PySCF seam on this host).")
+# per-stage output-directory overrides (reference all.py:2457,2800-2801;
+# relative paths resolve against the default location's parent)
+@click.option("--scan-out-dir", type=click.Path(path_type=Path,
+                                                file_okay=False),
+              default=None)
+@click.option("--tsopt-out-dir", type=click.Path(path_type=Path,
+                                                 file_okay=False),
+              default=None)
+@click.option("--freq-out-dir", type=click.Path(path_type=Path,
+                                                file_okay=False),
+              default=None)
+@click.option("--dft-out-dir", type=click.Path(path_type=Path,
+                                               file_okay=False),
+              default=None)
 @common_options
 def all_cmd(input_paths, center, ligand_charge, scan_lists, mep_mode,
             refine_path, do_tsopt, do_irc, do_freq, do_dft, max_nodes,
@@ -701,21 +746,41 @@ def all_cmd(input_paths, center, ligand_charge, scan_lists, mep_mode,
             thresh_post, tsopt_max_cycles, flatten_imag_mode, scan_bias_k,
             scan_preopt, scan_endopt, scan_max_step_size,
             scan_relax_max_cycles, freq_temperature, freq_pressure,
+            freq_max_write, freq_amplitude_ang, freq_n_frames, freq_sort,
             dft_func_basis, dft_max_cycle, dft_conv_tol, dft_grid_level,
+            dft_engine, radius, radius_het2het, include_h2o,
+            exclude_backbone, add_link_h, selected_resn,
+            scan_out_dir, tsopt_out_dir, freq_out_dir, dft_out_dir,
             **kw):
     from .workflows.allflow import run_all
     scan_ob = one_based if scan_one_based is None else scan_one_based
     dft_kw: Dict[str, Any] = dict(max_cycle=dft_max_cycle,
                                   conv_tol=dft_conv_tol,
-                                  grid_level=dft_grid_level)
+                                  grid_level=dft_grid_level,
+                                  engine=normalize_choice(dft_engine))
     if dft_func_basis:
         dft_kw["func"], dft_kw["basis"] = _split_func_basis(dft_func_basis)
+    freq_kw: Dict[str, Any] = dict(temperature=freq_temperature,
+                                   pressure=freq_pressure)
+    for key, val in (("max_write_modes", freq_max_write),
+                     ("amplitude_ang", freq_amplitude_ang),
+                     ("n_frames", freq_n_frames),
+                     ("sort_modes", normalize_choice(freq_sort)
+                      if freq_sort else None)):
+        if val is not None:
+            freq_kw[key] = val
     cfg: Dict[str, Any] = dict(
         center=center, ligand_charge=ligand_charge,
         scan_stages=_parse_scan_stages(scan_lists, scan_ob) or None,
         mep_mode=mep_mode, refine_path=refine_path, tsopt=do_tsopt,
         do_irc=do_irc, do_freq=do_freq, do_dft=do_dft,
         full_template=ref_full_pdb,
+        extract_kw=dict(
+            radius=radius, radius_het2het=radius_het2het,
+            include_h2o=include_h2o, exclude_backbone=exclude_backbone,
+            add_link_h=add_link_h,
+            selected_resn=[t for t in selected_resn.split(",")
+                           if t.strip()] or None),
         gs_kw={"max_nodes": max_nodes, "climb": climb},
         scan_kw=dict(bias_k=scan_bias_k, preopt=scan_preopt,
                      endopt=scan_endopt, step_ang=scan_max_step_size,
@@ -724,9 +789,10 @@ def all_cmd(input_paths, center, ligand_charge, scan_lists, mep_mode,
                          thresh=thresh_post),
         tsopt_kw=dict(max_cycles_total=tsopt_max_cycles,
                       flatten_max_iter=10 if flatten_imag_mode else 0),
-        freq_kw=dict(temperature=freq_temperature,
-                     pressure=freq_pressure),
-        dft_kw=dft_kw)
+        freq_kw=freq_kw,
+        dft_kw=dft_kw,
+        scan_out_dir=scan_out_dir, tsopt_out_dir=tsopt_out_dir,
+        freq_out_dir=freq_out_dir, dft_out_dir=dft_out_dir)
     yaml_overrides(kw.pop("args_yaml"), cfg, [("all",), ("search",)])
     run_all(list(input_paths), charge=kw["charge"], spin=kw["spin"],
             calc_mode=kw["calc_mode"], model=kw["model"],

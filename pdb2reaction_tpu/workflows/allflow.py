@@ -37,6 +37,17 @@ from .summary import (write_summary_log, write_summary_yaml,
                       build_energy_diagram)
 
 
+def _resolve_override_dir(default: Path, override) -> Path:
+    """Per-stage output override (all.py:421-427): absolute overrides are
+    taken as-is; relative ones resolve against the default's parent."""
+    if override is None:
+        return default
+    override = Path(override)
+    if override.is_absolute():
+        return override
+    return default.parent / override
+
+
 def round_charge(value: float, verbose=True) -> int:
     """Round the extraction pocket charge to the nearest integer workflow
     charge with a note (all.py:699)."""
@@ -77,6 +88,10 @@ def run_all(
     irc_kw: Optional[Dict[str, Any]] = None,
     freq_kw: Optional[Dict[str, Any]] = None,
     dft_kw: Optional[Dict[str, Any]] = None,
+    scan_out_dir=None,           # per-stage output overrides
+    tsopt_out_dir=None,          # (reference all.py:2457,2800-2801;
+    freq_out_dir=None,           # relative paths resolve against the
+    dft_out_dir=None,            # default location's parent)
     **calc_kw,
 ) -> Dict[str, Any]:
     t0 = time.time()
@@ -148,15 +163,17 @@ def run_all(
                                                   pocket_atoms)) + (t,)
                     for (i, j, t) in stage])
             scan_stages = remapped
+        scan_dir = _resolve_override_dir(out / "stage1b_scan",
+                                         scan_out_dir)
         scan_res = run_scan(work_inputs[0], scan_stages, charge=charge,
                             spin=spin, calc_mode=calc_mode, model=model,
                             freeze_atoms=freeze_atoms,
                             auto_freeze_links=auto_freeze_links,
-                            out_dir=out / "stage1b_scan", mesh=mesh,
+                            out_dir=scan_dir, mesh=mesh,
                             verbose=verbose,
                             **{"endopt": True, **scan_kw, **calc_kw})
         # endpoints: input structure + scan product
-        prod = out / "stage1b_scan" / "scan_product.xyz"
+        prod = scan_dir / "scan_product.xyz"
         st = scan_res["structure"]
         io_xyz.write_xyz(prod, st.copy(
             coords=scan_res["coords_bohr"] * BOHR2ANG))
@@ -168,7 +185,7 @@ def run_all(
         from .tsopt import run_tsopt
         from .irc import run_irc as _run_irc
         from .freq import run_freq as _run_freq
-        ts_out = out / "tsopt"
+        ts_out = _resolve_override_dir(out / "tsopt", tsopt_out_dir)
         res_ts = run_tsopt(work_inputs[0], charge=charge, spin=spin,
                            freeze_atoms=freeze_atoms,
                            auto_freeze_links=auto_freeze_links,
@@ -183,8 +200,10 @@ def run_all(
             _run_freq(ts_geom, charge=charge, spin=spin,
                       freeze_atoms=freeze_atoms,
                       auto_freeze_links=False, calc_mode=calc_mode,
-                      model=model, out_dir=out / "freq", mesh=mesh,
-                      verbose=verbose, **freq_kw)
+                      model=model,
+                      out_dir=_resolve_override_dir(out / "freq",
+                                                    freq_out_dir),
+                      mesh=mesh, verbose=verbose, **freq_kw)
         if do_irc and ts_geom.exists():
             _run_irc(ts_geom, charge=charge, spin=spin,
                      freeze_atoms=freeze_atoms, auto_freeze_links=False,
@@ -355,13 +374,18 @@ def run_all(
         if do_dft:
             from .dft import run_dft
             try:
+                # per-segment DFT root override (all.py:4140): with no
+                # override this keeps the seg_out/dft_{tag} layout
+                dft_base = _resolve_override_dir(seg_out / "dft",
+                                                 dft_out_dir)
                 for tag, coords, e in minima + [("ts", ts_x, ts_e)]:
                     p = seg_out / f"{tag}_dft.xyz"
                     io_xyz.write_xyz(p, pocket_struct.copy(
                         coords=np.asarray(coords) * BOHR2ANG))
                     entry.setdefault("dft", {})[tag] = run_dft(
                         p, charge=charge, spin=spin,
-                        out_dir=seg_out / f"dft_{tag}",
+                        out_dir=dft_base.parent
+                        / f"{dft_base.name}_{tag}",
                         **dft_kw)["energy_au"]
             except ImportError as e:
                 entry["dft"] = {"skipped": str(e)}

@@ -238,3 +238,54 @@ def test_cli_args_yaml_engine_routing(runner, endpoints, tmp_path):
     assert res.exit_code == 0, res.output
     assert "thresh: gau_tight" in res.output   # config echo proves routing
     assert "keep_last" not in res.output or True
+
+
+def test_cli_all_passthrough_options(runner, endpoints, tmp_path,
+                                     monkeypatch):
+    """The `all` command forwards extraction knobs, per-stage out-dir
+    overrides, freq animation overrides, and --dft-engine into run_all
+    (reference all.py:1870-1915, 2457, 2800-2801)."""
+    captured = {}
+
+    def fake_run_all(paths, **kw):
+        captured.update(kw)
+        return {"out_dir": tmp_path}
+
+    import pdb2reaction_tpu.workflows.allflow as allflow
+    monkeypatch.setattr(allflow, "run_all", fake_run_all)
+    a, b = endpoints
+    res = runner.invoke(cli, [
+        "all", "-i", str(a), "-i", str(b),
+        "--radius", "3.1", "--radius-het2het", "1.5",
+        "--include-H2O", "False", "--exclude-backbone", "False",
+        "--add-linkH", "False", "--selected_resn", "GLU12,HIS40",
+        "--scan-out-dir", "myscan", "--tsopt-out-dir", "/abs/ts",
+        "--freq-out-dir", "fq", "--dft-out-dir", "dft2",
+        "--freq-max-write", "4", "--freq-amplitude-ang", "0.5",
+        "--freq-n-frames", "8", "--freq-sort", "abs",
+        "--dft-engine", "cpu"] + COMMON)
+    assert res.exit_code == 0, res.output
+    ek = captured["extract_kw"]
+    assert ek["radius"] == 3.1 and ek["radius_het2het"] == 1.5
+    assert ek["include_h2o"] is False
+    assert ek["exclude_backbone"] is False
+    assert ek["add_link_h"] is False
+    assert ek["selected_resn"] == ["GLU12", "HIS40"]
+    assert str(captured["scan_out_dir"]) == "myscan"
+    assert str(captured["tsopt_out_dir"]) == "/abs/ts"
+    fk = captured["freq_kw"]
+    assert fk["max_write_modes"] == 4
+    assert fk["amplitude_ang"] == 0.5
+    assert fk["n_frames"] == 8 and fk["sort_modes"] == "abs"
+    assert captured["dft_kw"]["engine"] == "cpu"
+
+
+def test_resolve_override_dir_semantics(tmp_path):
+    """Relative overrides resolve against the default's parent; absolute
+    overrides win outright (reference all.py:421-427)."""
+    from pdb2reaction_tpu.workflows.allflow import _resolve_override_dir
+    default = tmp_path / "result_all" / "freq"
+    assert _resolve_override_dir(default, None) == default
+    assert (_resolve_override_dir(default, "fq2")
+            == tmp_path / "result_all" / "fq2")
+    assert _resolve_override_dir(default, "/abs/x") == Path("/abs/x")
