@@ -346,6 +346,12 @@ def run_all(
             from ..engines.vib import frequencies_and_modes
             from ..engines.thermo import thermochemistry
             try:
+                from .freq import write_vib_outputs
+                # per-state freq output trees like the reference's
+                # stage-4 freq CLI runs (all.py:1297-1374,4139), under
+                # the (overridable) per-segment freq root
+                freq_base = _resolve_override_dir(seg_out / "freq",
+                                                  freq_out_dir)
                 gibbs = {}
                 for tag, coords, e in (minima
                                        + [("ts", ts_x, ts_e)]):
@@ -360,6 +366,16 @@ def run_all(
                         electronic_energy=float(e), multiplicity=spin,
                         T=freq_kw.get("temperature", 298.15),
                         pressure=freq_kw.get("pressure", 101325.0))
+                    write_vib_outputs(
+                        freq_base / tag,
+                        pocket_struct.copy(
+                            coords=np.asarray(coords) * BOHR2ANG),
+                        vib, th,
+                        max_write_modes=freq_kw.get("max_write_modes",
+                                                    10),
+                        amplitude_ang=freq_kw.get("amplitude_ang", 0.3),
+                        n_frames=freq_kw.get("n_frames", 20),
+                        sort_modes=freq_kw.get("sort_modes", "value"))
                     gibbs[tag] = {"G_au": float(th.gibbs),
                                   "ZPE_au": float(th.zpe),
                                   "n_imag": int(th.n_imag)}

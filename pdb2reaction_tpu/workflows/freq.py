@@ -22,6 +22,39 @@ from . import common
 from .config import format_elapsed
 
 
+def write_vib_outputs(out_dir, struct, vib, th, *, max_write_modes=10,
+                      amplitude_ang=0.3, n_frames=20,
+                      sort_modes="value"):
+    """Write the freq output tree — frequencies_cm-1.txt, mode animation
+    .trj files, thermoanalysis.yaml — shared by the freq driver and
+    stage 4 of ``all`` (the reference runs the freq CLI per stationary
+    point, all.py:1297-1374, so every state gets this tree).
+
+    ``struct.coords`` must be in Angstrom. Returns the written paths,
+    frequencies file first."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    freq_txt = out / "frequencies_cm-1.txt"
+    freq_txt.write_text("\n".join(f"{f:12.4f}" for f in vib.freqs_cm)
+                        + "\n")
+
+    # mode animations for the lowest n modes (freq.py:742-757); --sort abs
+    # orders by |frequency| instead of signed value
+    order = np.argsort(np.abs(vib.freqs_cm) if sort_modes == "abs"
+                       else vib.freqs_cm)
+    wrote = []
+    for rank, k in enumerate(order[:max_write_modes]):
+        frames = mode_animation_frames(struct.coords, vib.modes_cart[k],
+                                       amplitude_ang, n_frames)
+        trj = out / f"mode_{rank:03d}_{vib.freqs_cm[k]:.1f}cm-1.trj"
+        io_xyz.write_trj(trj, [struct.copy(coords=f) for f in frames])
+        wrote.append(trj)
+
+    (out / "thermoanalysis.yaml").write_text(
+        yaml.safe_dump(th.as_dict(), sort_keys=False))
+    return [freq_txt] + wrote
+
+
 def run_freq(
     input_path,
     *,
@@ -69,28 +102,15 @@ def run_freq(
     vib = frequencies_and_modes(H, struct.numbers, struct.coords_bohr,
                                 freeze_idx=freeze)
 
-    out = Path(out_dir)
-    out.mkdir(parents=True, exist_ok=True)
-    freq_txt = out / "frequencies_cm-1.txt"
-    freq_txt.write_text("\n".join(f"{f:12.4f}" for f in vib.freqs_cm) + "\n")
-
-    # mode animations for the lowest n modes (freq.py:742-757); --sort abs
-    # orders by |frequency| instead of signed value
-    order = np.argsort(np.abs(vib.freqs_cm) if sort_modes == "abs"
-                       else vib.freqs_cm)
-    wrote = []
-    for rank, k in enumerate(order[:max_write_modes]):
-        frames = mode_animation_frames(struct.coords, vib.modes_cart[k],
-                                       amplitude_ang, n_frames)
-        trj = out / f"mode_{rank:03d}_{vib.freqs_cm[k]:.1f}cm-1.trj"
-        io_xyz.write_trj(trj, [struct.copy(coords=f) for f in frames])
-        wrote.append(trj)
-
     th = thermochemistry(vib.freqs_cm, struct.numbers, struct.coords,
                          electronic_energy=e0, T=temperature,
                          pressure=pressure, multiplicity=s)
-    (out / "thermoanalysis.yaml").write_text(
-        yaml.safe_dump(th.as_dict(), sort_keys=False))
+    outputs = write_vib_outputs(out_dir, struct, vib, th,
+                                max_write_modes=max_write_modes,
+                                amplitude_ang=amplitude_ang,
+                                n_frames=n_frames, sort_modes=sort_modes)
+    out = Path(out_dir)
+    freq_txt, wrote = outputs[0], outputs[1:]
 
     if verbose:
         n_imag = int((vib.freqs_cm < 0).sum())

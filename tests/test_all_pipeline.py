@@ -120,6 +120,10 @@ def test_all_pdb_full_output_tree(tmp_path):
         assert (d / "product_opt.xyz").exists()
         assert (d / "energy_diagram.png").exists()
         assert (d / "irc_plot.png").exists()
+        # per-state freq trees (reference all.py:1297-1374,4139)
+        for tag in ("reactant", "ts", "product"):
+            assert (d / "freq" / tag / "thermoanalysis.yaml").exists()
+            assert (d / "freq" / tag / "frequencies_cm-1.txt").exists()
     # aggregated diagrams + merged IRC plot
     assert (out / "energy_diagram_all.png").exists()
     assert (out / "energy_diagram_refined_all.png").exists()
