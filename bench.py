@@ -288,17 +288,22 @@ def _run_sections(payload, extras):
     except Exception as e:                      # pragma: no cover
         extras["escn_gsm"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # ---- (4b) cross-process cold start (persistent compile cache) --------
+    # Deliberately BEFORE the Hessian section: when that section's budget
+    # expires, its abandoned remote compile keeps running on the relay's
+    # compiler and starves any later fresh-cache compile (observed
+    # 2026-08-20: cold_start timed out only when sequenced after a
+    # hessian cache miss; the warm-cache GSM sections were unaffected).
+    try:
+        extras["cold_start"] = _cold_start_section()
+    except Exception as e:                      # pragma: no cover
+        extras["cold_start"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # ---- (4d) stage-4 cost unit: full eSCN Hessian at 300 atoms ----------
     try:
         extras["escn_hessian"] = _escn_hessian_section()
     except Exception as e:                      # pragma: no cover
         extras["escn_hessian"] = {"error": f"{type(e).__name__}: {e}"[:300]}
-
-    # ---- (4b) cross-process cold start (persistent compile cache) --------
-    try:
-        extras["cold_start"] = _cold_start_section()
-    except Exception as e:                      # pragma: no cover
-        extras["cold_start"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     # ---- (5) GSM MEP wall-clocks -----------------------------------------
     try:
@@ -570,6 +575,8 @@ def _cold_start_section():
     import sys as _sys
     import tempfile
 
+    budget = int(os.environ.get("PDB2R_BENCH_COLD_TIMEOUT", "600"))
+
     code = r'''
 import os, time, json
 import pdb2reaction_tpu.workflows.common   # installs the compile cache
@@ -592,13 +599,18 @@ print(json.dumps({"first_call_s": time.perf_counter() - t0}))
     def run_one(env):
         r = subprocess.run([_sys.executable, "-c", code], env=env,
                            capture_output=True, text=True, cwd=here,
-                           timeout=600)
+                           timeout=budget)
         line = r.stdout.strip().splitlines()[-1]
         return json.loads(line)["first_call_s"]
 
     with tempfile.TemporaryDirectory() as td:
         env = dict(os.environ, PDB2R_TPU_CACHE=td)
-        t_first = run_one(env)
+        try:
+            t_first = run_one(env)
+        except subprocess.TimeoutExpired:
+            return {"skipped": f"first-process compile exceeded {budget}s "
+                               "(fresh-cache remote compile; raise "
+                               "PDB2R_BENCH_COLD_TIMEOUT to measure)"}
         # the second (cache-hit) process measures init + cache read +
         # dispatch — all relay-latency-exposed. One relay spike inverted
         # the pair in a captured run (88.8 s vs 21.7), so take the min
