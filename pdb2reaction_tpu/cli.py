@@ -347,15 +347,19 @@ def scan_cmd(input_path, scan_lists, step_ang, bias_k, preopt, endopt,
 @click.option("--fix-ends", type=BOOL, default="True", callback=_bool_cb,
               help="Keep endpoint images fixed during GSM "
                    "(reference fix_first/fix_last).")
+@click.option("--gsm-loop", default="auto",
+              type=click.Choice(["auto", "device", "host"]),
+              help="GSM loop driver: device while_loops, a host-driven\n                   macro-cycle loop (compiles only the batched force\n                   call — right for giant backbones), or auto (the\n                   calculator's preference).")
 @common_options
 def path_opt_cmd(input_paths, mep_mode, max_nodes, preopt,
-                 preopt_max_cycles, align, climb, fix_ends, **kw):
+                 preopt_max_cycles, align, climb, fix_ends, gsm_loop,
+                 **kw):
     from .workflows.path_opt import run_path_opt
     cfg: Dict[str, Any] = dict(
         mep_mode=mep_mode, preopt=preopt, align=align,
         preopt_max_cycles=preopt_max_cycles,
         gs_kw={"max_nodes": max_nodes, "climb": climb,
-               "fix_ends": fix_ends})
+               "fix_ends": fix_ends, "loop": gsm_loop})
     yaml_overrides(kw.pop("args_yaml"), cfg, [("gs",), ("sopt",), ("dmf",)])
     run_path_opt(list(input_paths), charge=kw["charge"], spin=kw["spin"],
                  freeze_atoms=parse_freeze(kw["freeze_atoms"]),
@@ -489,9 +493,13 @@ def irc_cmd(input_path, step_length, max_cycles, root, forward, backward,
                    "mirrors; repeat once per input (reaction order) for "
                    "per-pair template backgrounds "
                    "(reference path_search.py:2022).")
+@click.option("--gsm-loop", default="auto",
+              type=click.Choice(["auto", "device", "host"]),
+              help="GSM loop driver (see path-opt).")
 @common_options
 def path_search_cmd(input_paths, mep_mode, max_depth, refine_mode,
-                    kink_max_nodes, max_nodes, climb, ref_full_pdb, **kw):
+                    kink_max_nodes, max_nodes, climb, ref_full_pdb,
+                    gsm_loop, **kw):
     from .workflows.path_search import run_path_search
     if isinstance(ref_full_pdb, tuple):
         ref_full_pdb = (list(ref_full_pdb) if len(ref_full_pdb) > 1
@@ -499,7 +507,8 @@ def path_search_cmd(input_paths, mep_mode, max_depth, refine_mode,
     cfg: Dict[str, Any] = dict(
         mep_mode=mep_mode,
         full_template=ref_full_pdb,
-        gs_kw={"max_nodes": max_nodes, "climb": climb},
+        gs_kw={"max_nodes": max_nodes, "climb": climb,
+               "loop": gsm_loop},
         search_kw={"max_depth": max_depth, "refine_mode": refine_mode,
                    "kink_max_nodes": kink_max_nodes})
     yaml_overrides(kw.pop("args_yaml"), cfg, [("search",), ("gs",), ("bond",)])
@@ -682,6 +691,9 @@ def align_cmd(inputs, out_dir, freeze_atoms, relax, charge, spin,
               callback=_bool_cb)
 @click.option("--max-nodes", type=int, default=10)
 @click.option("--climb", type=BOOL, default="True", callback=_bool_cb)
+@click.option("--gsm-loop", default="auto",
+              type=click.Choice(["auto", "device", "host"]),
+              help="GSM loop driver (see path-opt).")
 @click.option("--one-based", type=BOOL, default="True", callback=_bool_cb,
               help="Interpret --scan-lists indices as 1-based.")
 @click.option("--scan-one-based", type=BOOL, default=None,
@@ -742,7 +754,7 @@ def align_cmd(inputs, out_dir, freeze_atoms, relax, charge, spin,
 @common_options
 def all_cmd(input_paths, center, ligand_charge, scan_lists, mep_mode,
             refine_path, do_tsopt, do_irc, do_freq, do_dft, max_nodes,
-            climb, one_based, scan_one_based, ref_full_pdb, opt_mode_post,
+            climb, gsm_loop, one_based, scan_one_based, ref_full_pdb, opt_mode_post,
             thresh_post, tsopt_max_cycles, flatten_imag_mode, scan_bias_k,
             scan_preopt, scan_endopt, scan_max_step_size,
             scan_relax_max_cycles, freq_temperature, freq_pressure,
@@ -781,7 +793,8 @@ def all_cmd(input_paths, center, ligand_charge, scan_lists, mep_mode,
             add_link_h=add_link_h,
             selected_resn=[t for t in selected_resn.split(",")
                            if t.strip()] or None),
-        gs_kw={"max_nodes": max_nodes, "climb": climb},
+        gs_kw={"max_nodes": max_nodes, "climb": climb,
+               "loop": gsm_loop},
         scan_kw=dict(bias_k=scan_bias_k, preopt=scan_preopt,
                      endopt=scan_endopt, step_ang=scan_max_step_size,
                      relax_max_cycles=scan_relax_max_cycles),

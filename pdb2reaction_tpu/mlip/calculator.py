@@ -286,6 +286,12 @@ class Calculator:
         self.weights_source = str(weights_source)
         self.force_calls = 0          # bench contract: count every force eval
         self.energy_calls = 0
+        # Preferred GSM loop driver for workflows' gs_kw loop="auto"
+        # (workflows/path_opt.py): device while_loops for dense
+        # backbones; eSCN calculators override to "host" because the
+        # batched-string while_loop program takes ~35 min of remote
+        # compile at 300 atoms (mlip/uma.py, engines/gsm.py).
+        self.gsm_loop_default = "device"
         # lax.map vectorization width for the batched kernels (image
         # batches, FD displacements, HVP tangents). None -> env override
         # or 1. The right value is backbone-dependent: dense surrogates

@@ -237,7 +237,7 @@ def make_uma_calculator(
             from .escn import premerge_escn_params
             params = premerge_escn_params(params, ecfg)
         _record_weights_source(weights_source)
-        return Calculator(
+        calc = Calculator(
             structure, fn, params=params,
             freeze_atoms=freeze_atoms,
             hessian_calc_mode=hessian_calc_mode,
@@ -250,6 +250,13 @@ def make_uma_calculator(
             energy_fn_hessian=fn_h,
             batch_chunk=batch_chunk,
         )
+        # eSCN-backbone GSM runs use the host loop driver by default:
+        # the compiled program is one batched force call + epilogue
+        # (seconds) instead of the whole-string while_loop (~35 min of
+        # remote compile at 300 atoms; bench.py's flagship MEP section
+        # measured 23.5 ms/force-call inside the host-loop MEP).
+        calc.gsm_loop_default = "host"
+        return calc
 
     cfg = CONFIGS[model]
     if max_neigh or radius:

@@ -41,6 +41,17 @@ def run_mep_between(
                        **(dmf_kw or {}))
     kw = {**GS_KW, **(gs_kw or {})}
     skw = {**STOPT_KW, **(stopt_kw or {})}
+    # GSM loop driver: "device" fuses growth/relaxation each into one
+    # lax.while_loop (one host sync per phase — right for small/medium
+    # programs); "host" drives the same jitted macro-cycle from Python,
+    # paying per-cycle syncs but compiling only the batched force call
+    # plus a tiny epilogue (the 300-atom eSCN batched-string while_loop
+    # otherwise takes ~35 min of remote compile; see engines/gsm.py).
+    # "auto" picks the calculator's preference (eSCN-backbone
+    # calculators set gsm_loop_default="host", mlip/uma.py).
+    loop = kw.get("loop", "auto")
+    if loop == "auto":
+        loop = getattr(calc, "gsm_loop_default", "device")
     eb = calc.au_energy_force_batch_fn()
 
     def cb(cyc, E, rms, grown, climb):
@@ -68,6 +79,7 @@ def run_mep_between(
         max_micro_cycles=kw.get("max_micro_cycles", 10),
         callback=cb if verbose else None,
         print_every=skw.get("print_every", 10),
+        loop=loop,
     )
     # the string engine drives the raw batched closure; account its force
     # calls on the calculator (bench contract, SURVEY.md §5.1)

@@ -289,3 +289,33 @@ def test_resolve_override_dir_semantics(tmp_path):
     assert (_resolve_override_dir(default, "fq2")
             == tmp_path / "result_all" / "fq2")
     assert _resolve_override_dir(default, "/abs/x") == Path("/abs/x")
+
+
+def test_cli_gsm_loop_host_matches_device(runner, endpoints, tmp_path):
+    """--gsm-loop host drives the same jitted macro-cycle from Python
+    (engines/gsm.py loop drivers) and must find the same MEP/HEI as the
+    default device while_loop; loop="auto" resolves through the
+    calculator's gsm_loop_default (device for dense backbones, host for
+    eSCN — mlip/uma.py)."""
+    a, b = endpoints
+    heis = {}
+    for loop in ("device", "host"):
+        out = tmp_path / f"po_{loop}"
+        res = runner.invoke(cli, ["path-opt", "-i", str(a), "-i", str(b),
+                                  "--max-nodes", "8", "--gsm-loop", loop,
+                                  "--out-dir", str(out)] + COMMON)
+        assert res.exit_code == 0, res.output
+        heis[loop] = io_xyz.read_xyz(out / "hei.xyz").coords
+    np.testing.assert_allclose(heis["host"], heis["device"], atol=2e-3)
+
+
+def test_gsm_loop_auto_prefers_host_for_escn():
+    from pdb2reaction_tpu.core.structure import Structure
+    from pdb2reaction_tpu.mlip.uma import make_uma_calculator
+
+    st = Structure(np.array([1, 1, 1], np.int32),
+                   np.array([[0.0, 0, 0], [0.9, 0, 0], [1.8, 0, 0]]))
+    dense = make_uma_calculator(st, model="small")
+    assert dense.gsm_loop_default == "device"
+    escn = make_uma_calculator(st, model="escn-test")
+    assert escn.gsm_loop_default == "host"
