@@ -120,3 +120,81 @@ def random_batch(key, cfg: ModelConfig, batch: int, n_atoms: int,
                                (batch, n_pad, 3), jnp.float32) * mask[..., None]
     return TrainBatch(numbers=numbers, coords=coords, atom_mask=mask,
                       energy=energy, forces=forces)
+
+
+# ---- eSCN fine-tune: expert-parallel (ep) x data-parallel (dp) -------------
+# The UMA-class backbone's MoLE banks ([E, in, out] per linear,
+# escn.py:_mole_linear) are the natural extra sharding axis the dense
+# surrogate does not have: shard every bank's expert dim over a mesh
+# "expert" axis and the routing merge (einsum "e,eio->io",
+# escn.py:_merged_wb) becomes a psum over that axis which XLA inserts
+# automatically. Routing inputs (task/charge/spin) live in params —
+# fine-tuning targets one active site, so routing is fixed per run.
+
+def escn_batched_loss(params, batch: TrainBatch, cfg,
+                      w_energy: float = 1.0, w_force: float = 10.0):
+    from .escn import escn_energy
+
+    def single(numbers, coords, mask, e_ref, f_ref):
+        sys_ = _system_of(numbers, coords, mask)
+        e, g = jax.value_and_grad(
+            lambda c: escn_energy(c, sys_, params, cfg))(coords)
+        f = -g * mask[:, None]
+        n = jnp.maximum(jnp.sum(mask), 1.0)
+        le = ((e - e_ref) / n) ** 2
+        lf = jnp.sum((f - f_ref * mask[:, None]) ** 2) / (3.0 * n)
+        return le, lf
+
+    le, lf = jax.vmap(single)(batch.numbers, batch.coords, batch.atom_mask,
+                              batch.energy, batch.forces)
+    return w_energy * jnp.mean(le) + w_force * jnp.mean(lf)
+
+
+def make_escn_train_step(cfg, optimizer):
+    def train_step(params, opt_state, batch: TrainBatch):
+        loss, grads = jax.value_and_grad(escn_batched_loss)(
+            params, batch, cfg)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+    return train_step
+
+
+def escn_param_shardings(params, cfg, mesh: Mesh):
+    """Expert-parallel layout: MoLE banks sharded over 'expert'.
+
+    A bank is a {"w": [E, in, out], "b": [E, out]} dict (escn.py
+    _mole_linear); everything else (embeddings, Wigner-free scalars,
+    routing tables) replicates."""
+    E = cfg.num_experts
+    ep = mesh.shape["expert"]
+
+    def spec_of(path, leaf):
+        key = getattr(path[-1], "key", None) if path else None
+        if isinstance(leaf, jnp.ndarray) and E % ep == 0:
+            if key == "w" and leaf.ndim == 3 and leaf.shape[0] == E:
+                return NamedSharding(mesh, P("expert", None, None))
+            if key == "b" and leaf.ndim == 2 and leaf.shape[0] == E:
+                return NamedSharding(mesh, P("expert", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_of, params)
+
+
+def make_escn_sharded_train_step(cfg, optimizer, mesh: Mesh, params,
+                                 opt_state):
+    """jit the eSCN train step with explicit dp x ep shardings."""
+    p_sh = escn_param_shardings(params, cfg, mesh)
+    o_sh = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P()), opt_state,
+        is_leaf=lambda x: isinstance(x, (jnp.ndarray, np.ndarray)))
+    b_sh = batch_shardings(mesh)
+    step = make_escn_train_step(cfg, optimizer)
+    jstep = jax.jit(
+        step,
+        in_shardings=(p_sh, o_sh, b_sh),
+        out_shardings=(p_sh, o_sh, NamedSharding(mesh, P())),
+    )
+    params = jax.device_put(params, p_sh)
+    opt_state = jax.device_put(opt_state, o_sh)
+    return jstep, params, opt_state
