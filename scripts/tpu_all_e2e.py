@@ -203,14 +203,26 @@ def main():
     from pdb2reaction_tpu.workflows.allflow import run_all
 
     t0 = time.perf_counter()
-    res = run_all(
-        [r_pdb, p_pdb], center="LIG", ligand_charge=0,
-        calc_mode=args.calc_mode, model=args.model,
-        out_dir=out / "result_all",
-        gs_kw={"max_nodes": args.max_nodes},
-        tsopt_kw={"max_cycles_total": args.tsopt_max_cycles},
-        do_freq=not args.no_freq,
-    )
+    try:
+        res = run_all(
+            [r_pdb, p_pdb], center="LIG", ligand_charge=0,
+            calc_mode=args.calc_mode, model=args.model,
+            out_dir=out / "result_all",
+            gs_kw={"max_nodes": args.max_nodes},
+            tsopt_kw={"max_cycles_total": args.tsopt_max_cycles},
+            do_freq=not args.no_freq,
+        )
+    except Exception as e:
+        # always emit parseable JSON (bench.py resilience contract) — an
+        # untrained surrogate's random PES legitimately trips the
+        # consecutive-kink abort (path_search.py, reference
+        # path_search.py:1407-1414)
+        print(json.dumps({
+            "metric": "all_e2e_wallclock_s", "value": None,
+            "model": args.model, "calc_mode": args.calc_mode,
+            "error": f"{type(e).__name__}: {e}"[:300],
+            "elapsed_s": round(time.perf_counter() - t0, 1)}))
+        return
     wall = time.perf_counter() - t0
 
     segs = res.get("segments", res.get("segment_results", []))
