@@ -71,8 +71,9 @@ def common_options(f):
                      help="Total charge of the ML region."),
         click.option("-s", "--spin", type=int, default=None,
                      help="Spin multiplicity (2S+1)."),
-        click.option("-m", "--multiplicity", type=int, default=None,
-                     help="Alias for --spin (reference flag name)."),
+        click.option("-m", "--mult", "--multiplicity", "multiplicity",
+                     type=int, default=None,
+                     help="Alias for --spin (reference flag name --mult)."),
         click.option("--freeze-atoms", "freeze_atoms", default="",
                      help="Comma-separated indices or 'RES SEQ NAME' specs."),
         click.option("--auto-freeze-links", type=BOOL, default="True",
@@ -107,6 +108,11 @@ def common_options(f):
         click.option("--spatial", type=int, default=1,
                      help="Atom-axis shards per structure (spatial "
                           "partitioning of one big system over devices)."),
+        click.option("--ligand-charge", default=None,
+                     help="Total charge or per-resname mapping (e.g. "
+                          "GPP:-3,SAM:1) used to derive the workflow "
+                          "charge when -q is absent (PDB inputs only; "
+                          "reference utils.py:820-888)."),
         click.option("--args-yaml", type=click.Path(path_type=Path),
                      default=None, help="YAML overriding any defaults."),
         click.option("--out-dir", type=click.Path(path_type=Path),
@@ -131,8 +137,10 @@ def common_options(f):
         # tests)
         from .mlip.uma import set_default_spatial
         set_default_spatial(kw.pop("spatial", 1) or 1)
-        from .workflows.common import set_default_ref_pdb
+        from .workflows.common import set_default_ref_pdb, \
+            set_default_ligand_charge
         set_default_ref_pdb(kw.pop("ref_pdb", None))
+        set_default_ligand_charge(kw.pop("ligand_charge", None))
         # reference-name aliases fold into the canonical options
         mult = kw.pop("multiplicity", None)
         if kw.get("spin") is None and mult is not None:
@@ -148,6 +156,7 @@ def common_options(f):
         finally:
             # never leak the template into later in-process library calls
             set_default_ref_pdb(None)
+            set_default_ligand_charge(None)
             set_default_spatial(1)
 
     return wrapper
@@ -221,6 +230,9 @@ def cli():
 @click.option("--max-cycles", type=int, default=10000)
 @click.option("--dist-freeze", default="",
               help="Pairs i,j;k,l restrained at current distances.")
+@click.option("--bias-k", type=float, default=10.0,
+              help="Harmonic restraint strength k [eV/Ang^2] for "
+                   "--dist-freeze (reference opt.py:524-529).")
 @click.option("--one-based", type=BOOL, default="True", callback=_bool_cb,
               help="Interpret integer atom indices as 1-based "
                    "(reference default).")
@@ -229,11 +241,11 @@ def cli():
                    "restart (reference opt.py:211-214); 0 disables.")
 @common_options
 def opt_cmd(input_path, opt_mode, coord_type, thresh, max_cycles,
-            dist_freeze, one_based, dump_restart, **kw):
+            dist_freeze, bias_k, one_based, dump_restart, **kw):
     from .workflows.opt import run_opt
     cfg = dict(opt_mode=normalize_choice(opt_mode), coord_type=coord_type,
                thresh=thresh, max_cycles=max_cycles, dump=kw.pop("dump"),
-               dump_restart=dump_restart)
+               bias_k=bias_k, dump_restart=dump_restart)
     yaml_overrides(kw.pop("args_yaml"), cfg, [("opt",), ("lbfgs",), ("rfo",)])
     df = _parse_pairs(dist_freeze, one_based)
     res = run_opt(
@@ -339,6 +351,15 @@ def scan_cmd(input_path, scan_lists, step_ang, bias_k, preopt, endopt,
               type=click.Path(path_type=Path, exists=True, dir_okay=False))
 @click.option("--mep-mode", default="gsm", type=click.Choice(["gsm", "dmf"]))
 @click.option("--max-nodes", type=int, default=10)
+@click.option("--max-cycles", type=int, default=300,
+              help="String-optimizer cycle cap (reference path_opt.py).")
+@click.option("--opt-mode", default="light",
+              type=click.Choice(["light", "heavy", "lbfgs", "rfo"],
+                                case_sensitive=False),
+              help="Endpoint preoptimization mode (reference --opt-mode).")
+@click.option("--thresh", default=None,
+              help="Convergence preset for the string optimizer and "
+                   "endpoint preopt (reference path_opt.py --thresh).")
 @click.option("--preopt", type=BOOL, default="True", callback=_bool_cb)
 @click.option("--preopt-max-cycles", type=int, default=10000)
 @click.option("--align", type=BOOL, default="True", callback=_bool_cb)
@@ -351,13 +372,15 @@ def scan_cmd(input_path, scan_lists, step_ang, bias_k, preopt, endopt,
               type=click.Choice(["auto", "device", "host"]),
               help="GSM loop driver: device while_loops, a host-driven\n                   macro-cycle loop (compiles only the batched force\n                   call — right for giant backbones), or auto (the\n                   calculator's preference).")
 @common_options
-def path_opt_cmd(input_paths, mep_mode, max_nodes, preopt,
-                 preopt_max_cycles, align, climb, fix_ends, gsm_loop,
-                 **kw):
+def path_opt_cmd(input_paths, mep_mode, max_nodes, max_cycles, opt_mode,
+                 thresh, preopt, preopt_max_cycles, align, climb,
+                 fix_ends, gsm_loop, **kw):
     from .workflows.path_opt import run_path_opt
     cfg: Dict[str, Any] = dict(
         mep_mode=mep_mode, preopt=preopt, align=align,
+        preopt_mode=normalize_choice(opt_mode), thresh=thresh,
         preopt_max_cycles=preopt_max_cycles,
+        stopt_kw={"max_cycles": max_cycles},
         gs_kw={"max_nodes": max_nodes, "climb": climb,
                "fix_ends": fix_ends, "loop": gsm_loop})
     yaml_overrides(kw.pop("args_yaml"), cfg, [("gs",), ("sopt",), ("dmf",)])
@@ -486,6 +509,21 @@ def irc_cmd(input_path, step_length, max_cycles, root, forward, backward,
               type=click.Choice(["hei", "minima"]))
 @click.option("--kink-max-nodes", type=int, default=5)
 @click.option("--max-nodes", type=int, default=10)
+@click.option("--max-cycles", type=int, default=300,
+              help="String-optimizer cycle cap per segment.")
+@click.option("--opt-mode", default="light",
+              type=click.Choice(["light", "heavy", "lbfgs", "rfo"],
+                                case_sensitive=False),
+              help="Single-structure optimizer for preopt/HEI "
+                   "refinements (reference --opt-mode).")
+@click.option("--thresh", default=None,
+              help="Convergence preset for in-search optimizations.")
+@click.option("--preopt", type=BOOL, default="True", callback=_bool_cb,
+              help="Initial single-structure optimization of the inputs "
+                   "(reference path_search.py:1999-2005).")
+@click.option("--align", type=BOOL, default="True", callback=_bool_cb,
+              help="Align all inputs to the first input after preopt "
+                   "(reference path_search.py:2007-2015).")
 @click.option("--climb", type=BOOL, default="True", callback=_bool_cb)
 @click.option("--ref-full-pdb", default=None, multiple=True,
               type=click.Path(path_type=Path, exists=True, dir_okay=False),
@@ -498,19 +536,26 @@ def irc_cmd(input_path, step_length, max_cycles, root, forward, backward,
               help="GSM loop driver (see path-opt).")
 @common_options
 def path_search_cmd(input_paths, mep_mode, max_depth, refine_mode,
-                    kink_max_nodes, max_nodes, climb, ref_full_pdb,
+                    kink_max_nodes, max_nodes, max_cycles, opt_mode,
+                    thresh, preopt, climb, ref_full_pdb, align,
                     gsm_loop, **kw):
     from .workflows.path_search import run_path_search
     if isinstance(ref_full_pdb, tuple):
         ref_full_pdb = (list(ref_full_pdb) if len(ref_full_pdb) > 1
                         else (ref_full_pdb[0] if ref_full_pdb else None))
+    skw = {"max_depth": max_depth, "refine_mode": refine_mode,
+           "kink_max_nodes": kink_max_nodes,
+           "opt_mode": normalize_choice(opt_mode), "preopt": preopt}
+    if thresh is not None:
+        skw["opt_thresh"] = thresh
     cfg: Dict[str, Any] = dict(
         mep_mode=mep_mode,
         full_template=ref_full_pdb,
+        align=align,
+        stopt_kw={"max_cycles": max_cycles},
         gs_kw={"max_nodes": max_nodes, "climb": climb,
                "loop": gsm_loop},
-        search_kw={"max_depth": max_depth, "refine_mode": refine_mode,
-                   "kink_max_nodes": kink_max_nodes})
+        search_kw=skw)
     yaml_overrides(kw.pop("args_yaml"), cfg, [("search",), ("gs",), ("bond",)])
     run_path_search(list(input_paths), charge=kw["charge"], spin=kw["spin"],
                     freeze_atoms=parse_freeze(kw["freeze_atoms"]),
@@ -661,7 +706,7 @@ def align_cmd(inputs, out_dir, freeze_atoms, relax, charge, spin,
               type=click.Path(path_type=Path, exists=True, dir_okay=False))
 @click.option("-c", "--center", default=None,
               help="Substrate spec for pocket extraction (PDB inputs).")
-@click.option("--ligand-charge", default=None)
+# --ligand-charge comes from common_options (process-wide default)
 # stage-1 extraction passthroughs (reference all.py:1870-1915)
 @click.option("-r", "--radius", type=float, default=2.6,
               help="Extraction inclusion cutoff [Ang] around the substrate.")
@@ -681,12 +726,19 @@ def align_cmd(inputs, out_dir, freeze_atoms, relax, charge, spin,
               help="Stage spec 'i,j,target[;k,l,target]' (repeatable).")
 @click.option("--mep-mode", default="gsm", type=click.Choice(["gsm", "dmf"]))
 @click.option("--refine-path", type=BOOL, default="True", callback=_bool_cb)
-@click.option("--tsopt", "do_tsopt", type=BOOL, default="True",
-              callback=_bool_cb)
+@click.option("--tsopt", "do_tsopt", type=BOOL, default="False",
+              callback=_bool_cb,
+              help="TS optimization + IRC per reactive segment "
+                   "(reference all.py:2090-2100; default False).")
 @click.option("--irc", "do_irc", type=BOOL, default="True",
-              callback=_bool_cb)
-@click.option("--freq", "do_freq", type=BOOL, default="True",
-              callback=_bool_cb)
+              callback=_bool_cb,
+              help="Run IRC when --tsopt True (the reference gates IRC "
+                   "under --tsopt; this toggle can disable just the IRC).")
+@click.option("--thermo", "--freq", "do_freq", type=BOOL, default="False",
+              callback=_bool_cb,
+              help="Run freq on (R, TS, P) per reactive segment and build "
+                   "Gibbs diagrams (reference --thermo, all.py:2101-2111; "
+                   "default False; --freq is an accepted alias).")
 @click.option("--dft", "do_dft", type=BOOL, default="False",
               callback=_bool_cb)
 @click.option("--max-nodes", type=int, default=10)
@@ -701,10 +753,29 @@ def align_cmd(inputs, out_dir, freeze_atoms, relax, charge, spin,
 @click.option("--ref-full-pdb", default=None,
               type=click.Path(path_type=Path, exists=True, dir_okay=False),
               help="Full-system PDB template for merged mirrors.")
-@click.option("--opt-mode-post", default="lbfgs",
-              help="Optimizer for stage-4 endpoint minimization.")
-@click.option("--thresh-post", default="gau",
-              help="Threshold preset for stage-4 endpoint minimization.")
+@click.option("--opt-mode", default="light",
+              type=click.Choice(["light", "heavy", "lbfgs", "rfo"],
+                                case_sensitive=False),
+              help="Workflow optimizer mode for preopt/path-search "
+                   "optimizations (reference all.py:2003-2010).")
+@click.option("--thresh", default=None,
+              help="Workflow convergence preset forwarded to the "
+                   "scan/path stages (reference all.py:2051-2057).")
+@click.option("--max-cycles", type=int, default=300,
+              help="Path-search/GSM optimizer cycle cap "
+                   "(reference all.py:1989-1997).")
+@click.option("--preopt", type=BOOL, default="True", callback=_bool_cb,
+              help="Initial single-structure optimization of the pocket "
+                   "inputs (reference all.py:2076-2082).")
+@click.option("--verbose", type=BOOL, default="True", callback=_bool_cb)
+@click.option("--opt-mode-post", default="heavy",
+              type=click.Choice(["light", "heavy", "lbfgs", "rfo"],
+                                case_sensitive=False),
+              help="Optimizer for stage-4 TSOPT + endpoint minimization "
+                   "(reference default heavy = RS-I-RFO, all.py:2012-2019).")
+@click.option("--thresh-post", default="baker",
+              help="Threshold preset for stage-4 TSOPT + endpoint "
+                   "minimization (reference default baker, all.py:2058).")
 @click.option("--tsopt-max-cycles", type=int, default=10000)
 @click.option("--flatten-imag-mode", type=BOOL, default="False",
               callback=_bool_cb,
@@ -752,9 +823,10 @@ def align_cmd(inputs, out_dir, freeze_atoms, relax, charge, spin,
                                                file_okay=False),
               default=None)
 @common_options
-def all_cmd(input_paths, center, ligand_charge, scan_lists, mep_mode,
+def all_cmd(input_paths, center, scan_lists, mep_mode,
             refine_path, do_tsopt, do_irc, do_freq, do_dft, max_nodes,
-            climb, gsm_loop, one_based, scan_one_based, ref_full_pdb, opt_mode_post,
+            climb, gsm_loop, one_based, scan_one_based, ref_full_pdb,
+            opt_mode, thresh, max_cycles, preopt, verbose, opt_mode_post,
             thresh_post, tsopt_max_cycles, flatten_imag_mode, scan_bias_k,
             scan_preopt, scan_endopt, scan_max_step_size,
             scan_relax_max_cycles, freq_temperature, freq_pressure,
@@ -765,6 +837,8 @@ def all_cmd(input_paths, center, ligand_charge, scan_lists, mep_mode,
             scan_out_dir, tsopt_out_dir, freq_out_dir, dft_out_dir,
             **kw):
     from .workflows.allflow import run_all
+    from .workflows.common import get_default_ligand_charge
+    ligand_charge = get_default_ligand_charge()
     scan_ob = one_based if scan_one_based is None else scan_one_based
     dft_kw: Dict[str, Any] = dict(max_cycle=dft_max_cycle,
                                   conv_tol=dft_conv_tol,
@@ -786,6 +860,8 @@ def all_cmd(input_paths, center, ligand_charge, scan_lists, mep_mode,
         scan_stages=_parse_scan_stages(scan_lists, scan_ob) or None,
         mep_mode=mep_mode, refine_path=refine_path, tsopt=do_tsopt,
         do_irc=do_irc, do_freq=do_freq, do_dft=do_dft,
+        opt_mode=normalize_choice(opt_mode), thresh=thresh,
+        max_cycles=max_cycles, preopt=preopt, verbose=verbose,
         full_template=ref_full_pdb,
         extract_kw=dict(
             radius=radius, radius_het2het=radius_het2het,
@@ -832,6 +908,25 @@ def _scan_axes(specs, one_based: bool = False):
 
 def _scan_nd_options(f):
     opts = [
+        click.option("--scan-list", "scan_list_raw", default=None,
+                     help="Python-like list of quadruples "
+                          "'[(i,j,low,high),...]' (reference scan2d/3d "
+                          "--scan-list); alternative to --scan."),
+        click.option("--max-step-size", type=float, default=0.20,
+                     help="Maximum grid step in each distance [Ang] "
+                          "(reference default 0.20); used for axes "
+                          "without an explicit step."),
+        click.option("--opt-mode", default="light",
+                     type=click.Choice(["light", "heavy", "lbfgs", "rfo"],
+                                       case_sensitive=False),
+                     help="Grid relaxation mode (reference --opt-mode)."),
+        click.option("--thresh", default="baker",
+                     help="Relaxation convergence preset "
+                          "(reference scan2d/3d default baker)."),
+        click.option("--preopt", type=BOOL, default="True",
+                     callback=_bool_cb,
+                     help="Unbiased pre-optimization before the scan "
+                          "(reference default True)."),
         click.option("--plot-only", default=None,
                      type=click.Path(path_type=Path, exists=True)),
         click.option("--bias-k", type=float, default=10.0),
@@ -852,17 +947,44 @@ def _scan_nd_options(f):
     return f
 
 
-def _run_scan_nd_cmd(input_path, scans, ndim, plot_only, bias_k,
+def _parse_scan_list(raw, one_based, step):
+    """Reference --scan-list: '[(i,j,low,high),...]' quadruples
+    (scan2d.py:415-420); low -> high swept at <= step [Ang]."""
+    import ast
+    quads = ast.literal_eval(str(raw))
+    axes = []
+    for q in quads:
+        i, j, low, high = q
+        i = _idx(str(int(i)), one_based)
+        j = _idx(str(int(j)), one_based)
+        axes.append({"pair": (i, j), "start": float(low),
+                     "end": float(high), "step": float(step)})
+    return axes
+
+
+def _run_scan_nd_cmd(input_path, scans, scan_list_raw, ndim, plot_only,
+                     bias_k, max_step_size, opt_mode, thresh, preopt,
                      relax_max_cycles, one_based, baseline, zmin, zmax, kw):
     from .workflows.scan_nd import run_scan_nd
-    axes = _scan_axes(scans, one_based)
-    assert len(axes) == ndim, f"scan{ndim}d needs exactly {ndim} --scan axes"
+    if scan_list_raw:
+        axes = _parse_scan_list(scan_list_raw, one_based, max_step_size)
+    else:
+        if not scans and not plot_only:
+            raise click.UsageError(
+                f"scan{ndim}d needs --scan axes or --scan-list")
+        axes = _scan_axes(scans, one_based)
+        for ax in axes:
+            ax.setdefault("step", max_step_size)
+    assert plot_only or len(axes) == ndim, \
+        f"scan{ndim}d needs exactly {ndim} axes"
     run_scan_nd(input_path, axes, charge=kw["charge"], spin=kw["spin"],
                 freeze_atoms=parse_freeze(kw["freeze_atoms"]),
                 auto_freeze_links=kw["auto_freeze_links"],
                 calc_mode=kw["calc_mode"], model=kw["model"],
                 out_dir=kw["out_dir"], plot_only=plot_only,
                 bias_k=bias_k, relax_max_cycles=relax_max_cycles,
+                relax_mode=normalize_choice(opt_mode),
+                relax_thresh=thresh, preopt=preopt,
                 baseline=baseline, zmin=zmin, zmax=zmax,
                 mesh=make_mesh_or_none(kw["workers"]))
 
@@ -870,30 +992,35 @@ def _run_scan_nd_cmd(input_path, scans, ndim, plot_only, bias_k,
 @cli.command("scan2d", help="2-D relaxed distance-grid scan.")
 @click.option("-i", "--input", "input_path", required=True,
               type=click.Path(path_type=Path, exists=True, dir_okay=False))
-@click.option("--scan", "scans", multiple=True, required=True,
+@click.option("--scan", "scans", multiple=True,
               help="Axis 'i,j,end[,step[,start]]' (exactly 2).")
 @_scan_nd_options
 @common_options
-def scan2d_cmd(input_path, scans, plot_only, bias_k, relax_max_cycles,
+def scan2d_cmd(input_path, scans, scan_list_raw, max_step_size, opt_mode,
+               thresh, preopt, plot_only, bias_k, relax_max_cycles,
                one_based, baseline, zmin, zmax, **kw):
-    _run_scan_nd_cmd(input_path, scans, 2, plot_only, bias_k,
+    _run_scan_nd_cmd(input_path, scans, scan_list_raw, 2, plot_only,
+                     bias_k, max_step_size, opt_mode, thresh, preopt,
                      relax_max_cycles, one_based, baseline, zmin, zmax, kw)
 
 
 @cli.command("scan3d", help="3-D relaxed distance-grid scan.")
 @click.option("-i", "--input", "input_path", required=True,
               type=click.Path(path_type=Path, exists=True, dir_okay=False))
-@click.option("--scan", "scans", multiple=True, required=True,
+@click.option("--scan", "scans", multiple=True,
               help="Axis 'i,j,end[,step[,start]]' (exactly 3).")
 @click.option("--csv", "csv_path", default=None,
               type=click.Path(path_type=Path, exists=True),
               help="Existing surface.csv to re-plot (alias of --plot-only).")
 @_scan_nd_options
 @common_options
-def scan3d_cmd(input_path, scans, csv_path, plot_only, bias_k,
+def scan3d_cmd(input_path, scans, scan_list_raw, max_step_size, opt_mode,
+               thresh, preopt, csv_path, plot_only, bias_k,
                relax_max_cycles, one_based, baseline, zmin, zmax, **kw):
-    _run_scan_nd_cmd(input_path, scans, 3, plot_only or csv_path, bias_k,
-                     relax_max_cycles, one_based, baseline, zmin, zmax, kw)
+    _run_scan_nd_cmd(input_path, scans, scan_list_raw, 3,
+                     plot_only or csv_path, bias_k, max_step_size,
+                     opt_mode, thresh, preopt, relax_max_cycles,
+                     one_based, baseline, zmin, zmax, kw)
 
 
 @cli.command("dft", help="DFT single point (CPU PySCF backend).")

@@ -48,6 +48,14 @@ def _resolve_override_dir(default: Path, override) -> Path:
     return default.parent / override
 
 
+def _ts_mode(opt_post_kw) -> str:
+    """Map the post-processing optimizer mode to a tsopt mode: the
+    reference forwards --opt-mode-post to tsopt, where heavy = RS-I-RFO
+    and light = HessianDimer (all.py:2406, tsopt.py modes)."""
+    m = str(opt_post_kw.get("opt_mode", "rfo")).lower()
+    return "rsirfo" if m in ("rfo", "rsirfo", "heavy") else "dimer"
+
+
 def round_charge(value: float, verbose=True) -> int:
     """Round the extraction pocket charge to the nearest integer workflow
     charge with a note (all.py:699)."""
@@ -72,6 +80,10 @@ def run_all(
     do_irc: bool = True,
     do_freq: bool = True,
     do_dft: bool = False,
+    opt_mode: str = "light",     # workflow optimizer mode (all.py:2003-2010)
+    thresh: Optional[str] = None,  # workflow threshold preset (all.py:2051)
+    max_cycles: int = 300,       # path-search/GSM cycle cap (all.py:1989)
+    preopt: bool = True,         # endpoint preopt toggle (all.py:2076-2082)
     calc_mode: str = "uma",
     model: str = "uma-s-1p1",
     mep_mode: str = "gsm",
@@ -96,7 +108,9 @@ def run_all(
 ) -> Dict[str, Any]:
     t0 = time.time()
     scan_kw = dict(scan_kw or {})
-    opt_post_kw = {"opt_mode": "lbfgs", "thresh": "gau",
+    # post-processing defaults match the reference: --opt-mode-post heavy,
+    # --thresh-post baker (all.py:2012-2019, 2058-2065)
+    opt_post_kw = {"opt_mode": "rfo", "thresh": "baker",
                    **(opt_post_kw or {})}
     tsopt_kw = dict(tsopt_kw or {})
     irc_kw = dict(irc_kw or {})
@@ -105,6 +119,15 @@ def run_all(
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     input_paths = [Path(p) for p in input_paths]
+    # reference input-mode contract (all.py:2395-2404): >=2 structures in
+    # reaction order, OR single structure + --scan-lists, OR single
+    # structure + --tsopt True (TSOPT-only mode).
+    if len(input_paths) < 2 and not (
+            len(input_paths) == 1 and (scan_stages or tsopt)):
+        raise ValueError(
+            "Provide at least two structures with -i/--input in reaction "
+            "order, or use a single structure with --scan-lists, or a "
+            "single structure with --tsopt True.")
     is_pdb = all(p.suffix.lower() == ".pdb" for p in input_paths)
 
     # ---- preflight: element repair (all.py:2465-2491) --------------------
@@ -186,9 +209,15 @@ def run_all(
         from .irc import run_irc as _run_irc
         from .freq import run_freq as _run_freq
         ts_out = _resolve_override_dir(out / "tsopt", tsopt_out_dir)
+        # single-TSOPT mode uses the post-processing optimizer/threshold
+        # (reference all.py:2406-2418,3077: opt_mode_post + thresh_post)
         res_ts = run_tsopt(work_inputs[0], charge=charge, spin=spin,
                            freeze_atoms=freeze_atoms,
                            auto_freeze_links=auto_freeze_links,
+                           opt_mode=_ts_mode(opt_post_kw),
+                           thresh=opt_post_kw["thresh"],
+                           max_cycles=int(tsopt_kw.get("max_cycles_total")
+                                          or 10000),
                            calc_mode=calc_mode, model=model,
                            out_dir=ts_out, mesh=mesh, verbose=verbose,
                            hessian_dimer_kw=tsopt_kw, **calc_kw)
@@ -223,8 +252,17 @@ def run_all(
     # ---- Stage 2: MEP (all.py:3335-3707) ---------------------------------
     skw2 = dict(search_kw or {})
     skw2["refine_path"] = refine_path
+    # forward the workflow-level optimizer knobs (reference all.py:3683-3690
+    # appends --max-cycles/--opt-mode/--thresh/--preopt to path_search)
+    skw2.setdefault("opt_mode",
+                    "rfo" if str(opt_mode).lower() in ("heavy", "rfo")
+                    else "lbfgs")
+    skw2.setdefault("preopt", bool(preopt))
+    if thresh is not None:
+        skw2.setdefault("opt_thresh", str(thresh))
     ps = run_path_search(
-        work_inputs, charge=charge, spin=spin, calc_mode=calc_mode,
+        work_inputs, stopt_kw={"max_cycles": int(max_cycles)},
+        charge=charge, spin=spin, calc_mode=calc_mode,
         model=model, mep_mode=mep_mode, out_dir=out / "stage2_path",
         full_template=(full_template if full_template is not None
                        else (full_templates
@@ -272,21 +310,31 @@ def run_all(
         ts_x = hei_x
         ts_e = seg.energies[seg.hei_idx]
         if tsopt:
-            from ..engines.dimer import hessian_dimer
+            from .tsopt import run_tsopt
             try:
                 meter_ctx = meter.phase(f"tsopt_seg{si}")
                 meter_ctx.__enter__()
                 hei_path = seg_out / "hei_guess.xyz"
                 io_xyz.write_xyz(hei_path, pocket_struct.copy(
                     coords=hei_x * BOHR2ANG), energy=ts_e)
-                dres = hessian_dimer(calc, calc.pad_bohr(hei_x),
-                                     **{"flatten_max_iter": 10,
-                                        **tsopt_kw})
-                ts_x = calc.unpad(dres.x)
-                ts_e = dres.e
-                entry["tsopt"] = {"converged": bool(dres.converged),
+                # reference forwards opt_mode_post/thresh_post to the
+                # tsopt sub-CLI per segment (all.py:1536-1556,2406-2418);
+                # the shared calculator is reused (path_search.py:141-144)
+                tres = run_tsopt(
+                    hei_path, charge=charge, spin=spin,
+                    opt_mode=_ts_mode(opt_post_kw),
+                    thresh=opt_post_kw["thresh"],
+                    max_cycles=int(tsopt_kw.get("max_cycles_total")
+                                   or 10000),
+                    calculator=calc, calc_mode=calc_mode, model=model,
+                    out_dir=seg_out / "tsopt", mesh=mesh,
+                    verbose=verbose,
+                    hessian_dimer_kw={"flatten_max_iter": 10, **tsopt_kw})
+                ts_x = tres["coords_bohr"]
+                ts_e = float(tres["energy"])
+                entry["tsopt"] = {"converged": bool(tres["converged"]),
                                   "energy_au": float(ts_e),
-                                  "n_imag": int(dres.n_imag)}
+                                  "n_imag": int(tres["n_imag"])}
                 common.write_outputs(seg_out, "ts_final", pocket_struct,
                                      ts_x, energy=ts_e)
             except Exception as e:

@@ -136,6 +136,20 @@ def convert_enabled() -> bool:
 
 
 _DEFAULT_REF_PDB = None
+_DEFAULT_LIGAND_CHARGE = None
+
+
+def set_default_ligand_charge(value) -> None:
+    """Process-wide --ligand-charge (set by the CLI wrapper): a total
+    charge or RES:q mapping used to derive the workflow charge from a
+    full-structure residue charge summary when -q is absent (reference
+    utils.py:820-888)."""
+    global _DEFAULT_LIGAND_CHARGE
+    _DEFAULT_LIGAND_CHARGE = value
+
+
+def get_default_ligand_charge():
+    return _DEFAULT_LIGAND_CHARGE
 
 
 def set_default_ref_pdb(path) -> None:
@@ -227,16 +241,39 @@ def resolve_atom_spec(spec: Union[int, str], struct: Structure) -> int:
 
 
 def resolve_charge_spin(struct: Structure, charge: Optional[int],
-                        spin: Optional[int]) -> Tuple[int, int]:
-    """CLI charge/spin win; else .gjf template values; else raise for charge
-    (reference requires explicit charge, utils.py:809-888) with spin
-    defaulting to 1."""
+                        spin: Optional[int],
+                        ligand_charge=None) -> Tuple[int, int]:
+    """CLI charge/spin win; else .gjf template values; else a total charge
+    derived from --ligand-charge + residue charge tables (PDB inputs only,
+    reference utils.py:820-888); else raise for charge (reference requires
+    explicit charge, utils.py:809-888) with spin defaulting to 1."""
     q = charge
     s = spin
     if q is None and getattr(struct, "gjf_charge", None) is not None:
         q = struct.gjf_charge
     if s is None and getattr(struct, "gjf_spin", None) is not None:
         s = struct.gjf_spin
+    lc = ligand_charge if ligand_charge is not None \
+        else _DEFAULT_LIGAND_CHARGE
+    if lc is not None:
+        src = getattr(struct, "source_path", None)
+        if not (src and str(src).lower().endswith(".pdb")):
+            raise ValueError(
+                "--ligand-charge is only supported for PDB inputs; it "
+                "cannot be used with .xyz or .gjf files "
+                "(reference utils.py:869-875)")
+        if q is None:
+            from ..bio.extract import Model, compute_charge_summary
+            model = Model.from_pdb(src)
+            summary = compute_charge_summary(
+                model, set(model.res_order), set(), lc)
+            total = float(summary["total_charge"])
+            q = int(round(total))
+            print(f"[charge] full-complex summary from --ligand-charge: "
+                  f"protein {summary['protein_charge']:+g}, ligand "
+                  f"{summary['ligand_charge']:+g}, ions "
+                  f"{summary['ion_charge']:+g} -> total {total:+g} "
+                  f"(using {q:+d})")
     if q is None:
         raise ValueError("Charge (-q/--charge) is required for this input")
     return int(q), int(s if s is not None else 1)

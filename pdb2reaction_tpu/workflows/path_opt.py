@@ -96,9 +96,11 @@ def run_path_opt(
     auto_freeze_links: bool = True,
     mep_mode: str = "gsm",
     preopt: bool = True,
+    preopt_mode: str = "lbfgs",       # reference --opt-mode (light|heavy)
     preopt_thresh: str = "gau_loose",
     preopt_max_cycles: int = 10000,
-    align: bool = True,
+    thresh: Optional[str] = None,     # reference --thresh: preset for the
+    align: bool = True,               # string optimizer + endpoint preopt
     calc_mode: str = "uma",
     model: str = "uma-s-1p1",
     out_dir="./result_path_opt/",
@@ -112,6 +114,22 @@ def run_path_opt(
     t0 = time.time()
     assert len(input_paths) == 2, "path-opt needs exactly two endpoints"
     mep_mode = normalize_choice(mep_mode, choices=("gsm", "dmf"))
+    if thresh is not None:
+        # reference path_opt.py --thresh: one preset drives the string
+        # optimizer's convergence and the endpoint preoptimizations; map
+        # the preset's rms-force onto the GSM perpendicular-force
+        # criteria (the device GSM converges on perp-force RMS)
+        import math
+        from ..engines.thresholds import get_thresholds
+        preset = get_thresholds(str(thresh))
+        rms = float(preset.rms_force)
+        if not math.isfinite(rms):          # baker: rms unchecked
+            rms = float(preset.max_force)
+        gs_kw = dict(gs_kw or {})
+        gs_kw.setdefault("perp_thresh", rms)
+        gs_kw.setdefault("climb_rms", rms)
+        gs_kw.setdefault("climb_lanczos_rms", rms)
+        preopt_thresh = str(thresh)
     structs = [common.load_structure(p) for p in input_paths]
     q, s = common.resolve_charge_spin(structs[0], charge, spin)
     for st in structs:
@@ -135,7 +153,7 @@ def run_path_opt(
     if preopt:
         for st in structs:
             coords, e, conv, cyc = optimize_structure(
-                st, calc, opt_mode="lbfgs", thresh=preopt_thresh,
+                st, calc, opt_mode=preopt_mode, thresh=preopt_thresh,
                 max_cycles=preopt_max_cycles)
             st.coords = coords * BOHR2ANG
             if verbose:

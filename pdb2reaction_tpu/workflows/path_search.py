@@ -47,6 +47,7 @@ SEARCH_KW: Dict[str, Any] = {
     "bridge_rmsd_thresh": 0.1,  # Bohr RMSD gap needing a bridge MEP
     "max_consecutive_kinks": 2,
     "opt_thresh": "gau",
+    "opt_mode": "lbfgs",       # reference all.py --opt-mode (light|heavy)
     "preopt": True,
     "preopt_thresh": "gau_loose",
 }
@@ -110,7 +111,7 @@ class PathSearch:
         st = self.calc.structure.copy(coords=np.asarray(coords_bohr)
                                       * BOHR2ANG)
         coords, e, conv, cyc = optimize_structure(
-            st, self.calc, opt_mode="lbfgs",
+            st, self.calc, opt_mode=self.kw.get("opt_mode", "lbfgs"),
             thresh=thresh or self.kw["opt_thresh"])
         return np.asarray(coords), float(e)
 
@@ -293,6 +294,7 @@ def run_path_search(
     freeze_atoms: Sequence = (),
     auto_freeze_links: bool = True,
     mep_mode: str = "gsm",
+    align: bool = True,        # reference --align (path_search.py:2007)
     calc_mode: str = "uma",
     model: str = "uma-s-1p1",
     out_dir="./result_path_search/",
@@ -330,9 +332,11 @@ def run_path_search(
     if skw["preopt"]:
         for st in structs:
             coords, e, conv, cyc = optimize_structure(
-                st, calc, opt_mode="lbfgs", thresh=skw["preopt_thresh"])
+                st, calc, opt_mode=skw.get("opt_mode", "lbfgs"),
+                thresh=skw["preopt_thresh"])
             st.coords = coords * BOHR2ANG
-    align_sequence_inplace(structs)
+    if align:
+        align_sequence_inplace(structs)
 
     from ..runtime.checkpoint import CheckpointStore
     store = CheckpointStore(Path(out_dir) / "checkpoint")

@@ -20,6 +20,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..constants import BOHR2ANG
 from ..engines.lbfgs import lbfgs_minimize
 from ..engines.bias import make_biased_energy_fn, bias_params
 from ..mlip.calculator import Calculator
@@ -49,7 +50,9 @@ def run_scan_nd(
     auto_freeze_links: bool = True,
     bias_k: float = 10.0,
     relax_thresh: str = "gau_loose",
+    relax_mode: str = "lbfgs",   # reference --opt-mode (light|heavy)
     relax_max_cycles: int = 300,
+    preopt: bool = False,        # unbiased preopt (reference default True)
     calc_mode: str = "uma",
     model: str = "uma-s-1p1",
     out_dir=None,
@@ -106,12 +109,49 @@ def run_scan_nd(
     def relax(coords_bohr, targets, ks):
         """Biased relaxation; axes with k = 0 are unconstrained."""
         p = bias_params(list(targets), list(ks), base_calc.params)
-        res = lbfgs_minimize(eff_p, calc.pad_bohr(coords_bohr),
-                             calc.system.free_mask, params=calc.pack(p),
-                             thresh=relax_thresh,
-                             max_cycles=relax_max_cycles, max_step=0.1)
+        if relax_mode == "rfo":
+            # reference --opt-mode heavy: trust-region RFO seeded with the
+            # biased analytic Hessian (scan2d.py optimizer factory :329)
+            from ..engines.rfo import rfo_optimize
+            old_p = calc.params
+            calc.params = p
+            try:
+                H0 = calc.get_hessian(
+                    np.asarray(coords_bohr).reshape(-1))["hessian"]
+            finally:
+                calc.params = old_p
+            res = rfo_optimize(eff_p, calc.pad_bohr(coords_bohr),
+                               calc.system.free_mask, calc.n_atoms,
+                               params=calc.pack(p), hessian0=H0,
+                               thresh=relax_thresh,
+                               max_cycles=relax_max_cycles)
+        else:
+            res = lbfgs_minimize(eff_p, calc.pad_bohr(coords_bohr),
+                                 calc.system.free_mask,
+                                 params=calc.pack(p),
+                                 thresh=relax_thresh,
+                                 max_cycles=relax_max_cycles, max_step=0.1)
         calc.force_calls += int(res.cycles) + 1
         return calc.unpad(res.x)
+
+    if preopt:
+        # unbiased pre-optimization of the input (reference scan2d/3d
+        # --preopt, default True there)
+        from .opt import optimize_structure
+        coords, e0, conv0, _ = optimize_structure(
+            struct, base_calc, opt_mode=relax_mode, thresh=relax_thresh,
+            max_cycles=relax_max_cycles)
+        x_init = np.asarray(coords)
+        struct.coords = x_init * BOHR2ANG
+        d0 = [float(np.linalg.norm(struct.coords[p[0]]
+                                   - struct.coords[p[1]]))
+              for p in pairs]
+        values = [grid_values(d0[k], axes[k]) for k in range(ndim)]
+        shape = tuple(len(v) for v in values)
+        energies = np.full(shape, np.nan)
+        if verbose:
+            print(f"[scan{ndim}d] preopt: E = {e0:.6f} Ha "
+                  f"({'conv' if conv0 else 'max cycles'})")
 
     # Reference nesting (scan2d.py:1-100, scan3d.py:1-95): when an OUTER
     # axis advances, the structure is first relaxed with only the axes up

@@ -48,14 +48,21 @@ def run_tsopt(
     rsirfo_kw: Optional[Dict[str, Any]] = None,
     write_imag_mode: bool = True,
     dump_restart: int = 0,
+    calculator=None,
     **calc_kw,
 ) -> Dict[str, Any]:
     t0 = time.time()
     struct = common.load_structure(input_path)
     q, s = common.resolve_charge_spin(struct, charge, spin)
-    freeze = common.merge_freeze(struct, [common.resolve_atom_spec(f, struct)
-                                          for f in freeze_atoms],
-                                 auto_freeze_links)
+    if calculator is not None:
+        # orchestrator reuse (reference all.py shares one UMA calculator
+        # across stage-4 sub-steps, path_search.py:141-144): the caller's
+        # calculator carries the authoritative freeze list
+        freeze = list(calculator.structure.freeze or [])
+    else:
+        freeze = common.merge_freeze(
+            struct, [common.resolve_atom_spec(f, struct)
+                     for f in freeze_atoms], auto_freeze_links)
     struct.freeze = freeze
     mode = normalize_choice(opt_mode, aliases=_TS_ALIASES, choices=TS_MODES)
     if coord_type == "dlc" and mode == "dimer":
@@ -74,9 +81,14 @@ def run_tsopt(
             hessian_dimer_kw.setdefault(k, calc_kw.pop(k))
         elif k in RSIRFO_KW:
             rsirfo_kw.setdefault(k, calc_kw.pop(k))
-    calc = common.make_calculator(struct, calc_mode=calc_mode, charge=q,
-                                  spin=s, freeze_atoms=freeze, model=model,
-                                  mesh=mesh, **calc_kw)
+    calc = calculator if calculator is not None else common.make_calculator(
+        struct, calc_mode=calc_mode, charge=q,
+        spin=s, freeze_atoms=freeze, model=model,
+        mesh=mesh, **calc_kw)
+    if calculator is not None and struct.n_atoms != calc.n_atoms:
+        raise ValueError(
+            f"calculator atom count {calc.n_atoms} != input "
+            f"{struct.n_atoms} ({input_path})")
     x0 = calc.pad_bohr(struct.coords_bohr)
 
     if verbose:

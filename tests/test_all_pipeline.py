@@ -20,7 +20,8 @@ def test_all_pipeline_xyz(tmp_path):
     res = CliRunner().invoke(cli, [
         "all", "-i", str(a), "-i", str(b), "-q", "0",
         "--calc-mode", "morse", "--freeze-atoms", "0,2",
-        "--max-nodes", "6", "--out-dir", str(out)])
+        "--max-nodes", "6", "--tsopt", "True", "--thermo", "True",
+        "--out-dir", str(out)])
     assert res.exit_code == 0, res.output
     summary = yaml.safe_load((out / "summary.yaml").read_text())
     assert summary["n_segments"] >= 1
@@ -37,6 +38,19 @@ def test_all_pipeline_xyz(tmp_path):
     assert (out / "summary.log").read_text().count("reactive") >= 1
 
 
+def test_all_single_input_requires_tsopt_or_scan(tmp_path):
+    """Reference input-mode contract (all.py:2395-2404): a single input
+    without --scan-lists and without --tsopt True is an error; the
+    stage-4 toggles default OFF (--tsopt/--thermo/--dft, all.py:2090-2111)."""
+    a = tmp_path / "A.xyz"
+    a.write_text(H3A)
+    res = CliRunner().invoke(cli, ["all", "-i", str(a), "-q", "0",
+                                   "--calc-mode", "morse",
+                                   "--out-dir", str(tmp_path / "o")])
+    assert res.exit_code != 0
+    assert "at least two structures" in str(res.output) + str(res.exception)
+
+
 def test_all_default_subcommand_tsopt_only(tmp_path):
     """`pdb2r -i ...` routes to `all` (DefaultGroup); a single input with
     no scan lists enters TSOPT-only mode (reference all.py:2675-3156)."""
@@ -46,6 +60,7 @@ def test_all_default_subcommand_tsopt_only(tmp_path):
     res = CliRunner().invoke(cli, ["-i", str(a), "-q", "0",
                                    "--calc-mode", "morse",
                                    "--freeze-atoms", "0,2",
+                                   "--tsopt", "True",
                                    "--out-dir", str(out)])
     assert res.exit_code == 0, res.output
     summary = yaml.safe_load((out / "summary.yaml").read_text())
@@ -93,6 +108,7 @@ def test_all_pdb_full_output_tree(tmp_path):
         "all", "-i", str(r_pdb), "-i", str(p_pdb),
         "--center", "LIG", "--ligand-charge", "0",
         "--calc-mode", "morse", "--max-nodes", "6",
+        "--tsopt", "True", "--thermo", "True",
         "--out-dir", str(out)])
     assert res.exit_code == 0, res.output
 
@@ -149,7 +165,7 @@ def test_scan3d_small(tmp_path):
     out = tmp_path / "s3"
     res = CliRunner().invoke(cli, [
         "scan3d", "-i", str(a), "-q", "0", "--calc-mode", "morse",
-        "--freeze-atoms", "0,3",
+        "--freeze-atoms", "0,3", "--preopt", "False",
         "--scan", "1,2,0.8,0.1", "--scan", "2,3,0.85,0.1",
         "--scan", "3,4,0.85,0.1",
         "--out-dir", str(out)])

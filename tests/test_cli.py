@@ -319,3 +319,59 @@ def test_gsm_loop_auto_prefers_host_for_escn():
     assert dense.gsm_loop_default == "device"
     escn = make_uma_calculator(st, model="escn-test")
     assert escn.gsm_loop_default == "host"
+
+
+def test_cli_round4_reference_surface(runner, endpoints, tmp_path):
+    """Round-4 reference-surface parity: scan2d --scan-list quadruples +
+    --max-step-size + --preopt/--thresh/--opt-mode; path-opt
+    --max-cycles/--opt-mode/--thresh; path-search --preopt/--align;
+    opt --bias-k; --mult alias."""
+    a, b = endpoints
+    out = tmp_path / "s2"
+    res = runner.invoke(cli, [
+        "scan2d", "-i", str(a), "-q", "0", "--calc-mode", "morse",
+        "--freeze-atoms", "0,2", "--one-based", "False",
+        "--scan-list", "[(0,1,0.7,1.0),(1,2,1.5,1.8)]",
+        "--max-step-size", "0.15", "--preopt", "False",
+        "--thresh", "gau_loose", "--out-dir", str(out)])
+    assert res.exit_code == 0, res.output
+    table = np.loadtxt(out / "surface.csv", delimiter=",", skiprows=1)
+    assert table.shape == (9, 3)          # 3x3 grid from the quadruples
+
+    out = tmp_path / "po"
+    res = runner.invoke(cli, [
+        "path-opt", "-i", str(a), "-i", str(b), "--max-nodes", "6",
+        "--max-cycles", "150", "--opt-mode", "light",
+        "--thresh", "gau", "--mult", "1",
+        "--out-dir", str(out)] + COMMON)
+    assert res.exit_code == 0, res.output
+    assert (out / "hei.xyz").exists()
+
+    out = tmp_path / "ps"
+    res = runner.invoke(cli, [
+        "path-search", "-i", str(a), "-i", str(b), "--max-nodes", "6",
+        "--preopt", "False", "--align", "False",
+        "--out-dir", str(out)] + COMMON)
+    assert res.exit_code == 0, res.output
+    assert (out / "mep.trj").exists()
+
+    out = tmp_path / "optb"
+    res = runner.invoke(cli, [
+        "opt", "-i", str(a), "--dist-freeze", "1,2",
+        "--bias-k", "25.0", "--out-dir", str(out)] + COMMON)
+    assert res.exit_code == 0, res.output
+
+
+def test_all_defaults_match_reference():
+    """Stage-4 toggles and post-processing defaults match the reference
+    (all.py:2012-2019, 2058-2065, 2090-2111)."""
+    allc = cli.commands["all"]
+    d = {p.name: p.default for p in allc.params}
+    assert d["do_tsopt"] == "False"
+    assert d["do_freq"] == "False"          # --thermo / --freq alias
+    assert d["do_dft"] == "False"
+    assert d["opt_mode_post"] == "heavy"
+    assert d["thresh_post"] == "baker"
+    assert d["opt_mode"] == "light"
+    assert d["max_cycles"] == 300
+    assert d["preopt"] == "True"
