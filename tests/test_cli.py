@@ -375,3 +375,24 @@ def test_all_defaults_match_reference():
     assert d["opt_mode"] == "light"
     assert d["max_cycles"] == 300
     assert d["preopt"] == "True"
+
+
+def test_cli_ligand_charge_derivation(runner, tmp_path):
+    """--ligand-charge on a driver CLI (reference utils.py:820-888):
+    derives the workflow charge from the full-structure residue summary
+    for PDB inputs; rejected for xyz inputs."""
+    from test_extract import build_complex_pdb
+    pdb = tmp_path / "c.pdb"
+    build_complex_pdb(pdb)
+    res = runner.invoke(cli, [
+        "opt", "-i", str(pdb), "--calc-mode", "morse",
+        "--ligand-charge", "-1", "--out-dir", str(tmp_path / "o")])
+    assert res.exit_code == 0, res.output
+    assert "full-complex summary from --ligand-charge" in res.output
+    x = tmp_path / "a.xyz"
+    x.write_text("1\nc\nH 0 0 0\n")
+    res = runner.invoke(cli, [
+        "opt", "-i", str(x), "--calc-mode", "morse",
+        "--ligand-charge", "-1", "--out-dir", str(tmp_path / "o2")])
+    assert res.exit_code != 0
+    assert "PDB inputs" in str(res.output) + str(res.exception)
