@@ -321,8 +321,12 @@ def _parse_scan_stages(specs: Tuple[str, ...],
               help="Max change in any scanned bond length per step [Ang] "
                    "(reference --max-step-size).")
 @click.option("--bias-k", type=float, default=10.0)
-@click.option("--preopt", type=BOOL, default="False", callback=_bool_cb)
-@click.option("--endopt", type=BOOL, default="False", callback=_bool_cb)
+@click.option("--preopt", type=BOOL, default="True", callback=_bool_cb,
+              help="Unbiased preoptimization before the scan "
+                   "(reference scan.py:470 default True).")
+@click.option("--endopt", type=BOOL, default="True", callback=_bool_cb,
+              help="Unbiased optimization of each stage result "
+                   "(reference scan.py:472 default True).")
 @click.option("--relax-max-cycles", type=int, default=500,
               help="Max relaxation cycles per scan step.")
 @click.option("--one-based", type=BOOL, default="True", callback=_bool_cb,
@@ -360,14 +364,17 @@ def scan_cmd(input_path, scan_lists, step_ang, bias_k, preopt, endopt,
 @click.option("--thresh", default=None,
               help="Convergence preset for the string optimizer and "
                    "endpoint preopt (reference path_opt.py --thresh).")
-@click.option("--preopt", type=BOOL, default="True", callback=_bool_cb)
+@click.option("--preopt", type=BOOL, default="False", callback=_bool_cb,
+              help="Preoptimize each endpoint before alignment + GSM "
+                   "(reference path_opt.py:648-654 default False).")
 @click.option("--preopt-max-cycles", type=int, default=10000)
 @click.option("--align", type=BOOL, default="True", callback=_bool_cb)
 @click.option("--climb", type=BOOL, default="True", callback=_bool_cb,
               help="Enable the GSM climbing image.")
-@click.option("--fix-ends", type=BOOL, default="True", callback=_bool_cb,
+@click.option("--fix-ends", type=BOOL, default="False", callback=_bool_cb,
               help="Keep endpoint images fixed during GSM "
-                   "(reference fix_first/fix_last).")
+                   "(reference --fix-ends default False overriding "
+                   "GS_KW fix_first/fix_last, path_opt.py:662-668,735).")
 @click.option("--gsm-loop", default="auto",
               type=click.Choice(["auto", "device", "host"]),
               help="GSM loop driver: device while_loops, a host-driven\n                   macro-cycle loop (compiles only the batched force\n                   call — right for giant backbones), or auto (the\n                   calculator's preference).")
@@ -780,11 +787,13 @@ def align_cmd(inputs, out_dir, freeze_atoms, relax, charge, spin,
 @click.option("--flatten-imag-mode", type=BOOL, default="False",
               callback=_bool_cb,
               help="Enable the extra-imaginary-mode flatten loop in tsopt.")
-@click.option("--scan-bias-k", type=float, default=10.0)
-@click.option("--scan-preopt", type=BOOL, default="False", callback=_bool_cb)
-@click.option("--scan-endopt", type=BOOL, default="True", callback=_bool_cb)
-@click.option("--scan-max-step-size", type=float, default=0.10)
-@click.option("--scan-relax-max-cycles", type=int, default=500)
+# None = keep the scan subcommand's own defaults (reference all.py only
+# forwards these when explicitly set, :3218-3238)
+@click.option("--scan-bias-k", type=float, default=None)
+@click.option("--scan-preopt", type=BOOL, default=None, callback=_bool_cb)
+@click.option("--scan-endopt", type=BOOL, default=None, callback=_bool_cb)
+@click.option("--scan-max-step-size", type=float, default=None)
+@click.option("--scan-relax-max-cycles", type=int, default=None)
 @click.option("--freq-temperature", type=float, default=298.15)
 @click.option("--freq-pressure", type=float, default=101325.0)
 # per-stage freq overrides (reference all.py freq passthroughs; None =
@@ -837,8 +846,14 @@ def all_cmd(input_paths, center, scan_lists, mep_mode,
             scan_out_dir, tsopt_out_dir, freq_out_dir, dft_out_dir,
             **kw):
     from .workflows.allflow import run_all
-    from .workflows.common import get_default_ligand_charge
+    from .workflows.common import get_default_ligand_charge, \
+        set_default_ligand_charge
     ligand_charge = get_default_ligand_charge()
+    # `all` consumes --ligand-charge at extraction and forwards explicit
+    # -q to every sub-stage (reference all.py:2508-2545); clear the
+    # process default so nested stages never see it (their intermediates
+    # are .xyz files, where --ligand-charge is invalid)
+    set_default_ligand_charge(None)
     scan_ob = one_based if scan_one_based is None else scan_one_based
     dft_kw: Dict[str, Any] = dict(max_cycle=dft_max_cycle,
                                   conv_tol=dft_conv_tol,
@@ -871,9 +886,11 @@ def all_cmd(input_paths, center, scan_lists, mep_mode,
                            if t.strip()] or None),
         gs_kw={"max_nodes": max_nodes, "climb": climb,
                "loop": gsm_loop},
-        scan_kw=dict(bias_k=scan_bias_k, preopt=scan_preopt,
-                     endopt=scan_endopt, step_ang=scan_max_step_size,
-                     relax_max_cycles=scan_relax_max_cycles),
+        scan_kw={k: v for k, v in
+                 dict(bias_k=scan_bias_k, preopt=scan_preopt,
+                      endopt=scan_endopt, step_ang=scan_max_step_size,
+                      relax_max_cycles=scan_relax_max_cycles).items()
+                 if v is not None},
         opt_post_kw=dict(opt_mode=normalize_choice(opt_mode_post),
                          thresh=thresh_post),
         tsopt_kw=dict(max_cycles_total=tsopt_max_cycles,
@@ -929,8 +946,12 @@ def _scan_nd_options(f):
                           "(reference default True)."),
         click.option("--plot-only", default=None,
                      type=click.Path(path_type=Path, exists=True)),
-        click.option("--bias-k", type=float, default=10.0),
-        click.option("--relax-max-cycles", type=int, default=300),
+        click.option("--bias-k", type=float, default=100.0,
+                     help="Harmonic well strength k [eV/Ang^2] "
+                          "(reference scan2d.py:437-441 default 100)."),
+        click.option("--relax-max-cycles", type=int, default=10000,
+                     help="Max optimizer cycles per grid relaxation "
+                          "(reference default 10000)."),
         click.option("--one-based", type=BOOL, default="True",
                      callback=_bool_cb,
                      help="Interpret (i,j) axis indices as 1-based."),

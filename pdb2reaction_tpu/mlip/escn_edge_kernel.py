@@ -1052,7 +1052,9 @@ def _mega_tile(cfg, P, cap=32):
 def _mega_cap(cfg, which, default):
     """A-cap for the mega kernel's edge tiles. The default is calibrated
     at escn-md scale (C=h=128, K=32: fwd A=32 fits the VMEM budget, bwd
-    A=16 with the bf16 grid chain) and scaled inversely with the
+    A=16 with the bf16 grid chain; round-4f sweep: A_BWD=32 measured
+    10.46 ms implied bwd vs 10.66 at A=16 — within noise of the relay
+    marginals, kept at 16 to preserve the warm persistent-cache programs) and scaled inversely with the
     per-edge VMEM footprint for other configs — T = A*K and every live tensor is ~T x (C or h) — so e.g.
     escn-uma-s (h=256, K=64) does not default to a guaranteed-OOM tile.
     Env-tunable via PDB2R_TPU_MEGA_A_{FWD,BWD} for sweeps (fresh process

@@ -194,7 +194,8 @@ def run_all(
                             auto_freeze_links=auto_freeze_links,
                             out_dir=scan_dir, mesh=mesh,
                             verbose=verbose,
-                            **{"endopt": True, **scan_kw, **calc_kw})
+                            **{"preopt": True, "endopt": True,
+                               **scan_kw, **calc_kw})
         # endpoints: input structure + scan product
         prod = scan_dir / "scan_product.xyz"
         st = scan_res["structure"]
