@@ -168,7 +168,11 @@ def run_all(
             "charge": charge, "spin": spin, "mep_mode": mep_mode,
             "refine_path": refine_path, "tsopt": tsopt, "irc": do_irc,
             "freq": do_freq, "dft": do_dft, "calc_mode": calc_mode,
-            "model": model, "scan_stages": scan_stages}))
+            "model": model, "scan_stages": scan_stages,
+            "opt_mode": opt_mode, "thresh": thresh,
+            "max_cycles": max_cycles, "preopt": preopt,
+            "opt_mode_post": opt_post_kw["opt_mode"],
+            "thresh_post": opt_post_kw["thresh"]}))
     results: Dict[str, Any] = {"charge": charge, "spin": spin,
                                "charge_summary": charge_summary}
 
