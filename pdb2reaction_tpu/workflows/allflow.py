@@ -108,6 +108,18 @@ def run_all(
 ) -> Dict[str, Any]:
     t0 = time.time()
     scan_kw = dict(scan_kw or {})
+    # route YAML-merged search/gs keys out of calc_kw into the nested kw
+    # dicts (config.apply_yaml_overrides merges section contents at the
+    # top level; same routing pattern as run_opt/run_tsopt)
+    from .path_search import SEARCH_KW
+    from ..engines.gsm import GS_KW
+    search_kw = dict(search_kw or {})
+    gs_kw = dict(gs_kw or {})
+    for k in list(calc_kw):
+        for table, dst in ((SEARCH_KW, search_kw), (GS_KW, gs_kw)):
+            if k in table:
+                dst[k] = calc_kw.pop(k)
+                break
     # post-processing defaults match the reference: --opt-mode-post heavy,
     # --thresh-post baker (all.py:2012-2019, 2058-2065)
     opt_post_kw = {"opt_mode": "rfo", "thresh": "baker",

@@ -114,6 +114,18 @@ def run_path_opt(
     t0 = time.time()
     assert len(input_paths) == 2, "path-opt needs exactly two endpoints"
     mep_mode = normalize_choice(mep_mode, choices=("gsm", "dmf"))
+    # route YAML-merged engine keys out of calc_kw into the nested kw
+    # dicts (same pattern as run_opt/run_tsopt)
+    from ..engines.dmf import DMF_KW
+    gs_kw = dict(gs_kw or {})
+    stopt_kw = dict(stopt_kw or {})
+    dmf_kw = dict(dmf_kw or {})
+    for k in list(calc_kw):
+        for table, dst in ((GS_KW, gs_kw), (STOPT_KW, stopt_kw),
+                           (DMF_KW, dmf_kw)):
+            if k in table:
+                dst[k] = calc_kw.pop(k)
+                break
     if thresh is not None:
         # reference path_opt.py --thresh: one preset drives the string
         # optimizer's convergence and the endpoint preoptimizations; map

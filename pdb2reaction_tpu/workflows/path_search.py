@@ -310,6 +310,24 @@ def run_path_search(
 ) -> Dict[str, Any]:
     t0 = time.time()
     assert len(input_paths) >= 2, "path-search needs >= 2 structures"
+    # YAML section contents arrive merged at the top level
+    # (config.apply_yaml_overrides); route recognised engine/search keys
+    # to their nested kw dicts instead of dropping them into calc_kw
+    # (same pattern as run_opt/run_tsopt; YAML wins over CLI-built dicts)
+    from ..engines.gsm import GS_KW, STOPT_KW
+    from ..engines.dmf import DMF_KW
+    search_kw = dict(search_kw or {})
+    gs_kw = dict(gs_kw or {})
+    stopt_kw = dict(stopt_kw or {})
+    dmf_kw = dict(dmf_kw or {})
+    bond_kw = dict(bond_kw or {})
+    for k in list(calc_kw):
+        for table, dst in ((SEARCH_KW, search_kw), (GS_KW, gs_kw),
+                           (STOPT_KW, stopt_kw), (DMF_KW, dmf_kw),
+                           (BOND_KW, bond_kw)):
+            if k in table:
+                dst[k] = calc_kw.pop(k)
+                break
     structs = [common.load_structure(p) for p in input_paths]
     q, s = common.resolve_charge_spin(structs[0], charge, spin)
     for st in structs:

@@ -396,3 +396,21 @@ def test_cli_ligand_charge_derivation(runner, tmp_path):
         "--ligand-charge", "-1", "--out-dir", str(tmp_path / "o2")])
     assert res.exit_code != 0
     assert "PDB inputs" in str(res.output) + str(res.exception)
+
+
+def test_cli_args_yaml_nested_section_routing(runner, endpoints, tmp_path):
+    """YAML `search:`/`gs:` sections reach the nested kw dicts of
+    path-search (previously dropped into calc_kw): the config echo
+    proves opt_mode/preopt/max_nodes arrived."""
+    a, b = endpoints
+    y = tmp_path / "args.yaml"
+    y.write_text("search:\n  opt_mode: rfo\n  preopt: false\n"
+                 "gs:\n  max_nodes: 7\n")
+    out = tmp_path / "ps"
+    res = runner.invoke(cli, [
+        "path-search", "-i", str(a), "-i", str(b), "--max-nodes", "6",
+        "--args-yaml", str(y), "--out-dir", str(out)] + COMMON)
+    assert res.exit_code == 0, res.output
+    assert "  opt_mode: rfo" in res.output
+    assert "  preopt: false" in res.output
+    assert "max_nodes: 7" in res.output
