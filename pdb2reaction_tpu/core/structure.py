@@ -41,6 +41,13 @@ class Structure:
     # Optional per-atom PDB metadata dicts (record/name/resname/chain/resseq/...)
     pdb_atoms: Optional[List[Dict[str, Any]]] = None
     source_path: Optional[str] = None
+    # suffix of the ORIGINAL input file (".pdb"/".xyz"/".gjf"/...).
+    # source_path is rebound to the --ref-pdb template when one is
+    # attached (workflows/common.py load_structure), so PDB-only checks
+    # like --ligand-charge must consult this instead (reference
+    # utils.py:869-875 rejects --ligand-charge for xyz/gjf inputs even
+    # when a template PDB is supplied).
+    input_suffix: Optional[str] = None
 
     def __post_init__(self):
         self.numbers = np.asarray(self.numbers, dtype=np.int32)

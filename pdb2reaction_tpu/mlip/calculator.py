@@ -403,33 +403,65 @@ class Calculator:
         res["hessian"] = H_au.astype(dtype)
         return res
 
+    def _stream_chunks(self, kernel, full, env_name, default_chunk):
+        """Run ``kernel`` over ``full`` [B, P, 3] in fixed-size host-side
+        chunks and stack the results (VERDICT r4 items 3/4).
+
+        One-shot full-batch programs failed at flagship scale two ways:
+        the 904-tangent analytic-HVP program exhausted v5e HBM, and the
+        1808-displacement batched-FD program took ~18 min of remote
+        compile. Streaming fixed [C, P, 3] chunks bounds live memory to
+        one chunk's temps AND compiles exactly ONE moderate program that
+        every chunk (and every later Hessian call at this system size)
+        reuses. The chunk size is padded to the mesh data-axis multiple so
+        sharded calculators keep even shards; the tail chunk is padded by
+        repeating its last row and trimmed after."""
+        B = full.shape[0]
+        mult = self._mesh_batch_multiple()
+        C = int(os.environ.get(env_name, str(default_chunk)))
+        C = max(((C + mult - 1) // mult) * mult, mult)
+        Bp = ((B + mult - 1) // mult) * mult
+        C = min(C, Bp)
+        gather = None
+        if jax.process_count() > 1:
+            from ..parallel.distributed import gather_global
+            gather = gather_global
+        outs = []
+        for lo in range(0, B, C):
+            chunk = full[lo:lo + C]
+            if chunk.shape[0] < C:
+                chunk = np.concatenate(
+                    [chunk, np.tile(chunk[-1:], (C - chunk.shape[0], 1, 1))])
+            jb = jnp.asarray(chunk)
+            if self.mesh is not None:
+                jb = shard_batch(jb, self.mesh)
+            out = kernel(jb)
+            if gather is not None:
+                out = gather(out)
+            outs.append(np.asarray(out, dtype=np.float64))
+        return np.concatenate(outs)[:B]
+
     def _analytic_hessian(self, coords_bohr) -> np.ndarray:
         c = self._to_pad_ang(coords_bohr)
         n3 = self.n_atoms * 3
-        # unit tangents for every real-atom DOF, evaluated as chunked HVPs;
-        # padded to a multiple of the mesh data axis for even shards
-        mult = self._mesh_batch_multiple()
-        n3p = ((n3 + mult - 1) // mult) * mult
-        eye = np.zeros((n3p, self.n_pad, 3), dtype=np.float32)
-        flat = eye.reshape(n3p, -1)
+        # unit tangents for every real-atom DOF, streamed as fixed-size
+        # HVP chunks (forward-over-reverse); see _stream_chunks
+        eye = np.zeros((n3, self.n_pad, 3), dtype=np.float32)
+        flat = eye.reshape(n3, -1)
         atom = np.arange(n3) // 3
         comp = np.arange(n3) % 3
         flat[np.arange(n3), atom * 3 + comp] = 1.0
-        jt = jnp.asarray(eye)
-        if self.mesh is not None:
-            jt = shard_batch(jt, self.mesh)
-        rows = self._hvp_batch_j(c, jt, self.system, self.params)
-        if jax.process_count() > 1:
-            from ..parallel.distributed import gather_global
-            rows = gather_global(rows)
-        rows = np.asarray(rows, dtype=np.float64)[:n3]
+        rows = self._stream_chunks(
+            lambda jt: self._hvp_batch_j(c, jt, self.system, self.params),
+            eye, "PDB2R_TPU_HVP_CHUNK", 64)
         H = rows[:, : self.n_atoms].reshape(n3, n3)
         H = 0.5 * (H + H.T)
         return H * H_EVAA_2_AU
 
     def _fd_hessian(self, coords_bohr) -> np.ndarray:
-        """Batched central differences: ALL 2*N_free_dof displacements in one
-        vmapped pass (vs. the reference's serial loop, uma_pysis.py:652-675)."""
+        """Batched central differences: ALL 2*N_free_dof displacements as
+        device-batched force calls (vs. the reference's serial loop,
+        uma_pysis.py:652-675), streamed in fixed-size chunks."""
         c0 = np.asarray(self._to_pad_ang(coords_bohr))
         eps = self.fd_step
         free = self.free_dof_mask
@@ -444,19 +476,9 @@ class Calculator:
         flat[np.arange(B), pad_flat] += eps
         flat[B + np.arange(B), pad_flat] -= eps
         batch = flat.reshape(2 * B, self.n_pad, 3)
-        mult = self._mesh_batch_multiple()
-        Bp = ((2 * B + mult - 1) // mult) * mult
-        if Bp > 2 * B:
-            batch = np.concatenate(
-                [batch, np.tile(batch[-1:], (Bp - 2 * B, 1, 1))])
-        jb = jnp.asarray(batch)
-        if self.mesh is not None:
-            jb = shard_batch(jb, self.mesh)
-        fj = self._fd_forces_batch_j(jb, self.system, self.params)
-        if jax.process_count() > 1:
-            from ..parallel.distributed import gather_global
-            fj = gather_global(fj)
-        f = np.asarray(fj, dtype=np.float64)[: 2 * B]
+        f = self._stream_chunks(
+            lambda jb: self._fd_forces_batch_j(jb, self.system, self.params),
+            batch, "PDB2R_TPU_FD_CHUNK", 64)
         self.force_calls += 2 * B
         f = f[:, : self.n_atoms].reshape(2 * B, n3)
         fp, fm = f[:B], f[B:]

@@ -76,9 +76,12 @@ def run_all(
     freeze_atoms: Sequence = (),
     auto_freeze_links: bool = True,
     refine_path: bool = True,
-    tsopt: bool = True,
+    # stage-4 toggles: ONE source of truth with the CLI and the reference
+    # (all.py:2090-2111 — tsopt/thermo/dft default False; IRC runs only
+    # under tsopt). tests/test_all_pipeline.py pins library==CLI defaults.
+    tsopt: bool = False,
     do_irc: bool = True,
-    do_freq: bool = True,
+    do_freq: bool = False,
     do_dft: bool = False,
     opt_mode: str = "light",     # workflow optimizer mode (all.py:2003-2010)
     thresh: Optional[str] = None,  # workflow threshold preset (all.py:2051)
@@ -313,10 +316,16 @@ def run_all(
             shutil.copy2(src, stage3 / name)
 
     # ---- Stage 4: per reactive segment (all.py:3855+) --------------------
+    # skipped entirely unless a stage-4 stage is requested (the reference
+    # returns right after stage 3 when not (tsopt or thermo or dft),
+    # all.py:3848)
     seg_results = []
     freq_blocks: Dict[int, Any] = {}
     irc_profiles: Dict[int, Any] = {}
+    run_stage4 = tsopt or do_freq or do_dft
     for si, seg in enumerate(segments):
+        if not run_stage4:
+            break
         if not seg.is_reactive:
             continue
         seg_out = out / f"stage4_seg_{si:03d}"
@@ -360,20 +369,30 @@ def run_all(
             finally:
                 meter_ctx.__exit__(None, None, None)
 
-        # endpoint minimization (all.py:1228-1294)
+        # endpoint handling: under tsopt the endpoints are RE-MINIMIZED
+        # (the reference's IRC/matching flow, all.py:1228-1294); for
+        # thermo/dft WITHOUT tsopt the reference takes the MEP endpoints
+        # as-is from final_geometries.trj (all.py:4074-4101) — no
+        # per-segment RFO runs on a default pipeline.
         minima = []
         for tag, xg in (("reactant", seg.images_bohr[0]),
                         ("product", seg.images_bohr[-1])):
-            st = pocket_struct.copy(coords=np.asarray(xg) * BOHR2ANG)
-            coords, e, conv, _ = optimize_structure(st, calc,
-                                                    **opt_post_kw)
+            if tsopt:
+                st = pocket_struct.copy(coords=np.asarray(xg) * BOHR2ANG)
+                coords, e, conv, _ = optimize_structure(st, calc,
+                                                        **opt_post_kw)
+                common.write_outputs(seg_out, f"{tag}_opt", pocket_struct,
+                                     coords, energy=e)
+            else:
+                coords = np.asarray(xg)
+                e = float(seg.energies[0 if tag == "reactant" else -1])
             minima.append((tag, coords, e))
-            common.write_outputs(seg_out, f"{tag}_opt", pocket_struct,
-                                 coords, energy=e)
         entry["endpoints"] = {t: float(e) for t, _, e in minima}
 
-        # IRC from the TS (all.py:1625-1806)
-        if do_irc:
+        # IRC from the TS — only under tsopt, like the reference
+        # (all.py:3931-3945 runs _irc_and_match inside `if do_tsopt:`);
+        # --irc can additionally disable it
+        if tsopt and do_irc:
             from ..engines.irc import eulerpc_irc
             try:
                 ircres = eulerpc_irc(calc, calc.pad_bohr(ts_x), **irc_kw)

@@ -164,7 +164,9 @@ def load_structure(path, ref_pdb=None) -> Structure:
     p = Path(path)
     suf = p.suffix.lower()
     if suf == ".pdb":
-        return io_pdb.read_pdb(p)
+        st = io_pdb.read_pdb(p)
+        st.input_suffix = suf
+        return st
     if suf in (".xyz", ".trj"):
         st = io_xyz.read_xyz(p)
     elif suf == ".gjf" or suf == ".com":
@@ -172,6 +174,7 @@ def load_structure(path, ref_pdb=None) -> Structure:
         st = read_gjf(p)
     else:
         raise ValueError(f"Unsupported structure format: {p}")
+    st.input_suffix = suf
     rp = ref_pdb or _DEFAULT_REF_PDB
     if rp:
         tmpl = io_pdb.read_pdb(rp)
@@ -257,7 +260,14 @@ def resolve_charge_spin(struct: Structure, charge: Optional[int],
         else _DEFAULT_LIGAND_CHARGE
     if lc is not None:
         src = getattr(struct, "source_path", None)
-        if not (src and str(src).lower().endswith(".pdb")):
+        # the ORIGINAL input must be a PDB: source_path is rebound to the
+        # --ref-pdb template for xyz/gjf inputs (load_structure), so an
+        # xyz + --ref-pdb combination must still be rejected here
+        # (reference utils.py:869-875; ADVICE r4)
+        in_suf = getattr(struct, "input_suffix", None)
+        is_pdb = (in_suf == ".pdb") if in_suf \
+            else bool(src and str(src).lower().endswith(".pdb"))
+        if not (src and is_pdb):
             raise ValueError(
                 "--ligand-charge is only supported for PDB inputs; it "
                 "cannot be used with .xyz or .gjf files "

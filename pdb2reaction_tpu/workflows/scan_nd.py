@@ -36,8 +36,15 @@ def grid_values(d0: float, spec: Dict[str, Any]) -> np.ndarray:
     start = float(spec.get("start", d0))
     end = float(spec["end"])
     step = abs(float(spec.get("step", 0.1))) or 0.1
-    n = max(1, int(round(abs(end - start) / step))) + 1
-    return np.linspace(start, end, n)
+    delta = abs(end - start)
+    if delta < 1e-12:
+        return np.array([start], dtype=float)
+    # ceil, not round: 'step' is a MAXIMUM step size — the actual grid
+    # step must never exceed it (reference scan2d.py:295-303
+    # _values_from_bounds; ADVICE r4)
+    import math
+    n = int(math.ceil(delta / step))
+    return np.linspace(start, end, n + 1)
 
 
 def run_scan_nd(

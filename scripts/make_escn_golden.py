@@ -29,6 +29,22 @@ CFG = NpConfig(lmax=2, mmax=1, sphere_channels=8, hidden_channels=8,
                max_neighbors=16, max_z=20, charge_range=4, spin_range=4,
                num_tasks=2, avg_degree=12.0)
 
+# Production-operating-point fixture (VERDICT r4 item 5): the block
+# structure and channel width that escn-md/uma-s actually run at —
+# lmax=4/mmax=2, 128 sphere channels, >=4 MoLE experts — so conversion +
+# kernel parity is proven where the kernels operate, not just at the
+# lmax=2/C=8 toy. Layers/ffn/edge dims are reduced to keep the state
+# dict ~16M params: it is NOT stored in the fixture — the test rebuilds
+# it deterministically from MD_SEED via make_state_dict (same numpy
+# default_rng stream; the committed goldens pin the stream, so an RNG
+# drift across numpy versions fails loudly rather than silently).
+MD_CFG = NpConfig(lmax=4, mmax=2, sphere_channels=128, hidden_channels=64,
+                  edge_channels=32, ffn_hidden=128, num_layers=2,
+                  num_experts=4, route_dim=8, num_gauss=16, cutoff=6.0,
+                  max_neighbors=16, max_z=20, charge_range=4, spin_range=4,
+                  num_tasks=2, avg_degree=12.0)
+MD_SEED = 23
+
 
 def make_state_dict(cfg: NpConfig, seed=11):
     rng = np.random.default_rng(seed)
@@ -136,5 +152,51 @@ def main():
     print(f"wrote {dest / 'escn_golden.npz'}")
 
 
+def md_structures():
+    rng = np.random.default_rng(31)
+    # generic coordinates only — see the gauge-flip note in structures()
+    return [
+        (np.array([8, 1, 1], np.int32),
+         np.array([[0.0, 0.0, 0.0], [0.96, 0.0, 0.0],
+                   [-0.24, 0.93, 0.0]])
+         + rng.normal(scale=0.05, size=(3, 3)), (0, 1, 0)),
+        (np.array([6, 7, 8, 1, 1, 16], np.int32),
+         rng.normal(scale=1.4, size=(6, 3)), (-1, 2, 1)),
+    ]
+
+
+def main_md():
+    """Goldens at the production operating point. The state dict is NOT
+    stored (would be ~65 MB compressed): the consumer rebuilds it from
+    (MD_CFG, MD_SEED). A fingerprint of the rebuilt dict is stored so an
+    RNG-stream drift is diagnosed loudly."""
+    sd = make_state_dict(MD_CFG, seed=MD_SEED)
+    model = NpESCN(sd, MD_CFG)
+    out = {
+        "cfg_seed": np.array(MD_SEED),
+        "sd_fingerprint": np.array(
+            [float(np.sum(v)) for _, v in sorted(sd.items())][:8]),
+        "sd_total_sum": np.array(
+            sum(float(np.sum(v)) for v in sd.values())),
+    }
+    for i, (numbers, coords, (q, s, t)) in enumerate(md_structures()):
+        e = model.energy(numbers, coords, charge=q, spin=s, task=t)
+        f = model.forces_fd(numbers, coords, charge=q, spin=s, task=t)
+        print(f"md struct{i}: n={len(numbers)} q={q} s={s} t={t} "
+              f"E={e:.10f} |F|max={np.abs(f).max():.6f}")
+        out[f"struct{i}_numbers"] = numbers
+        out[f"struct{i}_coords"] = coords
+        out[f"struct{i}_cqt"] = np.array([q, s, t])
+        out[f"struct{i}_energy"] = np.array(e)
+        out[f"struct{i}_forces"] = f
+    dest = Path(__file__).resolve().parents[1] / "tests" / "fixtures"
+    dest.mkdir(exist_ok=True)
+    np.savez_compressed(dest / "escn_golden_md.npz", **out)
+    print(f"wrote {dest / 'escn_golden_md.npz'}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--md" in sys.argv:
+        main_md()
+    else:
+        main()

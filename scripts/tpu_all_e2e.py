@@ -209,6 +209,9 @@ def main():
             calc_mode=args.calc_mode, model=args.model,
             out_dir=out / "result_all",
             gs_kw={"max_nodes": args.max_nodes},
+            # stage-4 toggles now default False (reference parity) — this
+            # benchmark measures the FULL pipeline, so turn them on
+            tsopt=True,
             tsopt_kw={"max_cycles_total": args.tsopt_max_cycles},
             do_freq=not args.no_freq,
         )

@@ -38,6 +38,52 @@ def test_all_pipeline_xyz(tmp_path):
     assert (out / "summary.log").read_text().count("reactive") >= 1
 
 
+def test_all_stage4_defaults_library_cli_parity():
+    """ONE source of truth for the stage-4 toggles (VERDICT r4 item 7):
+    run_all's keyword defaults must equal the `all` CLI option defaults
+    (which in turn match the reference, all.py:2090-2111 — tsopt/thermo/
+    dft False, IRC gated under tsopt)."""
+    import inspect
+
+    from pdb2reaction_tpu.workflows.allflow import run_all
+
+    sig = inspect.signature(run_all)
+    lib = {name: sig.parameters[name].default
+           for name in ("tsopt", "do_irc", "do_freq", "do_dft")}
+    cli_params = {p.name: p for p in cli.commands["all"].params}
+    for lib_name, cli_name in [("tsopt", "do_tsopt"), ("do_irc", "do_irc"),
+                               ("do_freq", "do_freq"), ("do_dft", "do_dft")]:
+        raw = cli_params[cli_name].default
+        cli_default = raw if isinstance(raw, bool) \
+            else str(raw).lower() == "true"
+        assert lib[lib_name] == cli_default, (
+            f"{lib_name}: library default {lib[lib_name]} != CLI default "
+            f"{cli_default}")
+    assert lib["tsopt"] is False and lib["do_freq"] is False \
+        and lib["do_dft"] is False
+
+
+def test_all_default_run_skips_stage4(tmp_path):
+    """A default `all` run (no --tsopt/--thermo/--dft) must not run ANY
+    stage-4 work — no per-segment RFO endpoint minimization, no IRC, no
+    stage4_seg dirs (the reference returns right after stage 3,
+    all.py:3848; ADVICE r4 high)."""
+    a, b = tmp_path / "A.xyz", tmp_path / "B.xyz"
+    a.write_text(H3A)
+    b.write_text(H3B)
+    out = tmp_path / "out"
+    res = CliRunner().invoke(cli, [
+        "all", "-i", str(a), "-i", str(b), "-q", "0",
+        "--calc-mode", "morse", "--freeze-atoms", "0,2",
+        "--max-nodes", "6", "--out-dir", str(out)])
+    assert res.exit_code == 0, res.output
+    assert not list(out.glob("stage4_seg_*"))
+    summary = yaml.safe_load((out / "summary.yaml").read_text())
+    assert summary.get("stage4") == []
+    # stage 1-3 artifacts still present
+    assert (out / "summary.log").exists()
+
+
 def test_all_single_input_requires_tsopt_or_scan(tmp_path):
     """Reference input-mode contract (all.py:2395-2404): a single input
     without --scan-lists and without --tsopt True is an error; the

@@ -105,6 +105,71 @@ def test_bench_probe_hang_times_out():
         sys.path.remove(str(REPO))
 
 
+def test_bench_budget_gate_and_sub_budget():
+    """VERDICT r4 item 1a: the global wall-clock budget must gate every
+    section with an explicit skip marker and clamp subprocess timeouts."""
+    sys.path.insert(0, str(REPO))
+    try:
+        import importlib
+
+        import bench
+        importlib.reload(bench)
+        # pretend the budget is nearly exhausted
+        bench.BUDGET_S = 100.0
+        bench._T0 = bench.time.monotonic() - 95.0      # 5 s remaining
+        extras = {}
+        assert not bench._gate(extras, "escn", 90)
+        assert "skipped" in extras["escn"]
+        assert "PDB2R_BENCH_BUDGET" in extras["escn"]["skipped"]
+        assert bench._sub_budget("PDB2R_BENCH_HESS_TIMEOUT", 600) == 0
+        # plenty of budget: gate passes, sub-budget clamps to remaining
+        bench._T0 = bench.time.monotonic() - 10.0
+        extras = {}
+        assert bench._gate(extras, "escn", 60)
+        assert extras == {}
+        clamped = bench._sub_budget("PDB2R_BENCH_HESS_TIMEOUT", 600,
+                                    floor=60, margin=20)
+        assert 60 <= clamped <= 70        # ~90 s remaining - 20 margin
+    finally:
+        sys.path.remove(str(REPO))
+
+
+def test_bench_sigterm_emits_partial_payload():
+    """VERDICT r4 item 1c: SIGTERM (what the driver's timeout sends before
+    SIGKILL) must flush the current partial payload as a JSON line."""
+    import signal
+    import time as _time
+
+    code = r'''
+import sys, time
+sys.path.insert(0, %r)
+import bench
+bench._PAYLOAD = {"metric": "mlip_force_calls_per_sec_300atom",
+                  "value": 123.0, "unit": "force-calls/sec",
+                  "vs_baseline": None, "extras": {"partial": True}}
+bench._install_signal_handlers()
+print("READY", flush=True)
+time.sleep(60)
+''' % str(REPO)
+    p = subprocess.Popen([sys.executable, "-c", code],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+    try:
+        assert p.stdout.readline().strip() == "READY"
+        p.send_signal(signal.SIGTERM)
+        out, _err = p.communicate(timeout=30)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    assert p.returncode == 0
+    lines = [l for l in out.strip().splitlines() if l.strip()]
+    payload = json.loads(lines[-1])
+    assert payload["value"] == 123.0
+    ex = payload["extras"]
+    assert ex["terminated_by_signal"] == "SIGTERM"
+    assert "elapsed_s" in ex
+
+
 def test_last_known_good_parses_bench_artifacts():
     sys.path.insert(0, str(REPO))
     try:

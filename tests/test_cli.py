@@ -331,12 +331,14 @@ def test_cli_round4_reference_surface(runner, endpoints, tmp_path):
     res = runner.invoke(cli, [
         "scan2d", "-i", str(a), "-q", "0", "--calc-mode", "morse",
         "--freeze-atoms", "0,2", "--one-based", "False",
-        "--scan-list", "[(0,1,0.7,1.0),(1,2,1.5,1.8)]",
-        "--max-step-size", "0.15", "--preopt", "False",
+        "--scan-list", "[(0,1,0.75,1.0),(1,2,1.5,1.75)]",
+        "--max-step-size", "0.125", "--preopt", "False",
         "--thresh", "gau_loose", "--out-dir", str(out)])
     assert res.exit_code == 0, res.output
     table = np.loadtxt(out / "surface.csv", delimiter=",", skiprows=1)
-    assert table.shape == (9, 3)          # 3x3 grid from the quadruples
+    # 3x3 grid: binary-exact 0.25 spans / 0.125 max step -> ceil gives
+    # exactly 2 intervals per axis (reference scan2d.py:295-303 semantics)
+    assert table.shape == (9, 3)
 
     out = tmp_path / "po"
     res = runner.invoke(cli, [
@@ -360,6 +362,24 @@ def test_cli_round4_reference_surface(runner, endpoints, tmp_path):
         "opt", "-i", str(a), "--dist-freeze", "1,2",
         "--bias-k", "25.0", "--out-dir", str(out)] + COMMON)
     assert res.exit_code == 0, res.output
+
+
+def test_scan_grid_values_step_is_maximum():
+    """grid_values honors 'step' as a MAXIMUM step (ceil interval count,
+    reference scan2d.py:295-303 _values_from_bounds; ADVICE r4): a
+    1.49x-step span must split into 2 intervals, not 1."""
+    from pdb2reaction_tpu.workflows.scan_nd import grid_values
+    v = grid_values(1.0, {"end": 1.149, "step": 0.1})
+    assert len(v) == 3                       # 2 intervals of 0.0745
+    assert np.max(np.abs(np.diff(v))) <= 0.1 + 1e-12
+    # exact multiples keep the expected count (binary-exact span: plain
+    # ceil like the reference, so 0.1-style float slop may add one finer
+    # interval — never a coarser-than-step one)
+    v = grid_values(1.0, {"end": 1.5, "step": 0.125})
+    assert len(v) == 5
+    # degenerate span -> single point
+    v = grid_values(1.0, {"end": 1.0, "step": 0.1})
+    assert len(v) == 1
 
 
 def test_all_defaults_match_reference():
@@ -394,6 +414,18 @@ def test_cli_ligand_charge_derivation(runner, tmp_path):
     res = runner.invoke(cli, [
         "opt", "-i", str(x), "--calc-mode", "morse",
         "--ligand-charge", "-1", "--out-dir", str(tmp_path / "o2")])
+    assert res.exit_code != 0
+    assert "PDB inputs" in str(res.output) + str(res.exception)
+    # xyz input + --ref-pdb template: still rejected (the template rebinds
+    # source_path but the ORIGINAL input is xyz — reference utils.py:869-875
+    # rejects unconditionally; ADVICE r4)
+    from pdb2reaction_tpu.core import io_pdb, io_xyz
+    st = io_pdb.read_pdb(pdb)
+    x2 = tmp_path / "same.xyz"
+    io_xyz.write_xyz(x2, st)
+    res = runner.invoke(cli, [
+        "opt", "-i", str(x2), "--ref-pdb", str(pdb), "--calc-mode", "morse",
+        "--ligand-charge", "-1", "--out-dir", str(tmp_path / "o3")])
     assert res.exit_code != 0
     assert "PDB inputs" in str(res.output) + str(res.exception)
 

@@ -119,6 +119,118 @@ def test_synonym_layouts_and_audit(golden, tmp_path):
     assert not rep["unmapped"]
 
 
+class TestProductionDimsGolden:
+    """Golden parity at the PRODUCTION operating point (VERDICT r4
+    item 5): lmax=4/mmax=2, 128 sphere channels, 4 MoLE experts — the
+    block structure escn-md/uma-s kernels actually run at, not the
+    lmax=2/C=8 toy. The ~16M-param state dict is rebuilt deterministically
+    from (MD_CFG, MD_SEED) in scripts/make_escn_golden.py (too large to
+    commit); the committed fixture pins an RNG-stream fingerprint plus
+    independent-numpy-executor energies/FD-forces."""
+
+    @pytest.fixture(scope="class")
+    def md(self):
+        import sys
+        scripts = Path(__file__).parents[1] / "scripts"
+        sys.path.insert(0, str(scripts))
+        try:
+            from make_escn_golden import MD_CFG, MD_SEED, make_state_dict
+        finally:
+            sys.path.remove(str(scripts))
+        g = np.load(Path(__file__).parent / "fixtures"
+                    / "escn_golden_md.npz")
+        sd = make_state_dict(MD_CFG, seed=int(g["cfg_seed"]))
+        # loud diagnosis if the numpy default_rng stream ever drifts
+        fp = np.array([float(np.sum(v)) for _, v in sorted(sd.items())][:8])
+        np.testing.assert_allclose(fp, g["sd_fingerprint"], rtol=1e-12,
+                                   err_msg="numpy RNG stream drift: "
+                                   "regenerate escn_golden_md.npz")
+        return g, sd, MD_CFG
+
+    @pytest.fixture(scope="class")
+    def md_converted(self, md, tmp_path_factory):
+        from pdb2reaction_tpu.mlip.convert import convert_checkpoint
+        g, sd, _ = md
+        pt = tmp_path_factory.mktemp("ckpt_md") / "golden_md.pt"
+        torch.save({"state_dict":
+                    {k: torch.as_tensor(v) for k, v in sd.items()}}, pt)
+        params, cfg = convert_checkpoint(pt)
+        return params, cfg
+
+    def test_inferred_config_at_production_dims(self, md_converted):
+        _, cfg = md_converted
+        assert (cfg.lmax, cfg.mmax) == (4, 2)
+        assert cfg.sphere_channels == 128
+        assert cfg.hidden_channels == 64
+        assert cfg.num_experts == 4
+        assert cfg.edge_act == "s2"
+
+    @pytest.mark.parametrize("i", [0, 1])
+    def test_energy_forces_vs_independent_golden_md(self, md, md_converted,
+                                                    i):
+        from pdb2reaction_tpu.core.structure import Structure, pad_to
+        from pdb2reaction_tpu.mlip.escn import escn_energy
+
+        g, _, _ = md
+        params, cfg = md_converted
+        cfg = dataclasses.replace(cfg, dtype=jnp.float64)
+        numbers = g[f"struct{i}_numbers"]
+        coords = g[f"struct{i}_coords"]
+        q, s, t = (int(v) for v in g[f"struct{i}_cqt"])
+        st = Structure(numbers, coords)
+        sysp = pad_to(st, multiple=8)
+        p = dict(params)
+        p["charge"] = jnp.asarray(q, jnp.float32)
+        p["spin"] = jnp.asarray(s, jnp.float32)
+        p["task"] = jnp.asarray(t, jnp.float32)
+
+        cpad = jnp.asarray(np.concatenate(
+            [coords, np.zeros((sysp.n_pad - st.n_atoms, 3))]), jnp.float64)
+        e, grad = jax.value_and_grad(
+            lambda c: escn_energy(c, sysp, p, cfg))(cpad)
+        n = st.n_atoms
+        assert abs(float(e) - float(g[f"struct{i}_energy"])) < 1e-6 * n
+        assert np.abs(-np.asarray(grad)[:n]
+                      - g[f"struct{i}_forces"]).max() < 1e-5
+
+    def test_pallas_mega_on_converted_weights_md(self, md, md_converted):
+        """The converted production-dims params through the pallas-mega
+        kernel chain (interpret mode on CPU, f32) must match the all-XLA
+        f32 path on the SAME params — the exact route a real UMA
+        checkpoint takes on TPU (mlip/uma.py make_uma_calculator)."""
+        from pdb2reaction_tpu.core.structure import Structure, pad_to
+        from pdb2reaction_tpu.mlip.escn import ESCN_FN_FOR
+
+        g, _, _ = md
+        params, cfg = md_converted
+        numbers = g["struct1_numbers"]
+        coords = g["struct1_coords"]
+        st = Structure(numbers, coords)
+        sysp = pad_to(st, multiple=8)
+        # converted torch f64 tensors -> f32 for the f32 kernel chain
+        p = jax.tree.map(
+            lambda a: (jnp.asarray(a, jnp.float32)
+                       if jnp.issubdtype(jnp.asarray(a).dtype,
+                                         jnp.floating) else a),
+            dict(params))
+        p["charge"] = jnp.asarray(-1.0, jnp.float32)
+        p["spin"] = jnp.asarray(2.0, jnp.float32)
+        p["task"] = jnp.asarray(1.0, jnp.float32)
+        cpad = jnp.asarray(np.concatenate(
+            [coords, np.zeros((sysp.n_pad - st.n_atoms, 3))]), jnp.float32)
+
+        outs = {}
+        for tag, kern in (("xla", "xla"), ("mega", "pallas-mega")):
+            fn = ESCN_FN_FOR(dataclasses.replace(cfg, edge_kernel=kern))
+            e, grad = jax.value_and_grad(
+                lambda c: fn(c, sysp, p))(cpad)
+            outs[tag] = (float(e), np.asarray(grad)[:st.n_atoms])
+        np.testing.assert_allclose(outs["mega"][0], outs["xla"][0],
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(outs["mega"][1], outs["xla"][1],
+                                   rtol=1e-3, atol=2e-5)
+
+
 def test_audit_reports_unmapped(golden, tmp_path):
     from pdb2reaction_tpu.mlip.convert import audit_checkpoint
     sd = {k[3:]: torch.as_tensor(golden[k]) for k in golden.files

@@ -96,20 +96,40 @@ def test_checkpoint_provenance_no_warning(water, tmp_path, capsys):
     assert calc2.weights_source == f"checkpoint:{ckpt}"
 
 
-def test_hessian_mode_auto_resolution(water):
-    """"auto" resolves per backbone: FiniteDifference for Pallas-kernel
-    eSCN (analytic HVPs would route through the fwd-over-rev XLA variant,
-    which exhausts HBM at production scale — measured v5e; FD is also the
-    reference default, uma_pysis.py:160), Analytical for dense backbones.
-    An explicit mode is always honored."""
+def test_hessian_mode_auto_resolution(water, monkeypatch):
+    """"auto" resolves by safety, not blanket kernel type (VERDICT r4
+    item 2): Analytical wherever it is exact AND cheap — CPU backends and
+    small systems — and FiniteDifference only for LARGE Pallas-kernel
+    eSCN systems on TPU (the fwd-over-rev XLA variant's HVP chunks are
+    slower than batched FD through the Pallas kernel at production scale;
+    FD is also the reference default, uma_pysis.py:160). An explicit mode
+    is always honored."""
+    # small system (CPU test backend): analytic even with the Pallas kernel
     c_escn = make_uma_calculator(water, model="escn-test",
                                  edge_kernel="pallas-mega")
-    assert c_escn.hessian_calc_mode == "FiniteDifference"
+    assert c_escn.hessian_calc_mode == "Analytical"
     c_escn_xla = make_uma_calculator(water, model="escn-test")
     assert c_escn_xla.hessian_calc_mode == "Analytical"
     c_dense = make_uma_calculator(water, model="small")
     assert c_dense.hessian_calc_mode == "Analytical"
+    # explicit mode always wins
     c_expl = make_uma_calculator(water, model="escn-test",
                                  edge_kernel="pallas-mega",
-                                 hessian_calc_mode="Analytical")
-    assert c_expl.hessian_calc_mode == "Analytical"
+                                 hessian_calc_mode="FiniteDifference")
+    assert c_expl.hessian_calc_mode == "FiniteDifference"
+    # large Pallas-kernel system on a non-CPU backend: FD
+    import jax as _jax
+
+    from pdb2reaction_tpu.core.structure import Structure
+    rng = np.random.default_rng(0)
+    big = Structure(np.full(120, 6, np.int32),
+                    rng.normal(scale=6.0, size=(120, 3)))
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    c_big = make_uma_calculator(big, model="escn-test",
+                                edge_kernel="pallas-mega")
+    assert c_big.hessian_calc_mode == "FiniteDifference"
+    # ... but the same large system keeps the analytic default on CPU
+    monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
+    c_big_cpu = make_uma_calculator(big, model="escn-test",
+                                    edge_kernel="pallas-mega")
+    assert c_big_cpu.hessian_calc_mode == "Analytical"
