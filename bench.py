@@ -651,13 +651,13 @@ def _escn_hessian_section():
         return {"skipped": "global budget exhausted before the Hessian "
                            "section (PDB2R_BENCH_BUDGET)"}
     code = r'''
-import time, json
+import os, time, json, sys
 import numpy as np
 import pdb2reaction_tpu.workflows.common   # installs the compile cache
 from pdb2reaction_tpu.core.structure import Structure
 from pdb2reaction_tpu.mlip.uma import make_uma_calculator
 # same construction as scripts/tpu_escn_hessian.py so the cached
-# batched-FD program (keyed on padded shapes only) is reused
+# chunked-FD program (keyed on padded + chunk shapes only) is reused
 rng = np.random.default_rng(0)
 n = 300
 zs = rng.choice([1, 6, 7, 8, 16], size=n, p=[0.45, 0.35, 0.08, 0.10, 0.02])
@@ -673,10 +673,31 @@ t_first = time.perf_counter() - t0
 t0 = time.perf_counter()
 H2 = calc.get_hessian(cb.copy() + 1e-5)["hessian"]
 t_warm = time.perf_counter() - t0
-print(json.dumps({"first_call_s": round(t_first, 1),
-                  "warm_call_s": round(t_warm, 1),
-                  "mode": calc.hessian_calc_mode,
-                  "n_dof": int(H1.shape[0])}))
+out = {"first_call_s": round(t_first, 1),
+       "warm_call_s": round(t_warm, 1),
+       "mode": calc.hessian_calc_mode,
+       "fd_chunk": int(os.environ.get("PDB2R_TPU_FD_CHUNK", "64")),
+       "n_dof": int(H1.shape[0])}
+# FD result is on the record even if the analytic attempt below dies
+print(json.dumps(out)); sys.stdout.flush()
+# analytic mode at 300 atoms (VERDICT r4 item 3): streamed HVP-tangent
+# chunks through the fwd-over-rev XLA variant — record timing + parity
+# vs FD. Opt out with PDB2R_BENCH_HESS_NO_ANALYTIC=1.
+if not os.environ.get("PDB2R_BENCH_HESS_NO_ANALYTIC"):
+    try:
+        calc_a = make_uma_calculator(st, model="escn-md",
+                                     hessian_calc_mode="Analytical")
+        t0 = time.perf_counter()
+        Ha = calc_a.get_hessian(cb)["hessian"]
+        t_ana = time.perf_counter() - t0
+        out["analytic"] = {
+            "first_call_s": round(t_ana, 1),
+            "hvp_chunk": int(os.environ.get("PDB2R_TPU_HVP_CHUNK", "64")),
+            "max_abs_dev_vs_fd_au": float(np.abs(Ha - H1).max()),
+        }
+    except Exception as e:
+        out["analytic"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    print(json.dumps(out))
 '''
     here = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -685,16 +706,19 @@ print(json.dumps({"first_call_s": round(t_first, 1),
                            timeout=budget)
     except subprocess.TimeoutExpired:
         return {"skipped": f"timeout after {budget}s — persistent-cache "
-                           "miss (remote compile of the batched-FD "
-                           "program takes ~18 min through the relay)"}
-    lines = [l for l in (r.stdout or "").strip().splitlines() if l.strip()]
-    if r.returncode != 0 or not lines:
+                           "miss (chunked-FD program compile through the "
+                           "relay; warm-cache runs fit)"}
+    lines = [l for l in (r.stdout or "").strip().splitlines()
+             if l.strip().startswith("{")]
+    if not lines:
         return {"error": (r.stderr or "no output").strip()[-300:]}
     out = json.loads(lines[-1])
-    out["note"] = ("batched central-difference Hessian (ALL 1+6N "
-                   "displacements as device-batched force calls) through "
-                   "the pallas-mega eSCN kernel; the reference runs the "
-                   "same 1+6N displacements serially")
+    if r.returncode != 0:
+        out["analytic_worker_died"] = (r.stderr or "").strip()[-200:]
+    out["note"] = ("chunked central-difference Hessian (ALL 1+6N "
+                   "displacements as device-batched force-call chunks) "
+                   "through the pallas-mega eSCN kernel; the reference "
+                   "runs the same 1+6N displacements serially")
     return out
 
 

@@ -812,11 +812,13 @@ def align_cmd(inputs, out_dir, freeze_atoms, relax, charge, spin,
 @click.option("--dft-max-cycle", type=int, default=100)
 @click.option("--dft-conv-tol", type=float, default=1e-9)
 @click.option("--dft-grid-level", type=int, default=3)
-@click.option("--dft-engine", type=click.Choice(["gpu", "cpu", "auto"],
+@click.option("--dft-engine", type=click.Choice(["gpu", "cpu", "auto",
+                                                 "mini"],
                                                 case_sensitive=False),
               default="gpu",
               help="SCF engine policy (the gpu->cpu fallback collapses "
-                   "to the CPU PySCF seam on this host).")
+                   "to the CPU PySCF seam on this host; 'mini' = built-in "
+                   "RHF/STO-3G engine for PySCF-less hosts).")
 # per-stage output-directory overrides (reference all.py:2457,2800-2801;
 # relative paths resolve against the default location's parent)
 @click.option("--scan-out-dir", type=click.Path(path_type=Path,
@@ -1059,10 +1061,12 @@ def scan3d_cmd(input_path, scans, scan_list_raw, max_step_size, opt_mode,
 @click.option("--grid-level", type=int, default=3,
               help="Numerical integration grid level (PySCF grids.level).")
 @click.option("--engine", default="cpu",
-              type=click.Choice(["gpu", "cpu", "auto"],
+              type=click.Choice(["gpu", "cpu", "auto", "mini"],
                                 case_sensitive=False),
               help="gpu/auto fall back to CPU PySCF (no TPU DFT engine; "
-                   "the reference's gpu4pyscf path is CUDA-only).")
+                   "the reference's gpu4pyscf path is CUDA-only). "
+                   "'mini' = built-in RHF/STO-3G engine (s-block only; "
+                   "runs a real SCF on PySCF-less hosts).")
 @common_options
 def dft_cmd(input_path, func, basis, func_basis, max_cycle, conv_tol,
             grid_level, engine, **kw):

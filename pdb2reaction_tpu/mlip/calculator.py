@@ -128,8 +128,16 @@ def _shard_mapped(body, mesh, n_in: int, batch_arg: int = 0):
     from jax.sharding import PartitionSpec as P
     in_specs = tuple(P("data") if i == batch_arg else P()
                      for i in range(n_in))
-    return shard_map(body, mesh=mesh, in_specs=in_specs,
-                     out_specs=P("data"))
+    # check_vma=False: Pallas custom_vjp kernels in the body build
+    # ShapeDtypeStruct out_shapes without vma annotations, which the
+    # varying-mesh-axis checker rejects; the body is a pure per-image map
+    # with no collectives over 'data', so the check adds nothing here.
+    try:
+        return shard_map(body, mesh=mesh, in_specs=in_specs,
+                         out_specs=P("data"), check_vma=False)
+    except TypeError:   # older jax: no check_vma kwarg
+        return shard_map(body, mesh=mesh, in_specs=in_specs,
+                         out_specs=P("data"))
 
 
 def _get_kernels(efn: Callable, chunk: int, mesh=None,
