@@ -497,11 +497,28 @@ def hessian_dimer(
     H = calc.get_hessian(xf.reshape(P, 3)[:n].reshape(-1))["hessian"]
     vib = frequencies_and_modes(H, calc.structure.numbers,
                                 xf.reshape(P, 3)[:n], freeze)
-    n_imag = count_imaginary(vib.freqs_cm, neg_freq_thresh_cm)
-    imode = (vib.modes_cart[int(np.argmin(vib.freqs_cm))]
-             if len(vib.freqs_cm) else None)
+    freqs_fin = vib.freqs_cm
+    imode = (vib.modes_cart[int(np.argmin(freqs_fin))]
+             if len(freqs_fin) else None)
+    if len(freqs_fin) == 0 and freeze:
+        # tiny active spaces: PHVA's in-subspace TR projection can
+        # annihilate every mode (1 active atom -> 3 translations kill all
+        # 3 DOF), hiding a real imaginary mode from the final report.
+        # Fall back to unprojected free-block wavenumbers — same fallback
+        # as the run_tsopt heavy branch (workflows/tsopt.py).
+        from ..constants import NU_CM_FACTOR
+        from .vib import free_block_modes
+        from .. import elements
+        w, modes_fb = free_block_modes(H, calc.structure.numbers, freeze)
+        if len(w):
+            freqs_fin = np.sign(w) * np.sqrt(np.abs(w)) * NU_CM_FACTOR
+            sqm = np.sqrt(np.repeat(elements.masses_of(
+                np.asarray(calc.structure.numbers, int)), 3))
+            mvec = modes_fb[int(np.argmin(freqs_fin))] / sqm
+            imode = (mvec / max(np.linalg.norm(mvec), 1e-30)).reshape(-1, 3)
+    n_imag = count_imaginary(freqs_fin, neg_freq_thresh_cm)
     e_fin = float(calc.get_forces(xf.reshape(P, 3)[:n].reshape(-1))["energy"])
     return DimerResult(x=jnp.asarray(xf.reshape(P, 3)), e=e_fin,
-                       freqs_cm=vib.freqs_cm, imag_mode_cart=imode,
+                       freqs_cm=freqs_fin, imag_mode_cart=imode,
                        n_imag=n_imag, converged=converged_,
                        cycles=total_cycles)

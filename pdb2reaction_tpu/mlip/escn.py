@@ -47,6 +47,7 @@ Other notes:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import lru_cache
 from typing import Any, Dict
@@ -349,18 +350,48 @@ def _apply_linear_stack(layers, x):
     return x
 
 
+@lru_cache(maxsize=None)
+def _l_of_m_tables(lmax: int):
+    """[L, M] block-membership indicator and [M] l-index for the
+    vectorized norm below."""
+    import numpy as _np
+    M = (lmax + 1) ** 2
+    l_of_m = _np.concatenate(
+        [_np.full(2 * l + 1, l) for l in range(lmax + 1)])
+    ind = _np.zeros((lmax + 1, M), _np.float32)
+    ind[l_of_m, _np.arange(M)] = 1.0
+    return ind, l_of_m
+
+
 def _equi_rms_norm(x, gamma, cfg: ESCNConfig, eps=1e-6):
     """Per-l RMS norm over (m, C) with learned per-(l, C) scales.
 
     x: [..., M, C]; gamma: [lmax+1, C].
-    """
-    outs = []
-    for l in range(cfg.lmax + 1):  # noqa: E741
-        i0 = l * l
-        blk = x[..., i0:i0 + 2 * l + 1, :]
-        rms = jnp.sqrt(jnp.mean(blk * blk, axis=(-2, -1), keepdims=True) + eps)
-        outs.append(blk / rms * gamma[l])
-    return jnp.concatenate(outs, axis=-2)
+
+    Vectorized: ONE indicator-matmul per call instead of a per-l
+    slice/mean/concat chain (lmax+1 slices x 3 norms/layer x 4 layers x
+    fwd+VJP was measurable dispatch glue around the Pallas kernels —
+    VERDICT r4 weak 7 backward-glue audit). Same math: the (m, C) mean
+    per l-block just reassociates. Set PDB2R_TPU_NORM_V1=1 to fall back
+    to the sliced reference implementation (A/B + parity)."""
+    if os.environ.get("PDB2R_TPU_NORM_V1"):
+        outs = []
+        for l in range(cfg.lmax + 1):  # noqa: E741
+            i0 = l * l
+            blk = x[..., i0:i0 + 2 * l + 1, :]
+            rms = jnp.sqrt(
+                jnp.mean(blk * blk, axis=(-2, -1), keepdims=True) + eps)
+            outs.append(blk / rms * gamma[l])
+        return jnp.concatenate(outs, axis=-2)
+    ind_np, l_of_m = _l_of_m_tables(cfg.lmax)
+    ind = jnp.asarray(ind_np, x.dtype)
+    C = x.shape[-1]
+    counts = jnp.asarray(
+        (2 * np.arange(cfg.lmax + 1) + 1) * C, x.dtype)
+    sums = jnp.einsum("lm,...mc->...l", ind, x * x)
+    rms = jnp.sqrt(sums / counts + eps)              # [..., L]
+    inv_m = (1.0 / rms)[..., l_of_m]                 # [..., M]
+    return x * inv_m[..., None] * gamma[l_of_m]
 
 
 def _gauss_basis(d, cfg: ESCNConfig):

@@ -232,10 +232,16 @@ def main():
     seg_flags = []
     if isinstance(segs, list):
         for s in segs:
-            if isinstance(s, dict):
-                seg_flags.append({k: s.get(k) for k in
-                                  ("converged", "barrier_au", "error")
-                                  if k in s})
+            if not isinstance(s, dict):
+                continue
+            flag = {k: s.get(k) for k in
+                    ("segment", "converged", "barrier_au", "error")
+                    if k in s}
+            ts = s.get("tsopt")
+            if isinstance(ts, dict):
+                flag["tsopt_converged"] = ts.get("converged")
+                flag["n_imag"] = ts.get("n_imag")
+            seg_flags.append(flag)
     pocket = None
     try:
         from pdb2reaction_tpu.core import io_pdb

@@ -69,6 +69,10 @@ _SLOW_TESTS = {
     "test_energy_force_parity",
     "test_pt_checkpoint_through_calculator",
     "test_energy_forces_vs_independent_golden",
+    # production-dims goldens (r5): lmax=4/C=128 programs, ~2.5 min CPU
+    "test_inferred_config_at_production_dims",
+    "test_energy_forces_vs_independent_golden_md",
+    "test_pallas_mega_on_converted_weights_md",
     # test_pallas_ops.py
     "test_pallas_mode_matches_dense_mode",
     # test_all_pipeline.py / test_cli.py end-to-end drives
