@@ -675,6 +675,11 @@ pts = np.stack(np.meshgrid(*[np.arange(grid)] * 3), -1).reshape(-1, 3)
 coords = pts[:n] * 1.8 + rng.normal(scale=0.15, size=(n, 3))
 st = Structure(zs.astype(np.int32), coords)
 cb = st.coords_bohr.reshape(-1)
+# chunk 32 is the v5e-validated analytic operating point (187 s first /
+# 129 s warm, no HBM exhaustion — 2026-08-20)
+os.environ.setdefault("PDB2R_TPU_HVP_CHUNK", "32")
+# default mode (auto -> Analytical: exact streamed-HVP chunks; see the
+# routing comment in mlip/uma.py)
 calc = make_uma_calculator(st, model="escn-md")
 t0 = time.perf_counter()
 H1 = calc.get_hessian(cb)["hessian"]
@@ -685,27 +690,34 @@ t_warm = time.perf_counter() - t0
 out = {"first_call_s": round(t_first, 1),
        "warm_call_s": round(t_warm, 1),
        "mode": calc.hessian_calc_mode,
-       "fd_chunk": int(os.environ.get("PDB2R_TPU_FD_CHUNK", "64")),
+       "hvp_chunk": int(os.environ.get("PDB2R_TPU_HVP_CHUNK", "64")),
        "n_dof": int(H1.shape[0])}
-# FD result is on the record even if the analytic attempt below dies
+# the default-mode record survives even if the FD attempt below dies
 print(json.dumps(out)); sys.stdout.flush()
-# analytic mode at 300 atoms (VERDICT r4 item 3): streamed HVP-tangent
-# chunks through the fwd-over-rev XLA variant — record timing + parity
-# vs FD. Opt out with PDB2R_BENCH_HESS_NO_ANALYTIC=1.
-if not os.environ.get("PDB2R_BENCH_HESS_NO_ANALYTIC"):
+# explicit-FD fast path (the reference's own mode, uma_pysis.py:160):
+# batched displacement chunks through the bf16 Pallas kernel — 3.5x
+# faster warm, but carries the measured ~0.02 au bf16-noise floor
+# (bf16 force error x 1/(2 eps)); recorded with parity vs analytic.
+if not os.environ.get("PDB2R_BENCH_HESS_NO_FD"):
     try:
-        calc_a = make_uma_calculator(st, model="escn-md",
-                                     hessian_calc_mode="Analytical")
+        calc_f = make_uma_calculator(st, model="escn-md",
+                                     hessian_calc_mode="FiniteDifference")
         t0 = time.perf_counter()
-        Ha = calc_a.get_hessian(cb)["hessian"]
-        t_ana = time.perf_counter() - t0
-        out["analytic"] = {
-            "first_call_s": round(t_ana, 1),
-            "hvp_chunk": int(os.environ.get("PDB2R_TPU_HVP_CHUNK", "64")),
-            "max_abs_dev_vs_fd_au": float(np.abs(Ha - H1).max()),
+        Hf = calc_f.get_hessian(cb)["hessian"]
+        t_fd = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        calc_f.get_hessian(cb.copy() + 1e-5)
+        t_fd_warm = time.perf_counter() - t0
+        out["fd"] = {
+            "first_call_s": round(t_fd, 1),
+            "warm_call_s": round(t_fd_warm, 1),
+            "fd_chunk": int(os.environ.get("PDB2R_TPU_FD_CHUNK", "64")),
+            "max_abs_dev_vs_analytic_au": float(np.abs(Hf - H1).max()),
+            "note": "deviation = bf16-kernel force noise x 1/(2 eps), "
+                    "not truncation (see mlip/uma.py routing comment)",
         }
     except Exception as e:
-        out["analytic"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        out["fd"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     print(json.dumps(out))
 '''
     here = os.path.dirname(os.path.abspath(__file__))
@@ -731,15 +743,17 @@ if not os.environ.get("PDB2R_BENCH_HESS_NO_ANALYTIC"):
                                "runs fit)"}
         return {"error": (stderr or "no output").strip()[-300:]}
     out = json.loads(lines[-1])
-    if timed_out and "analytic" not in out:
-        out["analytic"] = {"skipped": f"cut by the {budget}s section "
-                                      "budget after the FD record"}
+    if timed_out and "fd" not in out:
+        out["fd"] = {"skipped": f"cut by the {budget}s section budget "
+                                "after the analytic record"}
     if rc != 0:
-        out["analytic_worker_died"] = (stderr or "").strip()[-200:]
-    out["note"] = ("chunked central-difference Hessian (ALL 1+6N "
-                   "displacements as device-batched force-call chunks) "
-                   "through the pallas-mega eSCN kernel; the reference "
-                   "runs the same 1+6N displacements serially")
+        out["fd_worker_died"] = (stderr or "").strip()[-200:]
+    out["note"] = ("default = exact analytic Hessian (3N HVP tangents "
+                   "streamed as device-batched chunks through the f32 "
+                   "XLA variant); 'fd' = the reference's central-"
+                   "difference mode (1+6N displacements, device-batched "
+                   "chunks through the bf16 Pallas kernel — the "
+                   "reference runs them serially)")
     return out
 
 
@@ -913,10 +927,16 @@ def _all_pipeline_section():
     # the dedicated eSCN sections, so this section measures the full
     # ORCHESTRATION wall-clock. PDB2R_BENCH_ALL_CALC=uma to override.
     calc_mode = os.environ.get("PDB2R_BENCH_ALL_CALC", "morse")
+    # FRESH out dir every run: a stale stage-2 checkpoint from a previous
+    # run (different calc mode) otherwise hijacks the path-search resume
+    # (observed 2026-08-20: the morse section timed out resuming an
+    # aborted surrogate run's checkpoint from the shared /tmp dir)
+    import tempfile
+    out_dir = tempfile.mkdtemp(prefix="bench_all_e2e_")
     cmd = [_sys.executable, os.path.join(here, "scripts", "tpu_all_e2e.py"),
            "--model", "uma-s-1p1", "--calc-mode", calc_mode,
            "--n-res", n_res, "--tsopt-max-cycles", "60",
-           "--out", "/tmp/bench_all_e2e"]
+           "--out", out_dir]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, cwd=here,
                            timeout=budget)

@@ -24,12 +24,6 @@ from ..core.structure import Structure
 from .calculator import Calculator
 from .model import CONFIGS, make_model
 
-# `auto` Hessian routing for Pallas-kernel eSCN calculators: systems at or
-# below this atom count (and every CPU run) get the exact analytic Hessian
-# (streamed HVP chunks); larger TPU systems default to batched FD through
-# the Pallas kernel (see the routing comment in make_uma_calculator).
-_ANALYTIC_HESS_MAX_ATOMS = int(
-    os.environ.get("PDB2R_TPU_ANALYTIC_HESS_MAX", "100"))
 
 
 def load_checkpoint(path, *, required: bool = False) -> Optional[dict]:
@@ -222,25 +216,23 @@ def make_uma_calculator(
             fn_h = ESCN_FN_FOR(dataclasses.replace(
                 ecfg, edge_kernel="xla", ffn_kernel="xla"))
             fn = ESCN_FN_FOR(ecfg)
-            if hessian_calc_mode == "auto" \
-                    and structure.n_atoms > _ANALYTIC_HESS_MAX_ATOMS \
-                    and jax.default_backend() != "cpu":
-                # Large eSCN systems on TPU: batched-FD through the mega
-                # kernel = 34.8 s warm at 300 atoms (v5e 2026-08-19). The
-                # analytic route streams fixed-size HVP-tangent chunks
-                # through the fwd-over-rev XLA variant (calculator.py
-                # _stream_chunks — the r4 one-shot 904-tangent program
-                # exhausted HBM), but the XLA variant's per-edge temps
-                # still dominate its runtime, so FD through the Pallas
-                # kernel stays the default at scale. FD is also the
-                # reference's own default (uma_pysis.py:160, eps=1e-3 A).
-                # Override: hessian_calc_mode="Analytical", or raise
-                # PDB2R_TPU_ANALYTIC_HESS_MAX.
-                hessian_calc_mode = "FiniteDifference"
         if hessian_calc_mode == "auto":
-            # exact + cheap wherever it's safe: CPU backends and small
-            # systems (the routing test compares this against the all-XLA
-            # calculator's analytic Hessian at float tolerance)
+            # Analytical EVERYWHERE (streamed HVP-tangent chunks through
+            # the f32 XLA variant — calculator._stream_chunks; the r4
+            # one-shot 904-tangent program that exhausted HBM is gone).
+            # Measured v5e, 300-atom escn-md (2026-08-20): analytic
+            # 187 s first / 129 s warm and EXACT, vs batched FD through
+            # the bf16 Pallas kernel 131 s / 37 s with a ~0.02 au
+            # element-wise NOISE floor — the bf16 force error amplified
+            # by 1/(2 eps) dominates every FD element (the surrogate's
+            # true curvature scale is 0.004 au; the FD spectrum is noise:
+            # [-0.07, 0.063] vs analytic [-0.005, 0.006]). The
+            # reference's FD default (uma_pysis.py:160) assumes f32 CUDA
+            # forces and does not transfer to the bf16 kernel path;
+            # accurate-FD through our f32 XLA variant would cost ~113 s —
+            # slower than exact analytic. FD stays available explicitly
+            # (hessian_calc_mode="FiniteDifference") for speed-over-
+            # accuracy uses (dimer seeding at 37 s/Hessian).
             hessian_calc_mode = "Analytical"
         pad_multiple = 8
         if spatial > 1:

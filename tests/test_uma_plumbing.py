@@ -96,15 +96,15 @@ def test_checkpoint_provenance_no_warning(water, tmp_path, capsys):
     assert calc2.weights_source == f"checkpoint:{ckpt}"
 
 
-def test_hessian_mode_auto_resolution(water, monkeypatch):
-    """"auto" resolves by safety, not blanket kernel type (VERDICT r4
-    item 2): Analytical wherever it is exact AND cheap — CPU backends and
-    small systems — and FiniteDifference only for LARGE Pallas-kernel
-    eSCN systems on TPU (the fwd-over-rev XLA variant's HVP chunks are
-    slower than batched FD through the Pallas kernel at production scale;
-    FD is also the reference default, uma_pysis.py:160). An explicit mode
-    is always honored."""
-    # small system (CPU test backend): analytic even with the Pallas kernel
+def test_hessian_mode_auto_resolution(water):
+    """"auto" = Analytical everywhere (VERDICT r4 items 2/3): the
+    streamed-HVP-chunk analytic route is exact and viable at production
+    scale (v5e, 300 atoms: 129 s warm with no HBM exhaustion), while
+    batched FD through the bf16 Pallas kernel carries a measured
+    ~0.02 au element-wise noise floor (bf16 force error amplified by
+    1/(2 eps)) — see the routing comment in make_uma_calculator. An
+    explicit mode is always honored, including FD for speed-over-
+    accuracy uses."""
     c_escn = make_uma_calculator(water, model="escn-test",
                                  edge_kernel="pallas-mega")
     assert c_escn.hessian_calc_mode == "Analytical"
@@ -117,19 +117,12 @@ def test_hessian_mode_auto_resolution(water, monkeypatch):
                                  edge_kernel="pallas-mega",
                                  hessian_calc_mode="FiniteDifference")
     assert c_expl.hessian_calc_mode == "FiniteDifference"
-    # large Pallas-kernel system on a non-CPU backend: FD
-    import jax as _jax
-
+    # a large Pallas-kernel system resolves Analytical too (the r4
+    # FD-at-scale routing is gone with the streamed-chunk path)
     from pdb2reaction_tpu.core.structure import Structure
     rng = np.random.default_rng(0)
     big = Structure(np.full(120, 6, np.int32),
                     rng.normal(scale=6.0, size=(120, 3)))
-    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
     c_big = make_uma_calculator(big, model="escn-test",
                                 edge_kernel="pallas-mega")
-    assert c_big.hessian_calc_mode == "FiniteDifference"
-    # ... but the same large system keeps the analytic default on CPU
-    monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
-    c_big_cpu = make_uma_calculator(big, model="escn-test",
-                                    edge_kernel="pallas-mega")
-    assert c_big_cpu.hessian_calc_mode == "Analytical"
+    assert c_big.hessian_calc_mode == "Analytical"
