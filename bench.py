@@ -655,7 +655,9 @@ def _escn_hessian_section():
     import subprocess
     import sys as _sys
 
-    budget = _sub_budget("PDB2R_BENCH_HESS_TIMEOUT", 600, floor=60)
+    # 900 s: both modes warm need ~620 s (analytic 211+132, FD 131+37,
+    # plus process setup/premerge) — the global budget still clamps this
+    budget = _sub_budget("PDB2R_BENCH_HESS_TIMEOUT", 900, floor=60)
     if budget <= 0:
         return {"skipped": "global budget exhausted before the Hessian "
                            "section (PDB2R_BENCH_BUDGET)"}

@@ -395,6 +395,7 @@ def path_opt_cmd(input_paths, mep_mode, max_nodes, max_cycles, opt_mode,
                  freeze_atoms=parse_freeze(kw["freeze_atoms"]),
                  auto_freeze_links=kw["auto_freeze_links"],
                  calc_mode=kw["calc_mode"], model=kw["model"],
+                 hessian_calc_mode=kw["hessian_calc_mode"],
                  out_dir=kw["out_dir"] or "./result_path_opt/",
                  mesh=make_mesh_or_none(kw["workers"]), **cfg)
 
@@ -431,6 +432,7 @@ def tsopt_cmd(input_path, opt_mode, coord_type, thresh, max_cycles,
                     freeze_atoms=parse_freeze(kw["freeze_atoms"]),
                     auto_freeze_links=kw["auto_freeze_links"],
                     calc_mode=kw["calc_mode"], model=kw["model"],
+                    hessian_calc_mode=kw["hessian_calc_mode"],
                     out_dir=kw["out_dir"] or "./result_tsopt/",
                     mesh=make_mesh_or_none(kw["workers"]), **cfg)
     sys.exit(0 if res["converged"] else 3)
@@ -502,6 +504,7 @@ def irc_cmd(input_path, step_length, max_cycles, root, forward, backward,
             freeze_atoms=parse_freeze(kw["freeze_atoms"]),
             auto_freeze_links=kw["auto_freeze_links"],
             calc_mode=kw["calc_mode"], model=kw["model"],
+            hessian_calc_mode=kw["hessian_calc_mode"],
             out_dir=kw["out_dir"] or "./result_irc/",
             mesh=make_mesh_or_none(kw["workers"]), **cfg)
 
@@ -568,6 +571,7 @@ def path_search_cmd(input_paths, mep_mode, max_depth, refine_mode,
                     freeze_atoms=parse_freeze(kw["freeze_atoms"]),
                     auto_freeze_links=kw["auto_freeze_links"],
                     calc_mode=kw["calc_mode"], model=kw["model"],
+                    hessian_calc_mode=kw["hessian_calc_mode"],
                     out_dir=kw["out_dir"] or "./result_path_search/",
                     mesh=make_mesh_or_none(kw["workers"]), **cfg)
 
@@ -904,6 +908,7 @@ def all_cmd(input_paths, center, scan_lists, mep_mode,
     yaml_overrides(kw.pop("args_yaml"), cfg, [("all",), ("search",)])
     run_all(list(input_paths), charge=kw["charge"], spin=kw["spin"],
             calc_mode=kw["calc_mode"], model=kw["model"],
+            hessian_calc_mode=kw["hessian_calc_mode"],
             freeze_atoms=parse_freeze(kw["freeze_atoms"]),
             auto_freeze_links=kw["auto_freeze_links"],
             out_dir=kw["out_dir"] or "./result_all/",
