@@ -939,6 +939,10 @@ def _all_pipeline_section():
            "--model", "uma-s-1p1", "--calc-mode", calc_mode,
            "--n-res", n_res, "--tsopt-max-cycles", "60",
            "--out", out_dir]
+    if calc_mode == "uma":
+        # the surrogate's random PES makes every segment a kink — lift
+        # the reference abort guard so the MLIP-shape pipeline completes
+        cmd += ["--max-kinks", "99"]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, cwd=here,
                            timeout=budget)

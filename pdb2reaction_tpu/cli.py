@@ -391,11 +391,11 @@ def path_opt_cmd(input_paths, mep_mode, max_nodes, max_cycles, opt_mode,
         gs_kw={"max_nodes": max_nodes, "climb": climb,
                "fix_ends": fix_ends, "loop": gsm_loop})
     yaml_overrides(kw.pop("args_yaml"), cfg, [("gs",), ("sopt",), ("dmf",)])
+    cfg.setdefault("hessian_calc_mode", kw["hessian_calc_mode"])
     run_path_opt(list(input_paths), charge=kw["charge"], spin=kw["spin"],
                  freeze_atoms=parse_freeze(kw["freeze_atoms"]),
                  auto_freeze_links=kw["auto_freeze_links"],
                  calc_mode=kw["calc_mode"], model=kw["model"],
-                 hessian_calc_mode=kw["hessian_calc_mode"],
                  out_dir=kw["out_dir"] or "./result_path_opt/",
                  mesh=make_mesh_or_none(kw["workers"]), **cfg)
 
@@ -428,11 +428,13 @@ def tsopt_cmd(input_path, opt_mode, coord_type, thresh, max_cycles,
                           10 if flatten_imag_mode else 0})
     yaml_overrides(kw.pop("args_yaml"), cfg,
                    [("tsopt",), ("hessian_dimer",), ("rsirfo",)])
+    # YAML wins over the CLI flag (documented precedence); setdefault
+    # avoids a duplicate-kwarg collision with **cfg
+    cfg.setdefault("hessian_calc_mode", kw["hessian_calc_mode"])
     res = run_tsopt(input_path, charge=kw["charge"], spin=kw["spin"],
                     freeze_atoms=parse_freeze(kw["freeze_atoms"]),
                     auto_freeze_links=kw["auto_freeze_links"],
                     calc_mode=kw["calc_mode"], model=kw["model"],
-                    hessian_calc_mode=kw["hessian_calc_mode"],
                     out_dir=kw["out_dir"] or "./result_tsopt/",
                     mesh=make_mesh_or_none(kw["workers"]), **cfg)
     sys.exit(0 if res["converged"] else 3)
@@ -500,11 +502,11 @@ def irc_cmd(input_path, step_length, max_cycles, root, forward, backward,
                                hessian_recalc=hessian_recalc,
                                dump_restart=dump_restart)
     yaml_overrides(kw.pop("args_yaml"), cfg, [("irc",)])
+    cfg.setdefault("hessian_calc_mode", kw["hessian_calc_mode"])
     run_irc(input_path, charge=kw["charge"], spin=kw["spin"],
             freeze_atoms=parse_freeze(kw["freeze_atoms"]),
             auto_freeze_links=kw["auto_freeze_links"],
             calc_mode=kw["calc_mode"], model=kw["model"],
-            hessian_calc_mode=kw["hessian_calc_mode"],
             out_dir=kw["out_dir"] or "./result_irc/",
             mesh=make_mesh_or_none(kw["workers"]), **cfg)
 
@@ -567,11 +569,11 @@ def path_search_cmd(input_paths, mep_mode, max_depth, refine_mode,
                "loop": gsm_loop},
         search_kw=skw)
     yaml_overrides(kw.pop("args_yaml"), cfg, [("search",), ("gs",), ("bond",)])
+    cfg.setdefault("hessian_calc_mode", kw["hessian_calc_mode"])
     run_path_search(list(input_paths), charge=kw["charge"], spin=kw["spin"],
                     freeze_atoms=parse_freeze(kw["freeze_atoms"]),
                     auto_freeze_links=kw["auto_freeze_links"],
                     calc_mode=kw["calc_mode"], model=kw["model"],
-                    hessian_calc_mode=kw["hessian_calc_mode"],
                     out_dir=kw["out_dir"] or "./result_path_search/",
                     mesh=make_mesh_or_none(kw["workers"]), **cfg)
 
@@ -906,9 +908,9 @@ def all_cmd(input_paths, center, scan_lists, mep_mode,
         scan_out_dir=scan_out_dir, tsopt_out_dir=tsopt_out_dir,
         freq_out_dir=freq_out_dir, dft_out_dir=dft_out_dir)
     yaml_overrides(kw.pop("args_yaml"), cfg, [("all",), ("search",)])
+    cfg.setdefault("hessian_calc_mode", kw["hessian_calc_mode"])
     run_all(list(input_paths), charge=kw["charge"], spin=kw["spin"],
             calc_mode=kw["calc_mode"], model=kw["model"],
-            hessian_calc_mode=kw["hessian_calc_mode"],
             freeze_atoms=parse_freeze(kw["freeze_atoms"]),
             auto_freeze_links=kw["auto_freeze_links"],
             out_dir=kw["out_dir"] or "./result_all/",

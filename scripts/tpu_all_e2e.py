@@ -187,6 +187,12 @@ def main():
     ap.add_argument("--max-nodes", type=int, default=10)
     ap.add_argument("--tsopt-max-cycles", type=int, default=300)
     ap.add_argument("--no-freq", action="store_true")
+    ap.add_argument("--max-kinks", type=int, default=None,
+                    help="Override path-search max_consecutive_kinks "
+                         "(reference default 2). An UNTRAINED surrogate's "
+                         "random PES makes every segment a kink, tripping "
+                         "the abort guard — raise this to measure the full "
+                         "pipeline wall-clock at MLIP shapes anyway.")
     ap.add_argument("--out", default="/tmp/all_e2e")
     args = ap.parse_args()
 
@@ -204,11 +210,14 @@ def main():
 
     t0 = time.perf_counter()
     try:
+        search_kw = ({"max_consecutive_kinks": args.max_kinks}
+                     if args.max_kinks is not None else None)
         res = run_all(
             [r_pdb, p_pdb], center="LIG", ligand_charge=0,
             calc_mode=args.calc_mode, model=args.model,
             out_dir=out / "result_all",
             gs_kw={"max_nodes": args.max_nodes},
+            search_kw=search_kw,
             # stage-4 toggles now default False (reference parity) — this
             # benchmark measures the FULL pipeline, so turn them on
             tsopt=True,
